@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over `documents` (SURVEY.md §2B):
+  * exact (hash-groupBy), n-gram Jaccard via inverted index, MinHash+LSH,
+  * SimHash banding.
+  *
+  * Scale design: nothing here ever materializes the O(N²) pair space.
+  *  - exact dedup: one hash aggregate on the content fingerprint;
+  *  - Jaccard: inverted-index self-join on shared shingles — pairs are
+  *    generated only for documents that share at least one shingle, and
+  *    hot shingles can be capped (stopword-shingle blacklist) at real
+  *    scale;
+  *  - MinHash/LSH: candidate pairs only within equal (band, bandhash)
+  *    buckets — N·bands rows shuffled, never N²;
+  *  - SimHash: 64-bit signature, banded into 4×16-bit keys → bucket join
+  *    catches all pairs within Hamming distance 3.
+  */
+object DedupOps {
+
+  /** Word shingles (n-gram strings) of the document text, distinct. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextOps.ngrams(TextOps.tokens(text), n))
+
+  /** Deterministic 32-bit hash of a string with a seed, identical across
+    * runs/engines-with-md5: first 8 hex chars of md5(seed:s) as a long.
+    * (Engine-portable — DuckDB can compute the same expression, which is
+    * what makes the MinHash signatures oracle-checkable in principle.)
+    */
+  def portableHash(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed + ":"), s).cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: array of `k` min-hashes over the shingle set. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(sh, x => portableHash(x, i)))): _*)
+
+  /** LSH band keys: signature split into `bands` bands of `rows` hashes,
+    * each hashed to one bucket key string "band:md5(...)".
+    */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat(lit(b + ":"), md5(concat_ws("_",
+        slice(sig, b * rows + 1, rows).cast("array<string>")).cast("binary")))
+    }: _*)
+
+  /** 64-bit SimHash from a column of token-hash arrays (`hs`): for each
+    * bit position, majority vote across token hashes. Expressed as a SQL
+    * higher-order fold (shiftright/shiftleft take column operands in SQL
+    * but not in the Scala DSL).
+    */
+  val simhashFromHashes: Column = expr(
+    """aggregate(sequence(0, 63), 0L,
+      |  (acc, bit) -> acc + if(
+      |     size(filter(hs, h -> (shiftright(h, bit) & 1) = 1)) * 2 > size(hs),
+      |     shiftleft(1L, bit), 0L))""".stripMargin)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** Exact Jaccard pairs over distinct word-3-shingles via inverted-index
+    * join; emits (doc_a < doc_b, jaccard) with jaccard >= minJ.
+    */
+  def jaccardPairs(d: DataFrame, n: Int, minJ: Double): DataFrame = {
+    val withSh = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inv = withSh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
+  /** MinHash+LSH candidate pairs, verified with exact Jaccard — the
+    * standard scale path (banding prunes, exact check confirms).
+    */
+  def minhashLshPairs(d: DataFrame, n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val withSh = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val banded = withSh
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"), col("sh"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits over the 64-bit
+    * signature; any pair within Hamming distance 3 shares >= 1 exact band.
+    * Emits candidate pairs with their Hamming distance <= maxHamming.
+    */
+  def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = d
+      .select(col("doc_id"), transform(TextOps.tokens(col("text")), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes.as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(b + ":"), (shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)).cast("string"))): _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").bitwiseXOR(col("b.sig")).as("x"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(x)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "dedup_exact",
+      (s, dir) => {
+        // Exact dedup by content fingerprint: single hash aggregate —
+        // the latest-wins dedup (#7) generalized to arbitrary payloads.
+        docs(s, dir)
+          .select(col("doc_id"), md5(concat_ws("|", col("lang"), col("text")).cast("binary")).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .orderBy("fp")
+      },
+      Some("""SELECT md5(lang || '|' || text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+             |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)),
+
+    GQuery(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        jaccardPairs(docs(s, dir), n = 3, minJ = 0.1)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     sh AS (SELECT doc_id,
+             |                   list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                  for i in range(1, len(tk) - 1)]) AS sg
+             |            FROM t WHERE len(tk) >= 3),
+             |     inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |     sz AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+             |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |               FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |               GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 4) AS jaccard
+             |FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             |WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.1
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = true),
+
+    GQuery(
+      "dedup_minhash_lsh",
+      (s, dir) => {
+        // MinHash(32 hashes) + LSH(8 bands × 4) candidates, exact-Jaccard
+        // verified at >= 0.1. Candidate generation is the scale path; the
+        // driver records a rows-only check (sketch buckets aren't
+        // SQL-oracle-expressible economically), while the ScalaTest suite
+        // asserts recall against the exact-Jaccard pairs.
+        minhashLshPairs(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.1)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    GQuery(
+      "dedup_simhash",
+      (s, dir) => {
+        simhashPairs(docs(s, dir), maxHamming = 16)
+          .orderBy("doc_a", "doc_b")
+      },
+      None)
+  )
+}

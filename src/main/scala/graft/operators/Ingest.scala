@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Reference-parity ingest pipeline, re-expressed Spark-first.
+  *
+  * The reference (`/root/reference`, see SURVEY.md §0) is a batch
+  * Kafka→HDFS job whose net semantics are: parse each record's JSON into a
+  * fixed `{id: Long, msg: String}` schema leniently
+  * (`MyKafkaMessage.java:6-12` — missing fields default to `0L`/`""`,
+  * malformed JSON is dropped, `HadoopKafkaConsumer.java:58-61`), keep the
+  * record with the highest Kafka offset per id
+  * (`HadoopKafkaConsumer.java:55-90`, latest-wins), and overwrite an HDFS
+  * directory with the surviving rows as JSON lines
+  * (`HadoopKafkaConsumer.java:92-101,139-148`).
+  *
+  * Here that becomes a declarative DataFrame pipeline:
+  * `from_json` (null on malformed = skip-bad-records) → `groupBy(key)`
+  * + `max_by(struct(payload), version)` (one shuffle, partial map-side
+  * aggregation — strictly better than the reference's per-reducer
+  * in-heap HashMap which cannot spill) → `to_json` → overwrite sink.
+  *
+  * The `events` testdata table is the Kafka-topic analog
+  * (`event_id` ↔ offset/version, `user_id` ↔ message id, `props` ↔ JSON
+  * payload — FIXTURES.md §B).
+  */
+object Ingest {
+
+  /** Reference message schema (`MyKafkaMessage.java:6-7`). */
+  val msgSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("msg", StringType)))
+
+  /** Lenient fixed-schema JSON parse: malformed rows dropped (reference
+    * skip-bad-records), missing fields defaulted (`MyKafkaMessage.java:9-12`).
+    *
+    * `defaults` maps field name → default literal; fields absent from the
+    * map pass through as-is (nullable).
+    */
+  def parseLenient(
+      df: DataFrame,
+      jsonCol: String,
+      schema: StructType,
+      defaults: Map[String, Column]): DataFrame = {
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), schema))
+      .where(col("__j").isNotNull) // malformed JSON → null struct → dropped
+    val fields = schema.fields.map { f =>
+      defaults.get(f.name)
+        .map(d => coalesce(col(s"__j.${f.name}"), d).as(f.name))
+        .getOrElse(col(s"__j.${f.name}").as(f.name))
+    }
+    parsed.select(df.columns.map(col) ++ fields: _*).drop("__j", jsonCol)
+  }
+
+  /** Latest-wins dedup: keep, per `keys`, the row with the maximal
+    * `version` columns (compared lexicographically — pass a unique
+    * trailing tiebreak column for determinism when the primary version
+    * can tie; the reference's Kafka offset is unique per partition so it
+    * never ties there, `HadoopKafkaConsumer.java:69-78`).
+    *
+    * Single hash-aggregate: one shuffle on `keys`, map-side partial
+    * `max_by` combine. At 100 TB this is the minimal-movement plan — no
+    * window sort, no secondary shuffle; skewed keys are handled by the
+    * partial aggregation (hot key reduces to one row per map task before
+    * the exchange).
+    */
+  def latestWins(df: DataFrame, keys: Seq[String], version: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(version.map(col): _*)).as("__latest"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
+  }
+
+  /** Reference sink: overwrite the output directory with one JSON object
+    * per line (`HadoopKafkaConsumer.java:92-101,139-148` — delete-then-
+    * write snapshot ≡ `mode("overwrite")`).
+    */
+  def writeSnapshotJson(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  // ---------------------------------------------------------------- queries
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+
+  val all: Seq[GQuery] = Seq(
+    GQuery(
+      "ingest_latest_global",
+      (s, dir) => {
+        // Latest event per user_id — the reference dedup (#7 in SURVEY §2A)
+        // with the principled global key scope.
+        latestWins(
+          events(s, dir).select("user_id", "event_id", "event_type", "value", "props"),
+          keys = Seq("user_id"), version = Seq("event_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       arg_max(event_id, event_id)   AS event_id,
+             |       arg_max(event_type, event_id) AS event_type,
+             |       arg_max(value, event_id)      AS value,
+             |       arg_max(props, event_id)      AS props
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      bench = true),
+
+    GQuery(
+      "ingest_latest_scoped",
+      (s, dir) => {
+        // Composite-scope dedup — parity with the reference's
+        // per-(partition, id) scope (`KafkaContext.java:103`): latest
+        // event per (user_id, event_type).
+        latestWins(
+          events(s, dir).select("user_id", "event_type", "event_id", "value"),
+          keys = Seq("user_id", "event_type"), version = Seq("event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type,
+             |       arg_max(event_id, event_id) AS event_id,
+             |       arg_max(value, event_id)    AS value
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    GQuery(
+      "ingest_json_parse",
+      (s, dir) => {
+        // Lenient fixed-schema JSON parse of the payload column — the
+        // reference's Gson parse (#5, `KafkaContext.java:105-119`) with
+        // missing-field defaulting.
+        parseLenient(
+          events(s, dir).select("event_id", "props"),
+          jsonCol = "props",
+          schema = StructType(Seq(StructField("k", LongType))),
+          defaults = Map("k" -> lit(0L)))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "ingest_snapshot",
+      (s, dir) => {
+        // End-to-end reference pipeline: parse → latest-wins per id →
+        // JSON-lines snapshot rows ({"id":…,"msg":…} like
+        // `MyKafkaMessage` re-serialized, `HadoopKafkaConsumer.java:96-97`).
+        val latest = latestWins(
+          events(s, dir)
+            .select(col("user_id").as("id"), col("event_type").as("msg"), col("event_id")),
+          keys = Seq("id"), version = Seq("event_id"))
+        latest
+          .select(col("id"), to_json(struct(col("id"), col("msg"))).as("json"))
+          .orderBy("id")
+      },
+      Some("""SELECT user_id AS id,
+             |       '{"id":' || user_id || ',"msg":"' || arg_max(event_type, event_id) || '"}' AS json
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin))
+  )
+}

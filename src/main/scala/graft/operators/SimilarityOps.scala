@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2B):
+  * brute-force cosine top-k as the exact baseline, plus a random-
+  * hyperplane LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Vector math is done with higher-order array functions (`zip_with` +
+  * `aggregate`) over `array<double>` — codegen'd, no UDFs. Arrays are cast
+  * float→double BEFORE any arithmetic so the oracle (DuckDB `::DOUBLE[]`)
+  * computes bit-identical IEEE sums in the same element order.
+  */
+object SimilarityOps {
+
+  /** Sequential dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("em"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * The query side is expected to be small (a probe set) → broadcast;
+    * the corpus streams through one pass, each task keeping only its
+    * partial pairs, and the window top-k shuffles |corpus|×|queries|
+    * rows at worst — prune with `minScore` to bound it at scale.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("em").as("qe"),
+      norm(col("em")).as("qn")))
+    val c = corpus.select(col("vec_id"), col("em"), norm(col("em")).as("cn"))
+    val scored = c.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qe"), col("em")) / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Random-hyperplane (SRP) bucket key: `planes` sign bits, each from a
+    * deterministic pseudo-random hyperplane. Plane p's component for
+    * dimension d is ±1 derived from xxhash64("p:d") — reproducible, no
+    * stored model. Vectors in the same bucket are ANN candidates.
+    */
+  def srpKey(em: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // sign(sum_d em[d] * s_pd), s_pd in {-1,+1}
+      val proj = aggregate(
+        zip_with(em, signArray(p, dims), (x, sgn) => x * sgn),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+
+  /** ±1 pseudo-random sign vector for plane `p` (deterministic). */
+  private def signArray(p: Int, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      d => when(pmod(xxhash64(concat(lit(p + ":"), d.cast("string"))), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0)))
+
+  /** ANN top-k: SRP-bucketed candidate join, exact cosine inside buckets.
+    * Multi-probe via `tables` independent hash tables raises recall.
+    */
+  def annTopK(d: DataFrame, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
+    val keyed = d.select(col("vec_id"), col("em"), norm(col("em")).as("nm"),
+      explode(array((0 until tables).map(t =>
+        concat(lit(t + "#"), srpKey(col("em"), planes, dims))): _*)).as("bk"))
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        col("a.em").as("qe"), col("b.em").as("ce"),
+        col("a.nm").as("qn"), col("b.nm").as("cn"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cands.select(col("qid"), col("vec_id"),
+      (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "sim_topk_bruteforce",
+      (s, dir) => {
+        val e = emb(s, dir)
+        bruteForceTopK(e.where(col("vec_id") < 10), e, k = 5)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+             |           FROM embeddings WHERE vec_id < 10),
+             |     c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+             |     p AS (SELECT qid, vec_id, list_cosine_similarity(qe, ce) AS s
+             |           FROM q, c WHERE vec_id <> qid),
+             |     r AS (SELECT qid, vec_id, s,
+             |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+             |           FROM p)
+             |SELECT qid, vec_id, round(s, 4) AS score, rn
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      bench = true),
+
+    GQuery(
+      "sim_pairs_threshold",
+      (s, dir) => {
+        // All vector pairs with cosine >= 0.4 — exact, oracle-checked.
+        // (The ANN/LSH path below is the form that survives 100 TB.)
+        val e = emb(s, dir).select(col("vec_id"), col("em"), norm(col("em")).as("nm"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (dot(col("a.em"), col("b.em")) / (col("a.nm") * col("b.nm"))).as("score"))
+          .where(col("score") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_cosine_similarity(a.em, b.em), 4) AS score
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.em, b.em) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    GQuery(
+      "sim_ann_lsh",
+      (s, dir) => {
+        // SRP-LSH ANN: bucket join + in-bucket exact rerank. Rows-only
+        // driver check; the ScalaTest suite measures recall vs brute
+        // force.
+        annTopK(emb(s, dir), k = 5, planes = 6, tables = 4, dims = 64)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    GQuery(
+      "dedup_embedding_cosine",
+      (s, dir) => {
+        // Embedding-cosine near-dup: pairs above 0.45, keep lower id as
+        // canonical — exact small-N form with oracle; at scale swap the
+        // pair source for annTopK candidates.
+        val e = emb(s, dir).select(col("vec_id"), col("em"), norm(col("em")).as("nm"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("keeper"), col("b.vec_id").as("dup"),
+            (dot(col("a.em"), col("b.em")) / (col("a.nm") * col("b.nm"))).as("score"))
+          .where(col("score") >= 0.45)
+          .select(col("keeper"), col("dup"), round(col("score"), 4).as("score"))
+          .orderBy("keeper", "dup")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)
+             |SELECT a.vec_id AS keeper, b.vec_id AS dup,
+             |       round(list_cosine_similarity(a.em, b.em), 4) AS score
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.em, b.em) >= 0.45
+             |ORDER BY keeper, dup""".stripMargin))
+  )
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2B):
+  * tokenization, n-grams, language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * All built from codegen'd `functions._` / higher-order array functions —
+  * no UDFs, so the whole pipeline stays inside whole-stage codegen and
+  * scales linearly with input splits (embarrassingly parallel per-row work
+  * plus one hash aggregate where grouping is needed).
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped (text has trailing blanks). */
+  def tokens(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  /** Small fixed stopword list used by quality scoring + lang-id. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  private val stopArray: Column = array(stopwords.map(lit): _*)
+
+  /** Word n-gram array (n >= 2) from a token array, via n shifted slices
+    * zipped with space-concat — pure codegen, no explode until the caller
+    * wants rows.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 2)
+    val win = size(toks) - (n - 1)
+    val slices = (0 until n).map(j => slice(toks, lit(j + 1), win))
+    slices.reduceLeft((acc, sl) => zip_with(acc, sl, (a, b) => concat(a, lit(" "), b)))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "text_tokens",
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("len_chars"),
+            col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |       length(text) AS len_chars,
+             |       n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "text_lang_stats",
+      (s, dir) => {
+        docs(s, dir)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("n_chars"), 2).as("avg_chars"),
+            sum(size(tokens(col("text")))).cast("long").as("sum_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+             |       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+             |       count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GQuery(
+      "text_quality",
+      (s, dir) => {
+        // Quality scoring: token stats + stopword ratio + a deterministic
+        // composite score. All arithmetic — fully codegen'd, no shuffle.
+        val toks = tokens(col("text"))
+        docs(s, dir)
+          .select(col("doc_id"), toks.as("t"), length(col("text")).as("len"))
+          .select(
+            col("doc_id"),
+            size(col("t")).cast("long").as("n_tokens"),
+            round(
+              aggregate(col("t"), lit(0.0), (acc, x) => acc + length(x)) / size(col("t")),
+              4).as("avg_token_len"),
+            round(
+              size(filter(col("t"), x => array_contains(stopArray, x))).cast("double") / size(col("t")),
+              4).as("stopword_ratio"),
+            round(
+              size(array_distinct(col("t"))).cast("double") / size(col("t")),
+              4).as("distinct_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |           FROM documents)
+              |SELECT doc_id,
+              |       CAST(len(tk) AS BIGINT) AS n_tokens,
+              |       round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 4) AS avg_token_len,
+              |       round(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk), 4) AS stopword_ratio,
+              |       round(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS distinct_ratio
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "text_langid",
+      (s, dir) => {
+        // Heuristic language-ID: stopword-hit count over the token set —
+        // the n-gram/stopword family of heuristics, deterministic and
+        // SQL-expressible so the oracle can replicate it.
+        val toks = tokens(col("text"))
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(filter(toks, x => array_contains(stopArray, x))).as("hits"),
+            size(toks).as("n"))
+          .select(col("doc_id"), col("lang"),
+            when(col("hits").cast("double") / col("n") >= 0.1, "en")
+              .otherwise("other").as("pred"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |           FROM documents)
+              |SELECT doc_id, lang,
+              |       CASE WHEN len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk) >= 0.1
+              |            THEN 'en' ELSE 'other' END AS pred
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "text_bigrams",
+      (s, dir) => {
+        // Top-20 word bigrams: per-row ngram expansion (no shuffle) →
+        // hash aggregate → top-k. The explode multiplies rows ~16× here;
+        // at 100 TB the partial aggregation keeps the exchange bounded by
+        // |distinct bigrams| per task.
+        val toks = tokens(col("text"))
+        docs(s, dir)
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("bigram"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     p AS (SELECT unnest([tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))]) AS bigram
+             |           FROM t)
+             |SELECT bigram, count(*) AS cnt FROM p
+             |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
+      bench = true),
+
+    GQuery(
+      "text_fingerprint",
+      (s, dir) => {
+        // Document fingerprinting: content hash (md5) raw + normalized.
+        // md5 is bit-identical across engines → exact oracle parity.
+        docs(s, dir)
+          .select(col("doc_id"),
+            md5(col("text").cast("binary")).as("fp"),
+            md5(lower(trim(col("text"))).cast("binary")).as("fp_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
