@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.KeyedRecord
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Session windows, deterministic sampling, sketches, multimodal plumbing,
+  * and a streaming-engine differential query (SURVEY.md §2B tail).
+  */
+object Extras {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "time_session",
+      (s, dir) => {
+        // Session windows (30-min gap) per user — batch form of the
+        // streaming session_window; oracle reproduces it with the
+        // gaps-and-islands idiom.
+        Tables.t(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+          .select(col("user_id"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n"), col("sv"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, value FROM events),
+             |     m AS (SELECT user_id, t, value,
+             |                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             |                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE
+             |                       THEN 1 ELSE 0 END AS new_s
+             |           FROM e),
+             |     g AS (SELECT user_id, t, value,
+             |                  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |                                   ROWS UNBOUNDED PRECEDING) AS sid
+             |           FROM m)
+             |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n, round(sum(value), 2) AS sv
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    GQuery(
+      "sample_hash",
+      (s, dir) => {
+        // Deterministic 1/8 sample: last hex digit of md5(text) — the
+        // portable, repartition-stable alternative to TABLESAMPLE
+        // (whose row choice is engine/partition dependent). At 100 TB
+        // this pushes as a cheap filter right above the scan.
+        Tables.t(s, dir, "documents")
+          .where(substring(md5(col("text").cast("binary")), 32, 1).isin("0", "1"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substring(md5(text), 32, 1) IN ('0', '1')
+             |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "agg_approx_distinct",
+      (s, dir) => {
+        // HLL++ sketch distinct — the 100 TB path for distinct counts
+        // (exact countDistinct needs a global shuffle of all keys; the
+        // sketch merges O(1) state). Sketch estimates are engine-
+        // specific → rows-only driver check; the ScalaTest suite
+        // asserts <5% error vs exact.
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
+    GQuery(
+      "multimodal_features",
+      (s, dir) => {
+        // Multimodal plumbing end-to-end: synthesize binary media from
+        // documents, decode-stub metadata, batched feature extraction,
+        // resize planning — then project metadata only (binary never
+        // crosses a shuffle). Feature values are stubbed; the oracle
+        // checks the deterministic plumbing (ids, kinds, shapes).
+        val media = Multimodal.syntheticMedia(
+          Tables.t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+        val decoded = Multimodal.withResizePlan(
+          Multimodal.withDecodedMeta(media), maxSide = 256)
+        Multimodal.extractFeaturesStub(decoded, dim = 16)
+          .select(col("media_id"), col("kind"),
+            size(col("features")).cast("long").as("n_features"),
+            (col("resize_w") <= 256 && col("resize_h") <= 256).as("resized_ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |       CAST(16 AS BIGINT) AS n_features,
+             |       true AS resized_ok
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    GQuery(
+      "streaming_latest_upsert",
+      (s, dir) => {
+        // Differential check of the STREAMING engine: feed events through
+        // a MemoryStream in 3 micro-batches into the
+        // flatMapGroupsWithState latest-wins upsert, then reduce the
+        // update log to final state. Must equal the batch arg_max oracle
+        // — same semantics, incremental execution.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val recs = Tables.t(s, dir, "events")
+          .select(col("user_id").as("id"), col("event_type").as("msg"),
+            col("event_id").as("version"))
+          .as[KeyedRecord].collect()
+        val ms = MemoryStream[KeyedRecord]
+        s.catalog.dropTempView("latest_upsert_sink")
+        val q = StreamingIngest.latestWinsUpdates(ms.toDS())
+          .writeStream.format("memory").queryName("latest_upsert_sink")
+          .outputMode("update").start()
+        try {
+          recs.grouped(recs.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        Ingest.latestWins(s.table("latest_upsert_sink"),
+            keys = Seq("id"), version = Seq("version"))
+          .select(col("id"), col("msg"), col("version"))
+          .orderBy("id")
+      },
+      Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
+             |       max(event_id) AS version
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin))
+  )
+}

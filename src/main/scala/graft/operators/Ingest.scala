@@ -45,8 +45,14 @@ object Ingest {
       jsonCol: String,
       schema: StructType,
       defaults: Map[String, Column]): DataFrame = {
-    val parsed = df.withColumn("__j", from_json(col(jsonCol), schema))
-      .where(col("__j").isNotNull) // malformed JSON → null struct → dropped
+    // from_json in PERMISSIVE mode yields an all-null row (not a null
+    // struct) on malformed input, so null-struct checks can't detect it;
+    // a corrupt-record sentinel column can.
+    val withCorrupt = StructType(schema.fields :+ StructField("_corrupt", StringType))
+    val parsed = df
+      .withColumn("__j", from_json(col(jsonCol), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .where(col("__j").isNotNull && col("__j._corrupt").isNull) // malformed → dropped
     val fields = schema.fields.map { f =>
       defaults.get(f.name)
         .map(d => coalesce(col(s"__j.${f.name}"), d).as(f.name))

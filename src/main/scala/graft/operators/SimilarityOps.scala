@@ -53,8 +53,8 @@ object SimilarityOps {
     * dimension d is ±1 derived from xxhash64("p:d") — reproducible, no
     * stored model. Vectors in the same bucket are ANN candidates.
     */
-  def srpKey(em: Column, planes: Int, dims: Int): Column = {
-    val bits = (0 until planes).map { p =>
+  def srpKey(em: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column = {
+    val bits = (planeOffset until planeOffset + planes).map { p =>
       // sign(sum_d em[d] * s_pd), s_pd in {-1,+1}
       val proj = aggregate(
         zip_with(em, signArray(p, dims), (x, sgn) => x * sgn),
@@ -76,7 +76,9 @@ object SimilarityOps {
   def annTopK(d: DataFrame, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
     val keyed = d.select(col("vec_id"), col("em"), norm(col("em")).as("nm"),
       explode(array((0 until tables).map(t =>
-        concat(lit(t + "#"), srpKey(col("em"), planes, dims))): _*)).as("bk"))
+        // each table gets its OWN plane set (offset t*planes) — otherwise
+        // all tables hash identically and multi-probe buys nothing
+        concat(lit(t + "#"), srpKey(col("em"), planes, dims, t * planes))): _*)).as("bk"))
     val cands = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
@@ -137,7 +139,7 @@ object SimilarityOps {
         // SRP-LSH ANN: bucket join + in-bucket exact rerank. Rows-only
         // driver check; the ScalaTest suite measures recall vs brute
         // force.
-        annTopK(emb(s, dir), k = 5, planes = 6, tables = 4, dims = 64)
+        annTopK(emb(s, dir), k = 5, planes = 4, tables = 8, dims = 64)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.operators.Ingest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming form of the reference job (SURVEY.md §7 step 3,
+  * BASELINE.json north star: "Structured Streaming Kafka source + HDFS
+  * sink").
+  *
+  * The reference re-reads the whole topic per run and overwrites the HDFS
+  * snapshot (`KafkaContext.java:57-59`, `HadoopKafkaConsumer.java:139-148`).
+  * Streaming makes that incremental: the same latest-wins semantics as a
+  * continuously-maintained state, with three tiers:
+  *
+  *  1. `dedupWithinWatermark` — drop duplicate keys inside the watermark
+  *     horizon (bounded state, the cheap tier);
+  *  2. `latestWinsUpdates` — true latest-wins upsert via
+  *     `flatMapGroupsWithState`: emits a key only when a strictly newer
+  *     version arrives (exact reference semantics, made incremental);
+  *  3. `snapshotSink` — `foreachBatch` + overwrite: the honest streaming
+  *     equivalent of the reference's delete-then-write snapshot.
+  *
+  * Kafka-shaped input: any streaming DataFrame with
+  * `(partition INT, offset LONG, value STRING)` columns — exactly what
+  * `spark.readStream.format("kafka")` yields after
+  * `value.cast("string")`; tests drive it with a MemoryStream so no
+  * broker is needed.
+  */
+object StreamingIngest {
+
+  /** One keyed record in flight: payload + version (the Kafka offset in
+    * the reference, `KafkaMessageWithOffset.java:11-13`).
+    */
+  case class KeyedRecord(id: Long, msg: String, version: Long)
+
+  /** Parse the Kafka-shaped frame into KeyedRecords with reference-lenient
+    * semantics (malformed JSON dropped, missing fields defaulted —
+    * `MyKafkaMessage.java:9-12`). Works on batch or streaming frames.
+    */
+  def parseKafkaShaped(df: DataFrame): DataFrame =
+    Ingest.parseLenient(
+      df.select(col("partition"), col("offset"), col("value")),
+      jsonCol = "value",
+      schema = Ingest.msgSchema,
+      defaults = Map("id" -> lit(0L), "msg" -> lit("")))
+      .select(col("id"), col("msg"), col("offset").as("version"))
+
+  /** Tier 1: streaming dedup with bounded state — keeps the first row per
+    * key within the watermark horizon, state expired afterwards. Needs an
+    * event-time column `eventTime` on the frame.
+    */
+  def dedupWithinWatermark(df: DataFrame, eventTimeCol: String, delay: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Tier 2: exact latest-wins upsert stream. Emits `(id, msg, version)`
+    * whenever a strictly newer version arrives for a key; state holds one
+    * record per live key (the 100 TB design point: state is O(live keys),
+    * not O(events), and Spark's HDFS/RocksDB state store shards it by the
+    * grouping key across executors).
+    */
+  def latestWinsUpdates(ds: Dataset[KeyedRecord]): Dataset[KeyedRecord] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.id)
+      .flatMapGroupsWithState[KeyedRecord, KeyedRecord](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, recs: Iterator[KeyedRecord], state: GroupState[KeyedRecord]) =>
+          // max_by(version) within the batch, tie-broken on msg for determinism
+          val incoming = recs.maxByOption(r => (r.version, r.msg))
+          val best = (incoming.toSeq ++ state.getOption.toSeq)
+            .maxByOption(r => (r.version, r.msg))
+          best match {
+            case Some(b) if !state.getOption.exists(_.version >= b.version) =>
+              state.update(b)
+              Iterator.single(b)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** Tier 3: snapshot sink — every micro-batch rewrites the output dir
+    * with the deduped latest state of THAT batch plus what `latestWins`
+    * already folded (callers feed this from `latestWinsUpdates` for a
+    * full-state snapshot, or from a raw stream for per-batch snapshots).
+    * JSON-lines overwrite, like the reference sink.
+    */
+  def snapshotSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ingest.writeSnapshotJson(
+          Ingest.latestWins(batch, keys = Seq("id"), version = Seq("version")),
+          path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Event-time tumbling-window aggregation with watermark + late-data
+    * drop — the streaming generalization of the reference's batch "whole
+    * topic at once" model.
+    */
+  def windowedCounts(events: DataFrame, eventTimeCol: String, delay: String, window0: String): DataFrame =
+    events.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), window0), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+}

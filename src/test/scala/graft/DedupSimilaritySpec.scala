@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Sketch-operator quality gates (SURVEY.md §5.2): LSH recall vs exact
+  * truth, SimHash band soundness, ANN recall vs brute force, HLL error.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.t(spark, sf, "documents")
+  private lazy val emb = Tables.t(spark, sf, "embeddings")
+    .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+
+  test("minhash LSH recall >= 0.9 vs exact Jaccard pairs at 0.3") {
+    val exact = DedupOps.jaccardPairs(docs, 3, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, 3, 32, 8, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at J>=0.3")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; found ${lsh.size} of ${exact.size}")
+    // verified pairs carry exact jaccard → no false positives above threshold
+    assert(lsh.subsetOf(
+      DedupOps.jaccardPairs(docs, 3, 0.3 - 1e-9).select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet))
+  }
+
+  test("simhash: identical docs collide; near-identical docs within small hamming") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different words entirely unrelated content nothing shared here at all zero")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(d, maxHamming = 63)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical docs must have hamming 0")
+    assert(pairs((1L, 3L)) <= 16L, "one-word-change doc should be close")
+    assert(pairs.get((1L, 4L)).forall(_ > pairs((1L, 3L))),
+      "unrelated doc must be farther than near-dup (when bucketed at all)")
+  }
+
+  test("ANN SRP-LSH recall >= 0.5 vs brute-force top-5 (and exact scores)") {
+    val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = SimilarityOps.annTopK(emb, 5, planes = 4, tables = 8, dims = 64)
+      .where(col("qid") < 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val exact = li.select(countDistinct("l_partkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct("l_partkey")).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("ngrams produces size-n windows in order") {
+    val d = Seq("a b c d").toDF("text")
+    val tri = d.select(TextOps.ngrams(TextOps.tokens(col("text")), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(tri == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextOps.ngrams(TextOps.tokens(col("text")), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+}

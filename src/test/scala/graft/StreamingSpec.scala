@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.KeyedRecord
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming suite (SURVEY.md §5.4): MemoryStream → stateful
+  * dedup → memory sink; late/duplicate arrival; windowed aggregation with
+  * watermark; snapshot sink overwrite.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("latestWinsUpdates: cross-batch upsert emits only strictly newer versions") {
+    val ms = MemoryStream[KeyedRecord]
+    val q = StreamingIngest.latestWinsUpdates(ms.toDS())
+      .writeStream.format("memory").queryName("lw_test").outputMode("update").start()
+    try {
+      ms.addData(KeyedRecord(1, "a", 10), KeyedRecord(2, "x", 5))
+      q.processAllAvailable()
+      ms.addData(KeyedRecord(1, "stale", 3))  // older version → no emit
+      q.processAllAvailable()
+      ms.addData(KeyedRecord(1, "b", 20), KeyedRecord(2, "x2", 6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("lw_test").as[KeyedRecord].collect().sortBy(r => (r.id, r.version))
+    assert(rows.toSeq == Seq(
+      KeyedRecord(1, "a", 10), KeyedRecord(1, "b", 20),
+      KeyedRecord(2, "x", 5), KeyedRecord(2, "x2", 6)))
+    // final state per key = latest version
+    val finalState = rows.groupBy(_.id).view.mapValues(_.maxBy(_.version).msg).toMap
+    assert(finalState == Map(1L -> "b", 2L -> "x2"))
+  }
+
+  test("dedupWithinWatermark drops duplicate keys arriving within the horizon") {
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("id", "ts", "payload")
+    val out = StreamingIngest.dedupWithinWatermark(df, "ts", "10 minutes", Seq("id"))
+    val q = out.writeStream.format("memory").queryName("ddw_test").outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      ms.addData((1L, t(0), "first"), (1L, t(5), "dup-within"), (2L, t(1), "other"))
+      q.processAllAvailable()
+      ms.addData((1L, t(8), "dup-second-batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ddw_test").collect().map(r => (r.getLong(0), r.getString(2))).sorted
+    assert(rows.toSeq == Seq((1L, "first"), (2L, "other")))
+  }
+
+  test("windowed aggregation with watermark: append emits closed windows, late data dropped") {
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingIngest.windowedCounts(events, "ts", "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_test").outputMode("append").start()
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    try {
+      ms.addData((t(10, 1), "click", 1.0), (t(10, 4), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window → it closes
+      ms.addData((t(11, 0), "view", 5.0))
+      q.processAllAvailable()
+      // late event for the closed 10:00 window → dropped
+      ms.addData((t(10, 2), "click", 100.0))
+      q.processAllAvailable()
+      ms.addData((t(12, 0), "view", 1.0)) // close the 11:00 window too
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_test")
+      .select(date_format(col("ws"), "HH:mm").as("w"), col("event_type"), col("n"), col("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rows.contains(("10:00", "click", 2L, 3.0))) // late 100.0 NOT included
+    assert(rows.contains(("11:00", "view", 1L, 5.0)))
+  }
+
+  test("snapshotSink: foreachBatch overwrite keeps only latest state per key") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val ms = MemoryStream[KeyedRecord]
+    ms.addData(KeyedRecord(1, "a", 1), KeyedRecord(1, "b", 9), KeyedRecord(2, "z", 4))
+    val q = StreamingIngest.snapshotSink(ms.toDF(), dir, ckpt)
+    q.awaitTermination()
+    val lines = spark.read.text(dir).as[String].collect().sorted
+    assert(lines.toSeq == Seq(
+      """{"id":1,"msg":"b","version":9}""",
+      """{"id":2,"msg":"z","version":4}"""))
+  }
+}
