@@ -64,20 +64,19 @@ object DedupOps {
     * join; emits (doc_a < doc_b, jaccard) with jaccard >= minJ.
     */
   def jaccardPairs(d: DataFrame, n: Int, minJ: Double): DataFrame = {
-    val withSh = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    // Inverted-index rows carry their document's shingle-set size, so the
+    // pair aggregate yields |∩| AND both |set| sizes in one shuffle — no
+    // post-aggregation joins back to a sizes table.
+    val inv = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = withSh.select(col("doc_id"), explode(col("sh")).as("sg"))
-    val inter = inv.as("a").join(inv.as("b"),
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("sg"))
+    inv.as("a").join(inv.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJ)
   }
 

@@ -1,7 +1,10 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.functions.LatestAggregator
+import graft.functions.LatestAggregator.VersionedValue
 import graft.multimodal.Multimodal
+import graft.plans.AsOfJoin
 import graft.streaming.StreamingIngest
 import graft.streaming.StreamingIngest.KeyedRecord
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -133,6 +136,73 @@ object Extras {
       },
       Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
              |       max(event_id) AS version
-             |FROM events GROUP BY user_id ORDER BY id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
+
+    GQuery(
+      "asof_join",
+      (s, dir) => {
+        // As-of join: each event gets the customer's most recent order at
+        // event time (union + carry-forward window — one shuffle, no
+        // pairwise range join; see graft.plans.AsOfJoin).
+        val ev = Tables.t(s, dir, "events").select("event_id", "user_id", "ts")
+        // pre-dedupe right side to one row per (key, time) so ties are
+        // impossible (DuckDB's ASOF tie choice is unspecified)
+        val ord = Ingest.latestWins(
+          Tables.t(s, dir, "orders")
+            .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+          keys = Seq("o_custkey", "o_orderdate"), version = Seq("o_orderkey"))
+        AsOfJoin.asof(ev, ord,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightPayload = Seq("o_orderkey", "o_totalprice"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate,
+             |                  arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+             |                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+             |           FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT event_id, user_id, o_orderkey,
+             |       round(o_totalprice, 2) AS o_totalprice
+             |FROM events ASOF LEFT JOIN o
+             |  ON user_id = o_custkey AND ts::TIMESTAMP >= o_orderdate
+             |ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "udaf_latest_typed",
+      (s, dir) => {
+        // Typed Aggregator[IN, BUF, OUT] surface — the reference dedup as
+        // a reusable user-defined aggregate (partial-agg friendly).
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id").as("version"),
+            col("event_type").as("value"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .mapValues(r => VersionedValue(r._2, r._3))
+          .agg(LatestAggregator.latestByVersion.toColumn.name("msg"))
+          .toDF("user_id", "msg")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, arg_max(event_type, event_id) AS msg
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
+      "udf_surface",
+      (s, dir) => {
+        // Scala UDF registration surface. (Native functions beat UDFs in
+        // the hot path — this exists for API-surface parity; the same
+        // logic is expressed natively in every other query.)
+        val priorityRank = udf((p: String) => p.substring(0, 1).toInt * 10)
+        s.udf.register("priority_rank", priorityRank)
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            priorityRank(col("o_orderpriority")).cast("long").as("prank"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(substring(o_orderpriority, 1, 1) AS BIGINT) * 10 AS prank
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }

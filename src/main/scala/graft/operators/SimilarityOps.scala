@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.functions.CosineSimilarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,12 +38,12 @@ object SimilarityOps {
     * rows at worst — prune with `minScore` to bound it at scale.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"), col("em").as("qe"),
-      norm(col("em")).as("qn")))
-    val c = corpus.select(col("vec_id"), col("em"), norm(col("em")).as("cn"))
+    CosineSimilarity.register(queries.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("em").as("qe")))
+    val c = corpus.select(col("vec_id"), col("em"))
     val scored = c.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qe"), col("em")) / (col("qn") * col("cn"))).as("score"))
+        CosineSimilarity.cosine_sim("qe", "em").as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
@@ -74,7 +75,8 @@ object SimilarityOps {
     * Multi-probe via `tables` independent hash tables raises recall.
     */
   def annTopK(d: DataFrame, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
-    val keyed = d.select(col("vec_id"), col("em"), norm(col("em")).as("nm"),
+    CosineSimilarity.register(d.sparkSession)
+    val keyed = d.select(col("vec_id"), col("em"),
       explode(array((0 until tables).map(t =>
         // each table gets its OWN plane set (offset t*planes) — otherwise
         // all tables hash identically and multi-probe buys nothing
@@ -82,11 +84,10 @@ object SimilarityOps {
     val cands = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
-        col("a.em").as("qe"), col("b.em").as("ce"),
-        col("a.nm").as("qn"), col("b.nm").as("cn"))
+        col("a.em").as("qe"), col("b.em").as("ce"))
       .dropDuplicates("qid", "vec_id")
     val scored = cands.select(col("qid"), col("vec_id"),
-      (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("score"))
+      CosineSimilarity.cosine_sim("qe", "ce").as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
@@ -118,10 +119,11 @@ object SimilarityOps {
       (s, dir) => {
         // All vector pairs with cosine >= 0.4 — exact, oracle-checked.
         // (The ANN/LSH path below is the form that survives 100 TB.)
-        val e = emb(s, dir).select(col("vec_id"), col("em"), norm(col("em")).as("nm"))
+        CosineSimilarity.register(s)
+        val e = emb(s, dir).select(col("vec_id"), col("em"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            (dot(col("a.em"), col("b.em")) / (col("a.nm") * col("b.nm"))).as("score"))
+            CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
           .where(col("score") >= 0.4)
           .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
           .orderBy("vec_a", "vec_b")
@@ -151,10 +153,11 @@ object SimilarityOps {
         // Embedding-cosine near-dup: pairs above 0.45, keep lower id as
         // canonical — exact small-N form with oracle; at scale swap the
         // pair source for annTopK candidates.
-        val e = emb(s, dir).select(col("vec_id"), col("em"), norm(col("em")).as("nm"))
+        CosineSimilarity.register(s)
+        val e = emb(s, dir).select(col("vec_id"), col("em"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("keeper"), col("b.vec_id").as("dup"),
-            (dot(col("a.em"), col("b.em")) / (col("a.nm") * col("b.nm"))).as("score"))
+            CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
           .where(col("score") >= 0.45)
           .select(col("keeper"), col("dup"), round(col("score"), 4).as("score"))
           .orderBy("keeper", "dup")

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.operators.SimilarityOps
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics + custom cosine Expression equivalence. */
+class AsOfCosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof: picks latest right row at-or-before left time, null when none") {
+    val trades = Seq(
+      (1L, "A", 100L), (2L, "A", 105L), (3L, "B", 50L), (4L, "C", 10L)
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 104L, 12.0),
+      ("B", 60L, 5.0)
+    ).toDF("qsym", "qt", "px")
+    val out = AsOfJoin.asof(trades, quotes, "sym", "qsym", "t", "qt", Seq("px"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(11.0)) // equal time counts (>=)
+    assert(out(2L).contains(12.0)) // latest before 105
+    assert(out(3L).isEmpty)        // B's only quote is after t=50
+    assert(out(4L).isEmpty)        // C has no quotes at all
+  }
+
+  test("cosine_sim expression is bit-identical to the HOF composition") {
+    CosineSimilarity.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+      .limit(50)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        CosineSimilarity.cosine_sim("a.em", "b.em").as("fused"),
+        (SimilarityOps.dot(col("a.em"), col("b.em")) /
+          (SimilarityOps.norm(col("a.em")) * SimilarityOps.norm(col("b.em")))).as("hof"))
+    val diffs = pairs.where(col("fused") =!= col("hof")).count()
+    assert(diffs == 0, s"$diffs pairs differ between fused expression and HOF form")
+  }
+
+  test("cosine_sim handles zero vectors and SQL registration") {
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(0D, 0D), array(1D, 2D)) AS z, " +
+        "cosine_sim(array(1D, 0D), array(1D, 0D)) AS one").head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+  }
+}
