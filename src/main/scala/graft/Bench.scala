@@ -23,9 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.registry.filter(_.bench)
-    // Warm the JVM/codegen/file-listing paths once on the smallest table
-    // so the first timed query doesn't pay one-time session costs.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm the JVM/codegen/file-listing/shuffle paths once so the first
+    // timed query doesn't pay one-time session costs: a scan, a shuffle,
+    // and the events nanos-read path.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
+    Tables.t(spark, sfDir, "events").select("event_id").limit(1).count()
 
     val results = headline.map { q =>
       val t0 = System.nanoTime()
