@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Ingest, Skew}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics suite: salted aggregation equivalence, bucketed
+  * co-located joins (no exchange in plan), extension-registered
+  * functions, broadcast plan shape.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedLatestWins ≡ latestWins on a skewed key distribution") {
+    val rnd = new scala.util.Random(11)
+    // key 0 holds ~70% of rows — the skew shape salting exists for
+    val rows = (1 to 5000).map { i =>
+      val id = if (rnd.nextDouble() < 0.7) 0L else rnd.nextInt(50).toLong
+      (id, s"m$i", i.toLong)
+    }
+    val df = rows.toDF("id", "msg", "version")
+    val plain = Ingest.latestWins(df, Seq("id"), Seq("version"))
+      .orderBy("id").collect().toSeq
+    val salted = Skew.saltedLatestWins(df, Seq("id"), Seq("version"), saltBuckets = 16)
+      .orderBy("id").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val o = Tables.t(s2, sf, "orders")
+    val c = Tables.t(s2, sf, "customer")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == o.count()) // every order has its customer
+    s2.sql("DROP TABLE IF EXISTS orders_b"); s2.sql("DROP TABLE IF EXISTS customer_b")
+  }
+
+  test("GraftExtensions injects cosine_sim (a live context can't re-apply extensions, so inspect the injection list)") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    // the injected-function buffer is private[sql]; read it reflectively
+    val f = exts.getClass.getDeclaredFields
+      .find(_.getName.contains("injectedFunctions")).get
+    f.setAccessible(true)
+    val injected = f.get(exts).asInstanceOf[scala.collection.mutable.Buffer[
+      (org.apache.spark.sql.catalyst.FunctionIdentifier, _, Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)]]
+    assert(injected.exists(_._1.funcName == "cosine_sim"))
+    // and the builder produces a working expression
+    val (_, _, builder) = injected.find(_._1.funcName == "cosine_sim").get
+    val e = builder(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2.0, 4.0))))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("broadcast(dim) produces BroadcastHashJoin, fact side unshuffled") {
+    val p = Tables.t(spark, sf, "part")
+    val li = Tables.t(spark, sf, "lineitem")
+    val plan = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
