@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Second wave of function-surface coverage: regex, conditional
+  * aggregates, argmin/argmax with deterministic total orders, exact
+  * percentiles, interval range frames, grouping indicators.
+  */
+object MoreOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "scalar_regex",
+      (s, dir) => {
+        Tables.t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            regexp_extract(col("c_name"), "#(0*)([1-9][0-9]*)", 2).as("num"),
+            col("c_name").rlike("[0-9]{3}").cast("long").as("has3digits"),
+            translate(col("c_name"), "Cusmr", "cUSMR").as("tr"),
+            repeat(col("c_mktsegment"), 2).as("rep"),
+            ascii(col("c_name")).cast("long").as("asc"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |       regexp_extract(c_name, '#(0*)([1-9][0-9]*)', 2) AS num,
+             |       CAST(regexp_matches(c_name, '[0-9]{3}') AS BIGINT) AS has3digits,
+             |       translate(c_name, 'Cusmr', 'cUSMR') AS tr,
+             |       repeat(c_mktsegment, 2) AS rep,
+             |       CAST(ascii(c_name) AS BIGINT) AS asc
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    GQuery(
+      "agg_conditional",
+      (s, dir) => {
+        // count_if / bool aggregates / filtered sums / argmin-argmax with
+        // a DETERMINISTIC total order (price can tie, so the order value
+        // is price composed with the unique line key — exact BIGINT
+        // arithmetic in both engines).
+        val lineKey = col("l_orderkey") * 10 + col("l_linenumber")
+        val ordVal = (round(col("l_extendedprice") * 100).cast("long") * 10000000L) + lineKey
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count_if(col("l_tax") > 0.05).as("n_hightax"),
+            bool_and(col("l_quantity") > 0).as("all_pos"),
+            bool_or(col("l_discount") > 0.09).as("any_bigdisc"),
+            round(sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0)), 2).as("qty_f"),
+            min_by(lineKey, ordVal).as("cheapest_line"),
+            max_by(lineKey, ordVal).as("priciest_line"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       count(*) FILTER (l_tax > 0.05) AS n_hightax,
+             |       bool_and(l_quantity > 0) AS all_pos,
+             |       bool_or(l_discount > 0.09) AS any_bigdisc,
+             |       round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
+             |       arg_min(l_orderkey * 10 + l_linenumber,
+             |               CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000
+             |                 + l_orderkey * 10 + l_linenumber) AS cheapest_line,
+             |       arg_max(l_orderkey * 10 + l_linenumber,
+             |               CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000
+             |                 + l_orderkey * 10 + l_linenumber) AS priciest_line
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
+      "agg_percentile",
+      (s, dir) => {
+        // Exact interpolated percentiles (Spark percentile ≡ DuckDB
+        // quantile_cont ≡ SQL percentile_cont). The 100 TB alternative is
+        // approx_percentile (t-digest) — engine-specific, so the exact
+        // form carries the oracle.
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(median(col("l_quantity")), 4).as("med_qty"),
+            round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+            round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+             |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
+      "window_range_frame",
+      (s, dir) => {
+        // Interval RANGE frame over event time: 30-day trailing revenue
+        // per customer. RANGE (not ROWS) makes same-date rows frame-
+        // equal, so the result is deterministic under date ties.
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, o_custkey,
+                |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                |             ORDER BY o_orderdate
+                |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS r30
+                |FROM orders ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate
+             |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS r30
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "agg_grouping_id",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+  )
+}
