@@ -130,6 +130,75 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Prefix-filtered exact Jaccard (AllPairs/SSJoin-style): under a
+    * global (frequency, hash) shingle order, any pair with J >= minJ must
+    * share an element within each side's first |x| - ceil(minJ*|x|) + 1
+    * shingles — so only PREFIX shingles enter the inverted index, and the
+    * full (sorted, hashed) sets ride along for exact verification via
+    * array_intersect. At high thresholds the prefix is a small fraction
+    * of the set, collapsing the candidate space the plain inverted-index
+    * join would generate. (At minJ <= ~0.2 prefixes approach the full set
+    * — use [[jaccardPairs]] there.)
+    */
+  def prefixFilteredJaccardPairs(d: DataFrame, n: Int, minJ: Double): DataFrame = {
+    val hashed = d.select(col("doc_id"),
+        array_distinct(transform(shingles(col("text"), n), s => xxhash64(s))).as("sh"))
+      .where(size(col("sh")) > 0)
+    val inv = hashed.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val freq = inv.groupBy("sg").agg(count(lit(1)).as("freq"))
+    // order each doc's shingles rarest-first, keep the prefix
+    val ordered = inv.join(freq, "sg")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("freq"), col("sg")))).as("osh"))
+      .select(col("doc_id"),
+        transform(col("osh"), x => x.getField("sg")).as("sorted_sh"),
+        size(col("osh")).as("n_sh"))
+      .withColumn("prefix",
+        slice(col("sorted_sh"), lit(1),
+          (col("n_sh") - ceil(col("n_sh") * minJ) + 1).cast("int")))
+    val probe = ordered.select(col("doc_id"), col("sorted_sh"), col("n_sh"),
+      explode(col("prefix")).as("sg"))
+    probe.as("a").hint("shuffle_hash").join(probe.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sorted_sh").as("sha"), col("b.sorted_sh").as("shb"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (col("na") + col("nb") - size(array_intersect(col("sha"), col("shb"))))).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
+  /** Connected components over a pair list by iterative min-label
+    * propagation (converges in graph-diameter rounds; lineage cut with
+    * localCheckpoint each round). Near-dup graphs are forests of tiny
+    * cliques, so diameter is small; a 100 TB deployment would swap in
+    * large-star/small-star for the same fixpoint in O(log d) rounds.
+    * Returns (node, cluster = min reachable node id).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b"), col("doc_a")))
+      .distinct().localCheckpoint()
+    var labels = bidir.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = bidir.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .where(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -191,6 +260,65 @@ object DedupOps {
         simhashPairs(docs(s, dir), maxHamming = 16)
           .orderBy("doc_a", "doc_b")
       },
-      None)
+      None),
+
+    GQuery(
+      "dedup_jaccard_prefix",
+      (s, dir) => {
+        // Exact Jaccard >= 0.5 via prefix filtering — same answer as the
+        // plain inverted-index join, far fewer candidates at scale.
+        prefixFilteredJaccardPairs(docs(s, dir), n = 3, minJ = 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     sh AS (SELECT doc_id,
+             |                   list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                  for i in range(1, len(tk) - 1)]) AS sg
+             |            FROM t WHERE len(tk) >= 3),
+             |     inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |     sz AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+             |     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |               FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |               GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 4) AS jaccard
+             |FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             |WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GQuery(
+      "dedup_clusters",
+      (s, dir) => {
+        // Near-dup CLUSTERS: connected components over the J>=0.5 pair
+        // graph; each doc maps to the min doc_id of its component — the
+        // canonical-representative step of corpus dedup.
+        connectedComponents(jaccardPairs(docs(s, dir), n = 3, minJ = 0.5))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+             |  t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |        FROM documents),
+             |  sh AS (SELECT doc_id,
+             |                list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                               for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |  sz AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+             |  pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |            GROUP BY 1, 2),
+             |  edges AS (SELECT doc_a, doc_b
+             |            FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             |            WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.5),
+             |  bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+             |            UNION SELECT doc_b, doc_a FROM edges),
+             |  reach(node, label) AS (
+             |    SELECT a, a FROM bidir
+             |    UNION
+             |    SELECT bd.b, r.label FROM reach r JOIN bidir bd ON bd.a = r.node)
+             |SELECT node, min(label) AS cluster FROM reach GROUP BY node
+             |ORDER BY node""".stripMargin))
   )
 }

@@ -154,6 +154,25 @@ object TextOps {
       bench = true),
 
     GQuery(
+      "text_token_bpe",
+      (s, dir) => {
+        // BPE-ish token counting: regex pre-tokenization (letter runs,
+        // digit runs, single other glyphs) — the standard pre-pass before
+        // byte-pair merges; deterministic and engine-portable.
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+              .cast("long").as("n_subtokens"),
+            size(expr("array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+              .cast("long").as("n_distinct"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+             |       CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_distinct
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "text_fingerprint",
       (s, dir) => {
         // Document fingerprinting: content hash (md5) raw + normalized.

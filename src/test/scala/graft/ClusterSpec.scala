@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Connected components + prefix-filtered Jaccard + partition pruning. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains, cliques, and isolated pairs get min-id labels") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> cluster 1
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique -> cluster 10
+      (20L, 21L)                      // pair -> cluster 20
+    ).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("prefix-filtered Jaccard finds exactly the same pairs as the plain join at J>=0.5") {
+    val docs = Tables.t(spark, sf, "documents")
+    val plain = DedupOps.jaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val prefixed = DedupOps.prefixFilteredJaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(plain.nonEmpty)
+    assert(prefixed == plain)
+  }
+
+  test("partitioned parquet write prunes partitions on read (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("part_events").toString
+    Tables.t(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val filtered = spark.read.parquet(dir).where(col("event_type") === "click")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in:\n$scan")
+    val expected = Tables.t(spark, sf, "events")
+      .where(col("event_type") === "click").count()
+    assert(filtered.count() == expected)
+  }
+}

@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("11:00", "view", 1L, 5.0)))
   }
 
+  test("streaming session window: gap-merged sessions per user with watermark") {
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = ms.toDF().toDF("ts", "user_id")
+    val out = df.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), date_format(col("w.start"), "HH:mm").as("start"), col("n"))
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // two bursts 40min apart -> two sessions; second burst merges 10:50+10:55
+      ms.addData((t(10, 0), 1L), (t(10, 10), 1L), (t(10, 50), 1L), (t(10, 55), 1L))
+      q.processAllAvailable()
+      ms.addData((t(13, 0), 1L)) // advance watermark -> both sessions close
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((1L, "10:00", 2L), (1L, "10:50", 2L)))
+  }
+
   test("snapshotSink: foreachBatch overwrite keeps only latest state per key") {
     val dir = java.nio.file.Files.createTempDirectory("stream_snap").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
