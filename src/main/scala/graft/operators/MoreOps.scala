@@ -106,6 +106,86 @@ object MoreOps {
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     GQuery(
+      "window_dist",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_custkey, o_orderkey,
+                |       round(percent_rank() OVER w, 6) AS pr,
+                |       round(cume_dist() OVER w, 6) AS cd,
+                |       first_value(o_orderkey) OVER w AS fv,
+                |       last_value(o_orderkey)
+                |         OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+                |       nth_value(o_orderkey, 2) OVER w AS nv
+                |FROM orders
+                |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+                |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       round(percent_rank() OVER w, 6) AS pr,
+             |       round(cume_dist() OVER w, 6) AS cd,
+             |       first_value(o_orderkey) OVER w AS fv,
+             |       last_value(o_orderkey)
+             |         OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+             |       nth_value(o_orderkey, 2) OVER w AS nv
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    GQuery(
+      "unpivot_metrics",
+      (s, dir) => {
+        // Wide→long reshaping (unpivot/melt) then aggregate per metric.
+        Tables.t(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            variableColumnName = "metric", valueColumnName = "v")
+          .groupBy("l_returnflag", "metric")
+          .agg(round(sum("v"), 2).as("total"))
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""SELECT l_returnflag, metric, round(sum(v), 2) AS total FROM (
+             |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+             |GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""".stripMargin)),
+
+    GQuery(
+      "set_intersect_all",
+      (s, dir) => {
+        // Bag (multiset) semantics: nation keys of two segments with
+        // duplicate multiplicity preserved.
+        val a = Tables.t(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("k"))
+        val b = Tables.t(s, dir, "customer")
+          .where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey").as("k"))
+        a.intersectAll(b).orderBy("k")
+      },
+      Some("""SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT ALL
+             |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "set_except_all",
+      (s, dir) => {
+        val a = Tables.t(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("k"))
+        val b = Tables.t(s, dir, "customer")
+          .where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey").as("k"))
+        a.exceptAll(b).orderBy("k")
+      },
+      Some("""SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             |EXCEPT ALL
+             |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
       "agg_grouping_id",
       (s, dir) => {
         Tables.t(s, dir, "lineitem")
