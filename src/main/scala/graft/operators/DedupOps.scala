@@ -257,7 +257,7 @@ object DedupOps {
     GQuery(
       "dedup_simhash",
       (s, dir) => {
-        simhashPairs(docs(s, dir), maxHamming = 16)
+        simhashPairs(docs(s, dir), maxHamming = 8)
           .orderBy("doc_a", "doc_b")
       },
       None),

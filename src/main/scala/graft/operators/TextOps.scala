@@ -79,7 +79,7 @@ object TextOps {
         // composite score. All arithmetic — fully codegen'd, no shuffle.
         val toks = tokens(col("text"))
         docs(s, dir)
-          .select(col("doc_id"), toks.as("t"), length(col("text")).as("len"))
+          .select(col("doc_id"), toks.as("t"))
           .select(
             col("doc_id"),
             size(col("t")).cast("long").as("n_tokens"),
