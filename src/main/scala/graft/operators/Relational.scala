@@ -602,6 +602,97 @@ object Relational {
              |       round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0), 2) AS "R"
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    GQuery(
+      "q6_forecast_revenue",
+      (s, dir) => {
+        // TPC-H Q6 shape: ultra-selective scan-aggregate; every predicate
+        // reaches the parquet reader (PushedFilters), so at 100 TB this
+        // reads a fraction of row groups via min/max stats.
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= tsNtz("1997-01-01 00:00:00") &&
+            col("l_shipdate") < tsNtz("1998-01-01 00:00:00") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    GQuery(
+      "q12_priority_buckets",
+      (s, dir) => {
+        // TPC-H Q12 shape: join + CASE-bucketed conditional aggregation.
+        val o = t(s, dir, "orders")
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= tsNtz("1997-01-01 00:00:00") &&
+            col("l_shipdate") < tsNtz("1998-01-01 00:00:00"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    GQuery(
+      "q14_promo_share",
+      (s, dir) => {
+        // TPC-H Q14 shape: ratio of a conditional aggregate to the total.
+        val p = t(s, dir, "part")
+        t(s, dir, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("raw"))
+          .select(round(col("raw"), 4).as("promo_share"))
+      },
+      Some("""SELECT round(100.0 *
+             |         sum(CASE WHEN p_type = 'PROMO'
+             |                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+             |         sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    GQuery(
+      "join_range_nonequi",
+      (s, dir) => {
+        // Non-equi (theta) join: bucket order values into price tiers via
+        // BETWEEN. The tier table is tiny → broadcast nested loop, the
+        // only sane physical plan for a band join.
+        import s.implicits._
+        val tiers = Seq(
+          ("bronze", 0.0, 100000.0),
+          ("silver", 100000.0, 300000.0),
+          ("gold", 300000.0, 1000000.0)
+        ).toDF("tier", "lo", "hi")
+        t(s, dir, "orders")
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("tier")
+      },
+      Some("""WITH tiers(tier, lo, hi) AS (VALUES
+             |  ('bronze', 0.0, 100000.0),
+             |  ('silver', 100000.0, 300000.0),
+             |  ('gold', 300000.0, 1000000.0))
+             |SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY tier ORDER BY tier""".stripMargin)),
+
     // ------------------------------------------------------- time windows
     GQuery(
       "time_tumbling",
