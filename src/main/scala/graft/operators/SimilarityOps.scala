@@ -92,6 +92,68 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into cells; queries probe their `nprobe` nearest cells and
+    * rerank exactly inside them. The second standard ANN scale path next
+    * to SRP-LSH: at 100 TB the cell id becomes the partition key, so a
+    * probe touches `nprobe/k` of the data.
+    *
+    * Training is Lloyd's algorithm expressed in DataFrames — assignment
+    * is a broadcast-centroid cross join + min-distance argmin (one
+    * narrow pass per iteration), update is a groupBy mean. Seeds are
+    * deterministic (first k vectors by id), so results are replayable.
+    */
+  def ivfTopK(d: DataFrame, k: Int, cells: Int, nprobe: Int, iters: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val corpus = d.select(col("vec_id"), col("em")).localCheckpoint()
+
+    // ---- train coarse quantizer (deterministic seeds: lowest vec_ids)
+    var centroids = corpus.orderBy("vec_id").limit(cells)
+      .select(monotonically_increasing_id().as("cell"), col("em").as("ce"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = corpus.join(broadcast(centroids))
+        .select(col("vec_id"), col("em"), col("cell"),
+          CosineSimilarity.cosine_sim("em", "ce").as("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("s"), asc("cell"))))
+        .where(col("rn") === 1)
+      // update = element-wise mean of members (aggregate over zipped arrays)
+      centroids = assigned.groupBy("cell")
+        .agg(collect_list(col("em")).as("ems"))
+        .select(col("cell"), expr(
+          """transform(sequence(0, size(ems[0]) - 1),
+            |  i -> aggregate(ems, 0D, (acc, e) -> acc + e[i]) / size(ems))""".stripMargin)
+          .as("ce"))
+        .localCheckpoint()
+    }
+
+    // ---- index: assign every vector to its cell
+    val indexed = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("em"), col("cell"),
+        CosineSimilarity.cosine_sim("em", "ce").as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("s"), asc("cell"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("em"), col("cell"))
+
+    // ---- search: each vector probes its nprobe closest cells
+    val probes = corpus.join(broadcast(centroids))
+      .select(col("vec_id").as("qid"), col("em").as("qe"), col("cell"),
+        CosineSimilarity.cosine_sim("em", "ce").as("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("s"), asc("cell"))))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+
+    val scored = probes.join(indexed, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        CosineSimilarity.cosine_sim("qe", "em").as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -142,6 +204,18 @@ object SimilarityOps {
         // driver check; the ScalaTest suite measures recall vs brute
         // force.
         annTopK(emb(s, dir), k = 5, planes = 4, tables = 8, dims = 64)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    GQuery(
+      "sim_ann_ivf",
+      (s, dir) => {
+        // IVF ANN: 16-cell coarse quantizer, 4-probe search, exact rerank
+        // inside probed cells. Rows-only driver check; recall vs brute
+        // force gated in ScalaTest.
+        ivfTopK(emb(s, dir), k = 5, cells = 16, nprobe = 4, iters = 3)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },

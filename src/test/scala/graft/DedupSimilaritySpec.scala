@@ -53,6 +53,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
 
+  test("IVF ANN recall >= 0.5 vs brute-force top-5, deterministic across runs") {
+    val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = SimilarityOps.ivfTopK(emb, k = 5, cells = 16, nprobe = 4, iters = 2)
+      .where(col("qid") < 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = run()
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(run() == ivf, "IVF must be deterministic (fixed seeds, fixed tie-breaks)")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.t(spark, sf, "lineitem")
     val exact = li.select(countDistinct("l_partkey")).as[Long].head()
