@@ -97,6 +97,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "10:00", 2L), (1L, "10:50", 2L)))
   }
 
+  test("stream-static join: streaming events enriched from a static dimension") {
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val ms = MemoryStream[(Long, Double)]
+    val out = ms.toDF().toDF("user_id", "value").join(dim, Seq("user_id"), "left")
+    val q = out.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_join_test").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).sorted
+    assert(rows.toSeq == Seq((1L, Some("alice")), (3L, None)))
+  }
+
+  test("stream-stream join: watermarked event-time range join across two streams") {
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val c = clicks.toDF().toDF("cts", "user_id").withWatermark("cts", "10 minutes")
+    val b = buys.toDF().toDF("bts", "buser", "amount").withWatermark("bts", "10 minutes")
+    // purchase attributed to a click within the preceding 15 minutes
+    val joined = c.join(b,
+      col("user_id") === col("buser") &&
+        col("bts") >= col("cts") && col("bts") <= col("cts") + expr("INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((t(0), 1L), (t(30), 2L))
+      buys.addData((t(10), 1L, 99.0))   // within 15m of user 1's click → match
+      buys.addData((t(50), 2L, 42.0))   // 20m after user 2's click → no match
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_test")
+      .select("user_id", "amount").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 99.0)))
+  }
+
   test("snapshotSink: foreachBatch overwrite keeps only latest state per key") {
     val dir = java.nio.file.Files.createTempDirectory("stream_snap").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
