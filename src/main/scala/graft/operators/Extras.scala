@@ -167,7 +167,8 @@ object Extras {
              |       round(o_totalprice, 2) AS o_totalprice
              |FROM events ASOF LEFT JOIN o
              |  ON user_id = o_custkey AND ts::TIMESTAMP >= o_orderdate
-             |ORDER BY event_id""".stripMargin)),
+             |ORDER BY event_id""".stripMargin),
+      bench = true),
 
     GQuery(
       "udaf_latest_typed",

@@ -618,7 +618,8 @@ object Relational {
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate <  TIMESTAMP '1998-01-01'
-             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      bench = true),
 
     GQuery(
       "q12_priority_buckets",
