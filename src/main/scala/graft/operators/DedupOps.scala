@@ -244,15 +244,39 @@ object DedupOps {
       "dedup_minhash_lsh",
       (s, dir) => {
         // MinHash(32 hashes) + LSH(8 bands × 4) candidates, exact-Jaccard
-        // verified at >= 0.1. Candidate generation is the scale path; the
-        // driver records a rows-only check (sketch buckets aren't
-        // SQL-oracle-expressible economically), while the ScalaTest suite
-        // asserts recall against the exact-Jaccard pairs.
+        // verified at >= 0.1. FULLY oracle-checked: the md5-derived
+        // portableHash makes the signatures, band keys, and therefore the
+        // candidate set bit-identical in DuckDB (list comprehensions +
+        // ('0x'||hex)::BIGINT reproduce conv(md5)). ScalaTest additionally
+        // gates recall against exact-Jaccard truth.
         minhashLshPairs(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.1)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                       for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  sig AS (SELECT doc_id, sg,
+             |                 [list_min([(('0x' || substring(md5(j || ':' || s), 1, 8))::BIGINT)
+             |                            for s in sg])
+             |                  for j in range(0, 32)] AS mh
+             |          FROM sh),
+             |  banded AS (SELECT doc_id, sg,
+             |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
+             |                            for b in range(0, 8)]) AS bk
+             |             FROM sig),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.sg AS sa, b.sg AS sb
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |       round(len(list_intersect(sa, sb)) * 1.0 /
+             |             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
+             |FROM cand
+             |WHERE len(list_intersect(sa, sb)) * 1.0 /
+             |      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.1
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(
       "dedup_simhash",
