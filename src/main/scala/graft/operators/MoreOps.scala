@@ -186,6 +186,71 @@ object MoreOps {
              |ORDER BY k""".stripMargin)),
 
     GQuery(
+      "map_funcs",
+      (s, dir) => {
+        // Map construction + lookup: per order, a linenumber→quantity map
+        // built from collected entries, then probed. (The map never
+        // leaves the executor — output is scalar lookups, which is also
+        // what keeps this oracle-comparable.)
+        Tables.t(s, dir, "lineitem")
+          // linenumbers can repeat per order in this data → dedupe to
+          // (order, linenumber) → max(qty) before building the map
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(max("l_quantity").as("q"))
+          .groupBy("l_orderkey")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("l_linenumber"), col("q")))))
+            .as("m"))
+          .select(col("l_orderkey"),
+            size(col("m")).cast("long").as("n_lines"),
+            round(element_at(col("m"), 1), 2).as("qty_line1"),
+            round(element_at(col("m"), 7), 2).as("qty_line7"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(DISTINCT l_linenumber) AS n_lines,
+             |       round(max(CASE WHEN l_linenumber = 1 THEN l_quantity END), 2) AS qty_line1,
+             |       round(max(CASE WHEN l_linenumber = 7 THEN l_quantity END), 2) AS qty_line7
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    GQuery(
+      "text_posexplode",
+      (s, dir) => {
+        // posexplode: token stream with positions (the lateral-view
+        // surface; bounded to the first 50 docs to keep output small).
+        Tables.t(s, dir, "documents")
+          .where(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents WHERE doc_id < 50)
+             |SELECT * FROM (
+             |  SELECT doc_id,
+             |         unnest([{'pos': CAST(i - 1 AS BIGINT), 'tok': tk[i]}
+             |                 for i in range(1, len(tk) + 1)], recursive := true)
+             |  FROM t)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    GQuery(
+      "scalar_nullsafe",
+      (s, dir) => {
+        // Null-safe equality (<=> / IS NOT DISTINCT FROM) and null
+        // propagation through nullif.
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (nullif(col("o_orderstatus"), lit("O")) <=> lit(null)).as("was_o"),
+            (nullif(col("o_orderstatus"), lit("O")) <=> nullif(col("o_orderstatus"), lit("F")))
+              .as("neither"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |       nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS was_o,
+             |       nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM nullif(o_orderstatus, 'F')
+             |         AS neither
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
       "agg_grouping_id",
       (s, dir) => {
         Tables.t(s, dir, "lineitem")
