@@ -30,16 +30,21 @@ object Bench {
       .groupBy("r_name").count().count()
     Tables.t(spark, sfDir, "events").select("event_id").limit(1).count()
 
-    val results = headline.map { q =>
+    def timeOnce(q: GQuery): Double = {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // cold pass (includes per-query plan+codegen compile — the contract
+    // number) and a warm pass (execution-dominated, reported alongside)
+    val cold = headline.map(q => q.name -> timeOnce(q))
+    val warm = headline.map(q => q.name -> timeOnce(q))
+    def fmt(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val totalWarm = warm.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

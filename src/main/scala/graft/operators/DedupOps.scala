@@ -70,6 +70,10 @@ object DedupOps {
     // 64-bit hash of the shingle, not the string: 8-byte shuffle/sort
     // keys instead of ~30-byte strings (collision odds at 10^9 distinct
     // shingles are ~1e-1·2^-34 per pair count — immaterial to a count).
+    // NOTE: the self-join recomputes the shingle pipeline for both sides;
+    // materializing it first (localCheckpoint) was measured SLOWER here —
+    // the tokenize+shingle compute is cheaper than writing/reading the
+    // materialized index. Recompute wins.
     val inv = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
