@@ -173,6 +173,45 @@ object TextOps {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "text_winnow_fingerprint",
+      (s, dir) => {
+        // Winnowing (rolling-hash family) document fingerprinting:
+        // hash every 8-char gram, keep the minimum of each 4-gram
+        // sliding window, dedupe — the classic local fingerprint set
+        // that survives insertions/reorderings, unlike a whole-doc md5.
+        // Gram hashes use the md5-derived portable hash so the oracle
+        // reproduces them bit-for-bit; a production deployment would
+        // swap in a true O(n) Rabin-Karp rolling recurrence as a custom
+        // Expression (same selected positions, cheaper per char).
+        docs(s, dir)
+          .where(length(col("text")) >= 11)
+          .select(col("doc_id"), expr(
+            """transform(sequence(1, length(text) - 7),
+              |  i -> cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 8),
+              |                 16, 10) as bigint))""".stripMargin).as("hs"))
+          .select(col("doc_id"), expr(
+            """array_sort(array_distinct(
+              |  transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))))""".stripMargin)
+            .as("fp"))
+          .select(col("doc_id"),
+            size(col("fp")).cast("long").as("n_fp"),
+            md5(concat_ws(",", expr("transform(fp, x -> cast(x as string))")).cast("binary"))
+              .as("fp_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |                  [('0x' || substring(md5(substring(text, i, 8)), 1, 8))::BIGINT
+             |                   for i in range(1, length(text) - 8 + 2)] AS hs
+             |           FROM documents WHERE length(text) >= 11),
+             |  sel AS (SELECT doc_id,
+             |                 list_sort(list_distinct([list_min(hs[j : j+3])
+             |                                          for j in range(1, len(hs) - 4 + 2)])) AS fp
+             |          FROM h)
+             |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+             |       md5(array_to_string(fp, ',')) AS fp_digest
+             |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "text_fingerprint",
       (s, dir) => {
         // Document fingerprinting: content hash (md5) raw + normalized.
