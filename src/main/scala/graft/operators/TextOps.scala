@@ -212,6 +212,32 @@ object TextOps {
              |FROM sel ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "text_winnow_fast",
+      (s, dir) => {
+        // Production winnowing path: same window-min selection as
+        // text_winnow_fingerprint but gram hashes come from the O(n)
+        // RollingHashGrams expression (Rabin-Karp recurrence) instead of
+        // per-gram md5 — ~k× less hashing work per document. Hash values
+        // are engine-specific → rows-only driver check; the expression
+        // itself is equivalence-tested against a brute-force reference.
+        graft.functions.RollingHashGrams.register(s)
+        docs(s, dir)
+          .where(length(col("text")) >= 11)
+          .select(col("doc_id"),
+            graft.functions.RollingHashGrams.rolling_hash_grams("text", 8).as("hs"))
+          .select(col("doc_id"), expr(
+            """array_sort(array_distinct(
+              |  transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))))""".stripMargin)
+            .as("fp"))
+          .select(col("doc_id"),
+            size(col("fp")).cast("long").as("n_fp"),
+            md5(concat_ws(",", expr("transform(fp, x -> cast(x as string))")).cast("binary"))
+              .as("fp_digest"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    GQuery(
       "text_fingerprint",
       (s, dir) => {
         // Document fingerprinting: content hash (md5) raw + normalized.

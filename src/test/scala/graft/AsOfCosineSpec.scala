@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, RollingHashGrams}
 import graft.operators.SimilarityOps
 import graft.plans.AsOfJoin
 import org.apache.spark.sql.functions._
@@ -37,6 +37,26 @@ class AsOfCosineSpec extends SparkSpec {
           (SimilarityOps.norm(col("a.em")) * SimilarityOps.norm(col("b.em")))).as("hof"))
     val diffs = pairs.where(col("fused") =!= col("hof")).count()
     assert(diffs == 0, s"$diffs pairs differ between fused expression and HOF form")
+  }
+
+  test("rolling_hash_grams: O(n) incremental == brute-force per-gram polynomial") {
+    RollingHashGrams.register(spark)
+    val B = 1000003L
+    def brute(sr: String, k: Int): Seq[Long] = {
+      val b = sr.getBytes("UTF-8")
+      (0 to b.length - k).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => h * B + (b(i + j) & 0xFF))
+      }
+    }
+    val rnd = new scala.util.Random(3)
+    val cases = Seq("", "a", "abcdefgh", "the quick brown fox") ++
+      Seq.fill(5)(rnd.alphanumeric.take(30 + rnd.nextInt(50)).mkString)
+    for (str <- cases; k <- Seq(1, 4, 8)) {
+      val got = Seq(str).toDF("t")
+        .select(RollingHashGrams.rolling_hash_grams("t", k).as("g"))
+        .as[Seq[Long]].head()
+      assert(got == brute(str, k), s"mismatch for str=$str k=$k")
+    }
   }
 
   test("cosine_sim handles zero vectors and SQL registration") {
