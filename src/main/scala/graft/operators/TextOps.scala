@@ -79,7 +79,7 @@ object TextOps {
         // composite score. All arithmetic — fully codegen'd, no shuffle.
         val toks = tokens(col("text"))
         docs(s, dir)
-          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), col("text"), toks.as("t"))
           .select(
             col("doc_id"),
             size(col("t")).cast("long").as("n_tokens"),
@@ -91,16 +91,31 @@ object TextOps {
               4).as("stopword_ratio"),
             round(
               size(array_distinct(col("t"))).cast("double") / size(col("t")),
-              4).as("distinct_ratio"))
+              4).as("distinct_ratio"),
+            round(
+              length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+                length(col("text")), 4).as("punct_ratio"),
+            // composite: longer, less-stopwordy, more-diverse docs score
+            // higher — the deterministic stand-in for a quality model
+            round(log(lit(1.0) + size(col("t"))) *
+              (lit(1.0) - size(filter(col("t"), x => array_contains(stopArray, x)))
+                .cast("double") / size(col("t"))) *
+              (size(array_distinct(col("t"))).cast("double") / size(col("t"))), 4)
+              .as("quality_score"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
               |           FROM documents)
               |SELECT doc_id,
               |       CAST(len(tk) AS BIGINT) AS n_tokens,
               |       round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 4) AS avg_token_len,
               |       round(len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk), 4) AS stopword_ratio,
-              |       round(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS distinct_ratio
+              |       round(len(list_distinct(tk)) * 1.0 / len(tk), 4) AS distinct_ratio,
+              |       round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+              |       round(ln(1.0 + len(tk)) *
+              |             (1.0 - len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk)) *
+              |             (len(list_distinct(tk)) * 1.0 / len(tk)), 4) AS quality_score
               |FROM t ORDER BY doc_id""".stripMargin)),
 
     GQuery(
@@ -126,6 +141,37 @@ object TextOps {
               |       CASE WHEN len(list_filter(tk, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk) >= 0.1
               |            THEN 'en' ELSE 'other' END AS pred
               |FROM t ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "text_langid_ngram",
+      (s, dir) => {
+        // Char-n-gram language-ID: score each doc's character trigrams
+        // against a fixed English-trigram profile; classify on the hit
+        // ratio. The n-gram-profile family (Cavnar-Trenkle) reduced to a
+        // deterministic, oracle-replayable core.
+        val profile = Seq("the", "ing", "and", "ion", "ent", "er ", "he ",
+          " th", "at ", "es ", " an", "ta ")
+        val inList = profile.map("'" + _ + "'").mkString(",")
+        docs(s, dir)
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("tg"))
+          .select(col("doc_id"), expr(
+            s"size(filter(tg, x -> x IN ($inList)))").cast("double")
+            .divide(size(col("tg"))).as("hit_ratio"))
+          .select(col("doc_id"), round(col("hit_ratio"), 4).as("hit_ratio"),
+            when(col("hit_ratio") >= 0.05, "en").otherwise("other").as("pred"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |                  [substring(text, i, 3) for i in range(1, length(text) - 1)] AS tg
+              |           FROM documents),
+              |  r AS (SELECT doc_id,
+              |               len(list_filter(tg, x -> x IN ('the','ing','and','ion','ent','er ','he ',' th','at ','es ',' an','ta '))) * 1.0
+              |                 / len(tg) AS hit_ratio
+              |        FROM t)
+              |SELECT doc_id, round(hit_ratio, 4) AS hit_ratio,
+              |       CASE WHEN hit_ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred
+              |FROM r ORDER BY doc_id""".stripMargin)),
 
     GQuery(
       "text_bigrams",
