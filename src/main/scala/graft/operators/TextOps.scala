@@ -29,7 +29,9 @@ object TextOps {
     */
   def ngrams(toks: Column, n: Int): Column = {
     require(n >= 2)
-    val win = size(toks) - (n - 1)
+    // guard: fewer than n tokens → empty result (a negative slice length
+    // would throw; empty-token docs must not kill a 100 TB job)
+    val win = greatest(size(toks) - (n - 1), lit(0))
     val slices = (0 until n).map(j => slice(toks, lit(j + 1), win))
     slices.reduceLeft((acc, sl) => zip_with(acc, sl, (a, b) => concat(a, lit(" "), b)))
   }
@@ -153,6 +155,7 @@ object TextOps {
           " th", "at ", "es ", " an", "ta ")
         val inList = profile.map("'" + _ + "'").mkString(",")
         docs(s, dir)
+          .where(length(col("text")) >= 3) // sequence(1, n<1) silently DESCENDS in Spark
           .select(col("doc_id"), expr(
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("tg"))
           .select(col("doc_id"), expr(
@@ -164,7 +167,7 @@ object TextOps {
       },
       Some(s"""WITH t AS (SELECT doc_id,
               |                  [substring(text, i, 3) for i in range(1, length(text) - 1)] AS tg
-              |           FROM documents),
+              |           FROM documents WHERE length(text) >= 3),
               |  r AS (SELECT doc_id,
               |               len(list_filter(tg, x -> x IN ('the','ing','and','ion','ent','er ','he ',' th','at ','es ',' an','ta '))) * 1.0
               |                 / len(tg) AS hit_ratio

@@ -77,9 +77,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val tri = d.select(TextOps.ngrams(TextOps.tokens(col("text")), 3).as("g"))
       .as[Seq[String]].head()
     assert(tri == Seq("a b c", "b c d"))
-    val short = Seq("a b").toDF("text")
-      .select(TextOps.ngrams(TextOps.tokens(col("text")), 3).as("g"))
-      .as[Seq[String]].head()
-    assert(short.isEmpty)
+    for (sr <- Seq("a b", "a", "", "   ")) {
+      val short = Seq(sr).toDF("text")
+        .select(TextOps.ngrams(TextOps.tokens(col("text")), 3).as("g"))
+        .as[Seq[String]].head()
+      assert(short.isEmpty, s"expected empty ngrams for '$sr'")
+    }
   }
 }
