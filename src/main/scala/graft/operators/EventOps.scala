@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over `events` (the Kafka-topic analog):
+  * funnel conversion and cohort retention — the aggregate shapes an
+  * event ingest pipeline exists to serve downstream.
+  *
+  * Both are single-pass + keyed-aggregate plans: no self-join explosion;
+  * conversion windows are computed from per-user min/conditional-min
+  * aggregates, so the shuffle moves one row per user.
+  */
+object EventOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "events_funnel",
+      (s, dir) => {
+        // signup → purchase conversion within 1 hour, computed from
+        // per-user firsts (one aggregate, no event-pair join).
+        val e = Tables.t(s, dir, "events")
+        val perUser = e.groupBy("user_id").agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          count(when(col("event_type") === "signup", 1)).as("n_signups"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+        val conv = perUser.where(col("first_signup").isNotNull)
+          .join(purchases, Seq("user_id"), "left")
+          .where(col("pts").isNull || col("pts") >= col("first_signup"))
+          .groupBy("user_id", "first_signup")
+          .agg(min("pts").as("first_purchase_after"))
+        conv.agg(
+          count(lit(1)).as("n_signup_users"),
+          count(when(
+            col("first_purchase_after") <= col("first_signup") + expr("INTERVAL 1 HOUR"),
+            1)).as("n_converted_1h"))
+          .select(col("n_signup_users"), col("n_converted_1h"),
+            round(col("n_converted_1h").cast("double") / col("n_signup_users"), 4)
+              .as("conv_rate"))
+      },
+      Some("""WITH pu AS (SELECT user_id,
+             |                   min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) AS first_signup
+             |            FROM events GROUP BY user_id),
+             |  conv AS (SELECT pu.user_id, pu.first_signup,
+             |                  min(e.ts::TIMESTAMP) AS first_purchase_after
+             |           FROM pu LEFT JOIN events e
+             |             ON e.user_id = pu.user_id AND e.event_type = 'purchase'
+             |            AND e.ts::TIMESTAMP >= pu.first_signup
+             |           WHERE pu.first_signup IS NOT NULL
+             |           GROUP BY pu.user_id, pu.first_signup)
+             |SELECT count(*) AS n_signup_users,
+             |       count(CASE WHEN first_purchase_after <= first_signup + INTERVAL 1 HOUR
+             |                  THEN 1 END) AS n_converted_1h,
+             |       round(count(CASE WHEN first_purchase_after <= first_signup + INTERVAL 1 HOUR
+             |                        THEN 1 END) * 1.0 / count(*), 4) AS conv_rate
+             |FROM conv""".stripMargin)),
+
+    GQuery(
+      "events_retention",
+      (s, dir) => {
+        // Day-0 cohorts (user's first-ever event day) × day-1 retention.
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val firstDay = e.groupBy("user_id").agg(min("d").as("cohort"))
+        val active = e.distinct()
+        firstDay.join(active, "user_id")
+          .groupBy("cohort")
+          .agg(
+            countDistinct("user_id").as("cohort_size"),
+            countDistinct(when(col("d") === date_add(col("cohort"), 1), col("user_id")))
+              .as("retained_d1"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("cohort_size"), col("retained_d1"),
+            round(col("retained_d1").cast("double") / col("cohort_size"), 4).as("d1_rate"))
+          .orderBy("cohort")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS d FROM events),
+             |  fd AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+             |       count(DISTINCT fd.user_id) AS cohort_size,
+             |       count(DISTINCT CASE WHEN e.d = cohort + 1 THEN fd.user_id END) AS retained_d1,
+             |       round(count(DISTINCT CASE WHEN e.d = cohort + 1 THEN fd.user_id END) * 1.0
+             |             / count(DISTINCT fd.user_id), 4) AS d1_rate
+             |FROM fd JOIN e ON fd.user_id = e.user_id
+             |GROUP BY cohort ORDER BY cohort""".stripMargin))
+  )
+}
