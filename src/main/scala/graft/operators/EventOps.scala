@@ -84,6 +84,30 @@ object EventOps {
              |       round(count(DISTINCT CASE WHEN e.d = cohort + 1 THEN fd.user_id END) * 1.0
              |             / count(DISTINCT fd.user_id), 4) AS d1_rate
              |FROM fd JOIN e ON fd.user_id = e.user_id
-             |GROUP BY cohort ORDER BY cohort""".stripMargin))
+             |GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    GQuery(
+      "events_transitions",
+      (s, dir) => {
+        // Event-type transition counts (Markov-matrix shape): per-user
+        // time-ordered lag, then one aggregate — the sequence-analysis
+        // primitive for session/path mining.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.t(s, dir, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH seq AS (SELECT event_type,
+             |                    lag(event_type) OVER (PARTITION BY user_id
+             |                                          ORDER BY ts::TIMESTAMP, event_id) AS prev_type
+             |             FROM events)
+             |SELECT prev_type, event_type, count(*) AS n
+             |FROM seq WHERE prev_type IS NOT NULL
+             |GROUP BY prev_type, event_type
+             |ORDER BY prev_type, event_type""".stripMargin))
   )
 }
