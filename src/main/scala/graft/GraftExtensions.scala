@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, RollingHashGrams}
+import graft.functions.{CosineSimilarity, RollingHashGrams, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash_grams"),
       new ExpressionInfo(classOf[RollingHashGrams].getName, "rolling_hash_grams"),
       (exprs: Seq[Expression]) => RollingHashGrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

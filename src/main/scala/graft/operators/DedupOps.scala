@@ -70,14 +70,18 @@ object DedupOps {
     // 64-bit hash of the shingle, not the string: 8-byte shuffle/sort
     // keys instead of ~30-byte strings (collision odds at 10^9 distinct
     // shingles are ~1e-1·2^-34 per pair count — immaterial to a count).
+    // Shingle hashes come from the one-pass WordGramHashes kernel (no
+    // gram strings are ever built); empty-gram docs need no filter —
+    // explode drops them, so the kernel runs exactly once per side.
     // NOTE: the self-join recomputes the shingle pipeline for both sides;
     // materializing it first (localCheckpoint) was measured SLOWER here —
     // the tokenize+shingle compute is cheaper than writing/reading the
     // materialized index. Recompute wins.
-    val inv = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .where(size(col("sh")) > 0)
+    graft.functions.WordGramHashes.register(d.sparkSession)
+    val inv = d.select(col("doc_id"),
+        graft.functions.WordGramHashes.word_gram_hashes("text", n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("sg"))
+        explode(col("sh")).as("sg"))
     // shuffle-hash beats sort-merge here: the probe stream (the pair
     // explosion) is much larger than the build side's distinct keys, so
     // skipping the sort of both 260k-row sides wins ~2× on the join.

@@ -27,6 +27,29 @@ class DedupSimilaritySpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet))
   }
 
+  test("word_gram_hashes kernel is distinctness-equivalent to the string shingle pipeline") {
+    graft.functions.WordGramHashes.register(spark)
+    val edge = Seq(
+      (1L, "a b c d a b c d"),           // repeated grams collapse
+      (2L, "  a   b  "),                 // multi-space runs, < n tokens
+      (3L, ""),                          // empty text
+      (4L, "x y z"),                     // exactly n tokens → 1 gram
+      (5L, null.asInstanceOf[String])    // null text
+    ).toDF("doc_id", "text")
+    for (df <- Seq(docs, edge)) {
+      val kernel = df.select(col("doc_id"),
+        size(graft.functions.WordGramHashes.word_gram_hashes("text", 3)).as("n"))
+      val strings = df.select(col("doc_id"),
+        size(DedupOps.shingles(col("text"), 3)).as("n"))
+      assert(kernel.except(strings).isEmpty && strings.except(kernel).isEmpty,
+        "distinct gram counts must match the string pipeline per doc")
+    }
+    // hashes are distinct per row (the sort-dedup worked)
+    val dup = docs.select(graft.functions.WordGramHashes.word_gram_hashes("text", 3).as("h"))
+      .where(size(col("h")) =!= size(array_distinct(col("h")))).count()
+    assert(dup == 0L)
+  }
+
   test("simhash: identical docs collide; near-identical docs within small hamming") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
