@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline
+  * (SURVEY.md §2B extensions): repetition metrics and composite quality
+  * rules (the Gopher-rule family), cross-document n-gram span dedup (the
+  * exact-substring-dedup primitive), TF-IDF term scoring, corpus heavy
+  * hitters, PII redaction, and length-percentile banding.
+  *
+  * Scale design notes are per-query; the common theme is: explode →
+  * two-level hash aggregate (partial map-side combine bounds every
+  * exchange by |distinct keys| per task, not |rows|), and scalar corpus
+  * statistics ride along as broadcast singletons instead of driver-side
+  * collects.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  private val stopList = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "text_repetition",
+      (s, dir) => {
+        // Gopher-style repetition metrics: duplicate-bigram fraction and
+        // top-bigram share per document. Two-level aggregate: per
+        // (doc, bigram) counts, then per-doc rollup — both hash
+        // aggregates with map-side partials, so the shuffle carries at
+        // most |distinct bigrams per doc| rows per document.
+        val b = docs(s, dir).select(col("doc_id"),
+          explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("bg"))
+        b.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            max("cnt").as("max_cnt"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 4).as("dup_frac"),
+            round(col("max_cnt") / col("n_bigrams"), 4).as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     b AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bg
+             |           FROM t WHERE len(tk) >= 2),
+             |     c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+             |SELECT doc_id,
+             |       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             |       count(*) AS n_distinct,
+             |       round(1.0 - count(*) * 1.0 / sum(cnt), 4) AS dup_frac,
+             |       round(max(cnt) * 1.0 / sum(cnt), 4) AS top_frac
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "text_gopher_rules",
+      (s, dir) => {
+        // Composite document-quality gate (Gopher-rule family): token
+        // count bounds, mean word length bounds, minimum stopword hits,
+        // symbol-ratio ceiling → keep/drop. Pure per-row arithmetic —
+        // fully codegen'd, no shuffle, embarrassingly parallel at 100 TB.
+        val toks = TextOps.tokens(col("text"))
+        val stopArr = array(TextOps.stopwords.map(lit): _*)
+        docs(s, dir)
+          .select(col("doc_id"), col("text"), toks.as("t"))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tokens"),
+            (size(col("t")).between(20, 400)).cast("int").as("wc_ok"),
+            (aggregate(col("t"), lit(0.0), (acc, x) => acc + length(x)) / size(col("t")))
+              .between(3.0, 10.0).cast("int").as("mwl_ok"),
+            (size(filter(col("t"), x => array_contains(stopArr, x))) >= 2)
+              .cast("int").as("stop_ok"),
+            (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+              length(col("text")) <= 0.1).cast("int").as("sym_ok"))
+          .withColumn("keep",
+            (col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("sym_ok")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+              |           FROM documents)
+              |SELECT doc_id,
+              |       CAST(len(tk) AS BIGINT) AS n_tokens,
+              |       CAST(len(tk) BETWEEN 20 AND 400 AS INT) AS wc_ok,
+              |       CAST(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+              |            BETWEEN 3.0 AND 10.0 AS INT) AS mwl_ok,
+              |       CAST(len(list_filter(tk, x -> x IN ($stopList))) >= 2 AS INT) AS stop_ok,
+              |       CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+              |            / length(text) <= 0.1 AS INT) AS sym_ok,
+              |       CAST(len(tk) BETWEEN 20 AND 400 AS INT)
+              |         * CAST(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk)
+              |                BETWEEN 3.0 AND 10.0 AS INT)
+              |         * CAST(len(list_filter(tk, x -> x IN ($stopList))) >= 2 AS INT)
+              |         * CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+              |                / length(text) <= 0.1 AS INT) AS keep
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "dedup_common_ngrams",
+      (s, dir) => {
+        // Exact-substring-dedup primitive (the Lee-et-al. training-data
+        // dedup family): word 8-gram spans occurring in >= 2 distinct
+        // documents, with corpus occurrence counts. Inverted gram index →
+        // one hash aggregate; count(distinct doc_id) expands to a
+        // two-level aggregate under the hood. At 100 TB the gram STRING
+        // would be replaced by its 64-bit hash as the group key (see
+        // WordGramHashes) — strings are kept here so the result is
+        // human-auditable and oracle-checkable.
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.ngrams(TextOps.tokens(col("text")), 8)).as("gram"))
+          .groupBy("gram")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+          .where(col("n_docs") >= 2)
+          .orderBy("gram")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     g AS (SELECT doc_id, unnest([array_to_string(tk[i:i+7], ' ')
+             |                                  for i in range(1, len(tk) - 6)]) AS gram
+             |           FROM t WHERE len(tk) >= 8)
+             |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+             |FROM g GROUP BY gram HAVING n_docs >= 2 ORDER BY gram""".stripMargin)),
+
+    GQuery(
+      "tfidf_top_terms",
+      (s, dir) => {
+        // Per-document top-3 terms by TF-IDF. Corpus statistics (doc
+        // count, per-term doc frequency) are broadcast back onto the
+        // per-(doc, term) counts — the vocabulary is tiny relative to the
+        // corpus, so df is always the broadcast side at scale. Ranking is
+        // on the ROUNDED score (6 dp) so cross-engine libm ulp noise in
+        // ln() can't flip the order; term asc breaks residual ties.
+        val d = docs(s, dir)
+        val w = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val c = w.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        val dfreq = w.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val scored = c.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("cnt"),
+            round(col("cnt") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))).cast("long"))
+          .where(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("cnt"), col("tfidf"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     w AS (SELECT doc_id, unnest(tk) AS term FROM t),
+             |     c AS (SELECT doc_id, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+             |     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+             |     n AS (SELECT count(*) AS n FROM documents),
+             |     s AS (SELECT doc_id, term, cnt,
+             |                  round(cnt * ln(n * 1.0 / df), 6) AS tfidf
+             |           FROM c JOIN df USING (term) CROSS JOIN n),
+             |     r AS (SELECT doc_id, term, cnt, tfidf,
+             |                  row_number() OVER (PARTITION BY doc_id
+             |                                     ORDER BY tfidf DESC, term ASC) AS rn
+             |           FROM s)
+             |SELECT doc_id, rn, term, cnt, tfidf
+             |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    GQuery(
+      "terms_heavy_hitters",
+      (s, dir) => {
+        // Corpus-wide heavy hitters: top-25 tokens by total occurrences,
+        // with document frequency and corpus share. The share window runs
+        // over the AGGREGATED vocabulary (|vocab| rows), not the token
+        // stream — a single-partition window is fine after reduction.
+        val w = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        w.groupBy("term")
+          .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("n_docs"))
+          .withColumn("share",
+            round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6))
+          .orderBy(desc("cnt"), asc("term"))
+          .limit(25)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             |           FROM documents),
+             |     c AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+             |           FROM w GROUP BY term)
+             |SELECT term, cnt, n_docs,
+             |       round(cnt * 1.0 / sum(cnt) OVER (), 6) AS share
+             |FROM c ORDER BY cnt DESC, term ASC LIMIT 25""".stripMargin)),
+
+    GQuery(
+      "text_pii_redact",
+      (s, dir) => {
+        // PII scrubbing: regex detection + redaction of emails and phone
+        // numbers. The raw corpus is PII-free, so a deterministic contact
+        // string derived from (doc_id, source) is appended first — the
+        // redaction pipeline (patterns RE2-compatible for the oracle) is
+        // what is under test. Pure per-row regex — codegen'd, no shuffle.
+        val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "555-[0-9]{4}"
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact: user"), col("doc_id"),
+              lit("@"), col("source"), lit(".org phone 555-01"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")).as("contact"))
+          .select(col("doc_id"),
+            size(expr(s"regexp_extract_all(contact, '$email', 0)")).cast("long").as("n_emails"),
+            size(expr(s"regexp_extract_all(contact, '$phone', 0)")).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("contact"), email, "<EMAIL>"),
+              phone, "<PHONE>").cast("binary")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |                  text || ' contact: user' || doc_id || '@' || source ||
+             |                  '.org phone 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') AS contact
+             |           FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(contact, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             |       CAST(len(regexp_extract_all(contact, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |       md5(regexp_replace(regexp_replace(contact, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |                          '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "docs_length_percentiles",
+      (s, dir) => {
+        // Length-decile banding (the filter-by-length-percentile step of
+        // corpus curation): global ntile over (n_chars, doc_id) → per-band
+        // stats. NOTE: a global ntile needs a total sort; at 100 TB the
+        // same bands come from approx_percentile cutoffs + a broadcast
+        // range join, avoiding the single-partition window. The exact
+        // form is kept here because it is the oracle-checkable one.
+        docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            ntile(10).over(Window.orderBy("n_chars", "doc_id")).cast("long").as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            round(avg("n_chars"), 2).as("avg_chars"))
+          .orderBy("decile")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |                  ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+             |           FROM documents)
+             |SELECT decile, count(*) AS n_docs,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |       round(avg(n_chars), 2) AS avg_chars
+             |FROM d GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    GQuery(
+      "skew_salted_latest",
+      (s, dir) => {
+        // Two-stage SALTED latest-wins (Skew.saltedLatestWins) over the
+        // same input and key as ingest_latest_global, checked against the
+        // SAME oracle — the proof that salting is semantics-preserving.
+        // Stage 1 bounds any reduce task to ~|hottest key|/8 rows; stage 2
+        // merges 8 partials per key. This is the shape that survives a
+        // key holding 10% of 100 TB.
+        Skew.saltedLatestWins(
+          Tables.t(s, dir, "events")
+            .select("user_id", "event_id", "event_type", "value", "props"),
+          keys = Seq("user_id"), version = Seq("event_id"), saltBuckets = 8)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       arg_max(event_id, event_id)   AS event_id,
+             |       arg_max(event_type, event_id) AS event_type,
+             |       arg_max(value, event_id)      AS value,
+             |       arg_max(props, event_id)      AS props
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}
