@@ -254,6 +254,39 @@ object CorpusOps {
              |FROM d GROUP BY decile ORDER BY decile""".stripMargin)),
 
     GQuery(
+      "terms_cms_topk",
+      (s, dir) => {
+        // Count-Min-Sketch heavy hitters: the sketch IS a DataFrame —
+        // d×w counter cells built by one hash aggregate over (row,
+        // bucket) keys, probed by min-over-rows. The sketch stays 4×256
+        // cells regardless of corpus size (vs terms_heavy_hitters whose
+        // exchange is bounded by |vocab|): this is the path when the
+        // vocabulary itself doesn't fit — estimates are one-sided
+        // (est >= true, spec-gated). Engine-specific hash → rows-only
+        // driver check. (Spark's built-in count_min_sketch agg packs the
+        // same structure into an opaque binary; the relational form keeps
+        // it mergeable/probe-able with plain joins.)
+        val d = 4
+        val w = 256
+        def cells(term: org.apache.spark.sql.Column) =
+          explode(array((0 until d).map(i => struct(lit(i).as("r"),
+            pmod(xxhash64(term, lit(i)), lit(w)).as("b"))): _*)).as("rb")
+        val toks = docs(s, dir)
+          .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+        val sketch = toks.select(cells(col("term")))
+          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val probes = toks.distinct()
+          .select(col("term"), cells(col("term")))
+          .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
+        probes.join(sketch, Seq("r", "b"))
+          .groupBy("term").agg(min("c").as("est_cnt"))
+          .orderBy(desc("est_cnt"), asc("term"))
+          .limit(25)
+      },
+      None),
+
+    GQuery(
       "skew_salted_latest",
       (s, dir) => {
         // Two-stage SALTED latest-wins (Skew.saltedLatestWins) over the

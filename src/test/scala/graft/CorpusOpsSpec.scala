@@ -59,6 +59,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(salted.count() == ev.select("user_id").distinct().count())
   }
 
+  test("count-min sketch estimates are one-sided and near-exact at this width") {
+    val est = CorpusOps.all.find(_.name == "terms_cms_topk").get.run(spark, sf)
+      .select(col("term"), col("est_cnt")).as[(String, Long)].collect().toMap
+    val exact = Tables.t(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.ngrams(
+        graft.operators.TextOps.tokens(col("text")), 2)).as("term"))
+      .groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    assert(est.nonEmpty)
+    // CMS guarantee: estimate never undercounts
+    assert(est.forall { case (t, e) => e >= exact(t) })
+    // error bound: with d=4 rows the min-estimate's overcount should sit
+    // well under the single-row expected collision mass N/w (load factor
+    // ~4 keys/bucket here, so overcounts are routine but bounded)
+    val n = exact.values.sum.toDouble
+    val meanOver = est.map { case (t, e) => (e - exact(t)).toDouble }.sum / est.size
+    assert(meanOver <= 2.0 * n / 256.0,
+      s"mean overcount $meanOver exceeds 2N/w = ${2.0 * n / 256.0}")
+  }
+
   test("heavy hitters and tfidf agree on corpus-dominant terms") {
     val hh = CorpusOps.all.find(_.name == "terms_heavy_hitters").get.run(spark, sf)
     val rows = hh.collect()
