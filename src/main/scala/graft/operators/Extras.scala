@@ -139,6 +139,62 @@ object Extras {
              |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
 
     GQuery(
+      "streaming_sessionize",
+      (s, dir) => {
+        // Differential check of CUSTOM STATEFUL sessionization: replay
+        // the events table in event-time order through 4 micro-batches
+        // of the flatMapGroupsWithState sessionizer, force the tail
+        // sessions closed by advancing the watermark with a sentinel
+        // user, and compare against the SAME gaps-and-islands oracle as
+        // the batch time_session query — incremental and batch must
+        // agree exactly.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[StreamingIngest.SessEvent].collect().sortBy(_.ts.getTime)
+        val maxTs = evs.last.ts.getTime
+        val ms = MemoryStream[StreamingIngest.SessEvent]
+        s.catalog.dropTempView("sessionize_sink")
+        val q = StreamingIngest.sessionize(ms.toDS(), gapMs = 30L * 60 * 1000)
+          .writeStream.format("memory").queryName("sessionize_sink")
+          .outputMode("append").start()
+        try {
+          evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          // sentinel batches: first advances the watermark past every
+          // live timeout, second lets the timeouts fire
+          (1 to 2).foreach { i =>
+            ms.addData(StreamingIngest.SessEvent(-1L,
+              new java.sql.Timestamp(maxTs + i * 36000000L), 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("sessionize_sink")
+          .where(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, value FROM events),
+             |     m AS (SELECT user_id, t, value,
+             |                  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             |                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > INTERVAL 30 MINUTE
+             |                       THEN 1 ELSE 0 END AS new_s
+             |           FROM e),
+             |     g AS (SELECT user_id, t, value,
+             |                  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |                                   ROWS UNBOUNDED PRECEDING) AS sid
+             |           FROM m)
+             |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n, round(sum(value), 2) AS sv
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    GQuery(
       "asof_join",
       (s, dir) => {
         // As-of join: each event gets the customer's most recent order at

@@ -97,6 +97,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "10:00", 2L), (1L, "10:50", 2L)))
   }
 
+  test("custom sessionize: gap-close within batch, timeout-close via watermark") {
+    import graft.streaming.StreamingIngest.{SessEvent, sessionize}
+    val ms = MemoryStream[SessEvent]
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = sessionize(ms.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("custom_sess_test")
+      .outputMode("append").start()
+    try {
+      // one batch holding TWO sessions for user 1 (gap 40min inside the
+      // batch, emitted immediately) plus an open tail for user 2
+      ms.addData(
+        SessEvent(1L, t(10, 0), 1.0), SessEvent(1L, t(10, 10), 2.0),
+        SessEvent(1L, t(10, 50), 4.0),
+        SessEvent(2L, t(10, 55), 8.0))
+      q.processAllAvailable()
+      // advance watermark far ahead, then let timeouts fire
+      ms.addData(SessEvent(9L, t(20, 0), 0.0))
+      q.processAllAvailable()
+      ms.addData(SessEvent(9L, t(21, 0), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("custom_sess_test")
+      .where(col("user_id") < 9)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 16),
+        r.getLong(2), r.getDouble(3))).sorted
+    assert(rows.toSeq == Seq(
+      (1L, "10:00", 2L, 3.0),  // closed by in-batch gap
+      (1L, "10:50", 1L, 4.0),  // closed by timeout
+      (2L, "10:55", 1L, 8.0))) // closed by timeout
+  }
+
   test("stream-static join: streaming events enriched from a static dimension") {
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
     val ms = MemoryStream[(Long, Double)]
