@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.Layout
+import org.apache.spark.sql.functions._
+
+/** Physical-layout gates: bucketed tables join with no exchange,
+  * partitioned writes prune directories, clustered writes prune row
+  * groups via min/max stats.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val orders = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.t(spark, sf, "customer").select("c_custkey", "c_name")
+    Layout.writeBucketed(orders, "b_orders", 8, Seq("o_custkey"))
+    Layout.writeBucketed(cust, "b_cust", 8, Seq("c_custkey"))
+    try {
+      val joined = withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val j = spark.table("b_orders")
+          .join(spark.table("b_cust"),
+            col("o_custkey") === col("c_custkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        j.count()
+      }
+      // and the answer is right
+      val expected = Tables.t(spark, sf, "orders")
+        .join(Tables.t(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
+  test("partitioned write prunes directories at file-listing time") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_part").toString
+    val ev = Tables.t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    Layout.writePartitioned(ev, dir, Seq("event_type"))
+    val one = spark.read.parquet(dir).where(col("event_type") === "click")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition filter in scan:\n$scan")
+    assert(one.count() == ev.where(col("event_type") === "click").count())
+  }
+
+  test("clustered write carries sorted row groups (min/max prune-able)") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_clust").toString
+    val ord = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    Layout.writeClustered(ord, dir, Seq("o_orderkey"), files = 4)
+    val stats = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    assert(stats.length == 4)
+    assert(stats.map(_.getAs[Long]("n")).sum == ord.count())
+  }
+
+  private def withConf[T](kvs: (String, String)*)(body: => T): T = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
