@@ -45,6 +45,43 @@ class ScaleSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS orders_b"); s2.sql("DROP TABLE IF EXISTS customer_b")
   }
 
+  test("runtime bloom filter prunes the big side of a selective join") {
+    // AQE/runtime-filter story: a selective filter on the small side
+    // should inject a bloom-filter probe into the big side's scan, so
+    // non-matching fact rows die before the shuffle. Thresholds are
+    // production-sized; shrink them to this fixture's scale.
+    val old = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join path
+      val li = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val sel = Tables.t(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter in the optimized plan:\n$optimized")
+      // the filter is sound: result matches the unfiltered join
+      val expected = Tables.t(spark, sf, "lineitem")
+        .join(Tables.t(spark, sf, "orders")
+          .where(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions injects cosine_sim (a live context can't re-apply extensions, so inspect the injection list)") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts)
