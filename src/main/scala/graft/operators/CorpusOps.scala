@@ -254,6 +254,51 @@ object CorpusOps {
              |FROM d GROUP BY decile ORDER BY decile""".stripMargin)),
 
     GQuery(
+      "docs_keep_pipeline",
+      (s, dir) => {
+        // END-TO-END curation: the composite "what survives into the
+        // training set" query — Gopher quality rules AND stopword
+        // language gate AND exact-dedup keeper (min doc_id per content
+        // fingerprint). One window shuffle on the fingerprint; every
+        // other predicate is scan-side codegen. This is the whole
+        // pipeline a corpus run executes per snapshot, as one plan.
+        val toks = TextOps.tokens(col("text"))
+        val stopArr = array(TextOps.stopwords.map(lit): _*)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(toks).cast("long").as("n_tokens"),
+            size(filter(toks, x => array_contains(stopArr, x))).as("stop_hits"),
+            (aggregate(toks, lit(0.0), (acc, x) => acc + length(x)) / size(toks)).as("mwl"),
+            md5(concat_ws("|", col("lang"), col("text")).cast("binary")).as("fp"))
+          .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+          .where(col("n_tokens").between(20, 400) &&
+            col("mwl").between(3.0, 10.0) &&
+            col("stop_hits") >= 2 &&
+            col("stop_hits").cast("double") / col("n_tokens") >= 0.1 &&
+            col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, text,
+              |                  list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+              |                  md5(lang || '|' || text) AS fp
+              |           FROM documents),
+              |     e AS (SELECT doc_id, lang,
+              |                  CAST(len(tk) AS BIGINT) AS n_tokens,
+              |                  len(list_filter(tk, x -> x IN ($stopList))) AS stop_hits,
+              |                  list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) AS mwl,
+              |                  min(doc_id) OVER (PARTITION BY fp) AS keeper
+              |           FROM t)
+              |SELECT doc_id, lang, n_tokens
+              |FROM e
+              |WHERE n_tokens BETWEEN 20 AND 400
+              |  AND mwl BETWEEN 3.0 AND 10.0
+              |  AND stop_hits >= 2
+              |  AND stop_hits * 1.0 / n_tokens >= 0.1
+              |  AND doc_id = keeper
+              |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "terms_cms_topk",
       (s, dir) => {
         // Count-Min-Sketch heavy hitters: the sketch IS a DataFrame —

@@ -84,4 +84,14 @@ object Sources {
       .option("header", "true")
       .option("mode", "DROPMALFORMED")
       .csv(path)
+
+  /** ORC read with explicit schema — the other columnar format of the
+    * reference's HDFS ecosystem; predicate pushdown and column pruning
+    * work the same as parquet (SourcesSpec asserts the round trip).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

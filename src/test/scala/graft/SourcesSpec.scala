@@ -40,6 +40,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq == rows.sorted)
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    Sources.writeOrc(ev, dir)
+    val back = Sources.readOrc(spark, dir, ev.schema)
+    assert(back.count() == ev.count())
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
+    val filtered = back.where(col("event_type") === "click").select("event_id")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"ORC scan must push the predicate:\n$scan")
+  }
+
   test("CSV strict: explicit schema, malformed rows dropped") {
     val dir = java.nio.file.Files.createTempDirectory("csv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "d.csv"),
