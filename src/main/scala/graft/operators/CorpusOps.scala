@@ -332,6 +332,30 @@ object CorpusOps {
       None),
 
     GQuery(
+      "docs_token_quantiles",
+      (s, dir) => {
+        // Mergeable quantile sketch (Greenwald-Khanna via
+        // percentile_approx) over per-doc token counts — with HLL
+        // (agg_approx_distinct) and CMS (terms_cms_topk) this completes
+        // the sketch family: each executor summarizes its split in
+        // O(accuracy) space and partials merge associatively, so the
+        // exchange is constant-size at any corpus scale (the exact
+        // percentile path — agg_percentile — needs the full value set).
+        // Sketch cut points are engine-specific → rows-only; the spec
+        // gates them against exact percentiles.
+        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        docs(s, dir)
+          .select(size(TextOps.tokens(col("text"))).as("n_tokens"))
+          .agg(percentile_approx(col("n_tokens"),
+            array(ps.map(lit): _*), lit(10000)).as("qs"))
+          .select(posexplode(col("qs")).as(Seq("i", "n_tokens_q")))
+          .select(element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+            col("n_tokens_q").cast("long").as("n_tokens_q"))
+          .orderBy("p")
+      },
+      None),
+
+    GQuery(
       "skew_salted_latest",
       (s, dir) => {
         // Two-stage SALTED latest-wins (Skew.saltedLatestWins) over the

@@ -321,6 +321,50 @@ object DedupOps {
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(
+      "dedup_lsh_clusters",
+      (s, dir) => {
+        // The PRODUCTION dedup path end-to-end in one plan: MinHash
+        // signatures → LSH band buckets → candidate pairs → exact-Jaccard
+        // verify at 0.5 → connected components → canonical representative
+        // per cluster. Oracle replays every stage (portable md5 hashes)
+        // including the fixpoint, so the whole path is hash-checked, not
+        // just its pieces. At 100 TB only the banded candidates (N·bands
+        // rows) ever shuffle — the O(N²) pair space is never touched.
+        connectedComponents(
+          minhashLshPairs(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.5))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+             |  t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |        FROM documents),
+             |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                       for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  sig AS (SELECT doc_id, sg,
+             |                 [list_min([(('0x' || substring(md5(j || ':' || s), 1, 8))::BIGINT)
+             |                            for s in sg])
+             |                  for j in range(0, 32)] AS mh
+             |          FROM sh),
+             |  banded AS (SELECT doc_id, sg,
+             |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
+             |                            for b in range(0, 8)]) AS bk
+             |             FROM sig),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.sg AS sa, b.sg AS sb
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+             |  edges AS (SELECT doc_a, doc_b FROM cand
+             |            WHERE len(list_intersect(sa, sb)) * 1.0 /
+             |                  (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5),
+             |  bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+             |            UNION SELECT doc_b, doc_a FROM edges),
+             |  reach(node, label) AS (
+             |    SELECT a, a FROM bidir
+             |    UNION
+             |    SELECT bd.b, r.label FROM reach r JOIN bidir bd ON bd.a = r.node)
+             |SELECT node, min(label) AS cluster FROM reach GROUP BY node
+             |ORDER BY node""".stripMargin)),
+
+    GQuery(
       "dedup_clusters",
       (s, dir) => {
         // Near-dup CLUSTERS: connected components over the J>=0.5 pair

@@ -79,6 +79,21 @@ class CorpusOpsSpec extends SparkSpec {
       s"mean overcount $meanOver exceeds 2N/w = ${2.0 * n / 256.0}")
   }
 
+  test("approx token quantiles sit within 2 of exact percentiles") {
+    val approx = CorpusOps.all.find(_.name == "docs_token_quantiles").get.run(spark, sf)
+      .select(col("p"), col("n_tokens_q")).as[(Double, Long)].collect().toMap
+    val exact = Tables.t(spark, sf, "documents")
+      .select(size(graft.operators.TextOps.tokens(col("text"))).as("n"))
+      .agg(expr("percentile(n, array(0.25, 0.5, 0.75, 0.95))").as("qs"))
+      .select(explode(col("qs"))).as[Double].collect()
+    val exactByP = Seq(0.25, 0.5, 0.75, 0.95).zip(exact).toMap
+    assert(approx.size == 4)
+    approx.foreach { case (p, q) =>
+      assert(math.abs(q - exactByP(p)) <= 2.0,
+        s"quantile $p: approx $q vs exact ${exactByP(p)}")
+    }
+  }
+
   test("heavy hitters and tfidf agree on corpus-dominant terms") {
     val hh = CorpusOps.all.find(_.name == "terms_heavy_hitters").get.run(spark, sf)
     val rows = hh.collect()
