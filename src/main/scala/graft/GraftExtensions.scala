@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, RollingHashGrams, WordGramHashes}
+import graft.functions.{CosineSimilarity, InterleaveBits, RollingHashGrams, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
       (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "z_interleave"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
   }
 }

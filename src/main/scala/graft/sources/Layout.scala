@@ -46,5 +46,32 @@ object Layout {
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-ORDER clustered write: scale two columns to 16-bit ranks over
+    * their [min, max] (one cheap stats pass — at 100 TB use
+    * approx-quantile cutoffs instead of min/max to resist outliers),
+    * interleave into a Morton key, range-partition + sort files on it.
+    * Files then stay locally dense in BOTH dimensions, so row-group
+    * min/max stats prune on either predicate — what a single-column
+    * sort fundamentally can't give the second column.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.InterleaveBits.register(df.sparkSession)
+    val stats = df.agg(
+      min(colA).cast("double"), max(colA).cast("double"),
+      min(colB).cast("double"), max(colB).cast("double")).head()
+    def rank(c: String, lo: Double, hi: Double) =
+      (((col(c).cast("double") - lo) / math.max(hi - lo, 1e-12)) * 65535)
+        .cast("int")
+    df.withColumn("__za", rank(colA, stats.getDouble(0), stats.getDouble(1)))
+      .withColumn("__zb", rank(colB, stats.getDouble(2), stats.getDouble(3)))
+      .withColumn("__z", graft.functions.InterleaveBits.z_interleave("__za", "__zb"))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__za", "__zb", "__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

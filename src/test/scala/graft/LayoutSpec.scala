@@ -60,6 +60,45 @@ class LayoutSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n")).sum == ord.count())
   }
 
+  test("morton16 interleaves bits exactly") {
+    import graft.functions.InterleaveBits.morton16
+    assert(morton16(0xFFFF, 0) == 0x55555555L)   // a -> even positions
+    assert(morton16(0, 0xFFFF) == 0xAAAAAAAAL)   // b -> odd positions
+    assert(morton16(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    assert(morton16(1, 0) == 1L && morton16(0, 1) == 2L && morton16(1, 1) == 3L)
+    assert(morton16(0x1FFFF, 0) == 0x55555555L)  // masked to 16 bits
+  }
+
+  test("z-order clustering prunes on the SECOND dimension; linear sort cannot") {
+    import spark.implicits._
+    val ord = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val zDir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    val linDir = java.nio.file.Files.createTempDirectory("layout_lin").toString
+    Layout.writeZOrdered(ord, zDir, "o_custkey", "o_totalprice", files = 8)
+    Layout.writeClustered(ord, linDir, Seq("o_custkey"), files = 8)
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(zDir).except(ord).isEmpty &&
+      ord.except(spark.read.parquet(zDir)).isEmpty)
+    // per-file [min, max] of the SECOND dimension
+    def spans(dir: String): Array[(Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .select("lo", "hi").as[(Double, Double)].collect()
+    val (loQ, hiQ) = {
+      val s = ord.stat.approxQuantile("o_totalprice", Array(0.45, 0.55), 0.0)
+      (s(0), s(1))
+    }
+    def overlapping(ss: Array[(Double, Double)]) =
+      ss.count { case (lo, hi) => hi >= loQ && lo <= hiQ }
+    val zHit = overlapping(spans(zDir))
+    val linHit = overlapping(spans(linDir))
+    // custkey-sorted files each span ~the full price range -> no pruning;
+    // z-ordered files are locally dense in price too
+    assert(linHit == 8, s"expected linear layout to overlap all files, got $linHit")
+    assert(zHit < 8, s"z-order layout must allow skipping some files, got $zHit/8")
+  }
+
   private def withConf[T](kvs: (String, String)*)(body: => T): T = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
