@@ -292,6 +292,53 @@ object Relational {
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
     GQuery(
+      "subquery_not_in",
+      (s, dir) => {
+        // NOT IN subquery — three-valued-logic anti join (Spark plans a
+        // null-aware anti join: one NULL in the subquery empties the
+        // result; RelationalSpec gates that case on a poisoned input).
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_mktsegment
+                |FROM customer
+                |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                |                        WHERE o_totalprice > 450000.0)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_totalprice > 450000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    GQuery(
+      "join_full_outer",
+      (s, dir) => {
+        // FULL OUTER of two per-user activity aggregates — all three
+        // match cases occur (both sides, left-only, right-only); keys
+        // and counts coalesced. Both inputs aggregate before joining,
+        // so the exchange carries one row per (user, side).
+        val ev = Tables.t(s, dir, "events")
+        def side(tp: String, k: String, n: String) =
+          ev.where(col("event_type") === tp && col("value") > 95.0)
+            .groupBy(col("user_id").as(k)).agg(count(lit(1)).as(n))
+        side("purchase", "pu", "n_purch")
+          .join(side("click", "cu", "n_click"), col("pu") === col("cu"), "full")
+          .select(coalesce(col("pu"), col("cu")).as("user_id"),
+            coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+            coalesce(col("n_click"), lit(0L)).as("n_click"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, count(*) AS n_purch FROM events
+             |           WHERE event_type = 'purchase' AND value > 95.0 GROUP BY user_id),
+             |     c AS (SELECT user_id, count(*) AS n_click FROM events
+             |           WHERE event_type = 'click' AND value > 95.0 GROUP BY user_id)
+             |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+             |       coalesce(n_purch, 0) AS n_purch,
+             |       coalesce(n_click, 0) AS n_click
+             |FROM p FULL JOIN c ON p.user_id = c.user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    GQuery(
       "subquery_correlated",
       (s, dir) => {
         // Correlated scalar subquery — Catalyst decorrelates it into an

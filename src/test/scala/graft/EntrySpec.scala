@@ -16,6 +16,18 @@ class EntrySpec extends SparkSpec {
     assert(qs.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("NOT IN goes empty when the subquery contains a NULL (3VL anti join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("nin_left")
+    Seq(Some(2L), None).toDF("v").createOrReplaceTempView("nin_right_null")
+    Seq(Some(2L)).toDF("v").createOrReplaceTempView("nin_right")
+    assert(spark.sql("SELECT k FROM nin_left WHERE k NOT IN (SELECT v FROM nin_right_null)").count() == 0,
+      "a NULL in the NOT IN subquery must empty the result")
+    assert(spark.sql("SELECT k FROM nin_left WHERE k NOT IN (SELECT v FROM nin_right)")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("every query executes and returns rows on sf0.001") {
     val empties = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
