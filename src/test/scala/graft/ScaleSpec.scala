@@ -45,6 +45,38 @@ class ScaleSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS orders_b"); s2.sql("DROP TABLE IF EXISTS customer_b")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The other half of the skew story: salting fixes skewed AGGREGATES
+    // statically; AQE's skew-join handles skewed JOINS at runtime by
+    // splitting oversized partitions after seeing map output sizes.
+    // Thresholds are production-sized (256MB) — shrink to fixture scale.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // hot key 0 holds ~90% of the left side
+      val left = spark.range(60000)
+        .selectExpr("IF(id % 10 = 0, id, 0L) AS k", "id AS payload")
+      val right = spark.range(2000).selectExpr("id AS k", "id * 2 AS r")
+      val j = left.join(right, "k")
+      // execute THIS plan so AQE finalizes it; 54001 hot-key rows + 199 singles
+      assert(j.collect().length == 54200)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"expected AQE skew-join split markers in final plan:\n$finalPlan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     // AQE/runtime-filter story: a selective filter on the small side
     // should inject a bloom-filter probe into the big side's scan, so
