@@ -162,6 +162,35 @@ object Ingest {
       },
       Some("""SELECT user_id AS id,
              |       '{"id":' || user_id || ',"msg":"' || arg_max(event_type, event_id) || '"}' AS json
-             |FROM events GROUP BY user_id ORDER BY id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
+
+    GQuery(
+      "ingest_incremental_merge",
+      (s, dir) => {
+        // The scalable alternative to the reference's full re-read
+        // (`KafkaContext.java:57-59` seeks to offset 0 every run):
+        // maintain yesterday's SNAPSHOT (one row per key) and fold only
+        // the DELTA of new offsets into it. latestWins(snapshot ∪ delta)
+        // must equal latestWins(everything) — checked against the same
+        // arg_max oracle. At 100 TB the merge input is |keys| + |delta|
+        // rows, not |history|.
+        val ev = events(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "props")
+        val cut = ev.agg((((min("event_id") + max("event_id")) / 2).cast("long")).as("cut"))
+        val withCut = ev.crossJoin(broadcast(cut))
+        val snapshot = latestWins(
+          withCut.where(col("event_id") <= col("cut")).drop("cut"),
+          keys = Seq("user_id"), version = Seq("event_id"))
+        val delta = withCut.where(col("event_id") > col("cut")).drop("cut")
+        latestWins(snapshot.unionByName(delta),
+          keys = Seq("user_id"), version = Seq("event_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       arg_max(event_id, event_id)   AS event_id,
+             |       arg_max(event_type, event_id) AS event_type,
+             |       arg_max(value, event_id)      AS value,
+             |       arg_max(props, event_id)      AS props
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -241,6 +241,40 @@ object SimilarityOps {
              |       round(list_cosine_similarity(a.em, b.em), 4) AS score
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.em, b.em) >= 0.45
-             |ORDER BY keeper, dup""".stripMargin))
+             |ORDER BY keeper, dup""".stripMargin)),
+
+    GQuery(
+      "emb_quantize_int8",
+      (s, dir) => {
+        // Symmetric int8 quantization of the embedding column — the
+        // storage/bandwidth op of a vector corpus (4x smaller + SIMD
+        // kernels downstream). Per-vector absmax scale; emits the scale,
+        // the quantized checksum, and the max reconstruction error.
+        // Per-row arithmetic in double (cast BEFORE any math, matching
+        // the oracle's ::DOUBLE[] path) — codegen'd, no shuffle.
+        emb(s, dir)
+          .select(col("vec_id"),
+            greatest(aggregate(col("em"), lit(0.0),
+              (acc, x) => greatest(acc, abs(x))), lit(1e-12)).as("scale"),
+            col("em"))
+          .select(col("vec_id"),
+            round(col("scale"), 6).as("scale6"),
+            aggregate(transform(col("em"), x => round(x / col("scale") * 127)),
+              lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+            round(aggregate(col("em"), lit(0.0), (acc, x) =>
+              greatest(acc, abs(x - round(x / col("scale") * 127) * col("scale") / 127))),
+              6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             |     s AS (SELECT vec_id, em,
+             |                  greatest(list_max(list_transform(em, x -> abs(x))), 1e-12) AS scale
+             |           FROM e)
+             |SELECT vec_id,
+             |       round(scale, 6) AS scale6,
+             |       CAST(list_sum(list_transform(em, x -> CAST(round(x / scale * 127) AS BIGINT))) AS BIGINT) AS q_sum,
+             |       round(list_max(list_transform(em, x ->
+             |             abs(x - round(x / scale * 127) * scale / 127))), 6) AS max_err
+             |FROM s ORDER BY vec_id""".stripMargin))
   )
 }
