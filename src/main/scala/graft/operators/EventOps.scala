@@ -108,6 +108,36 @@ object EventOps {
              |SELECT prev_type, event_type, count(*) AS n
              |FROM seq WHERE prev_type IS NOT NULL
              |GROUP BY prev_type, event_type
-             |ORDER BY prev_type, event_type""".stripMargin))
+             |ORDER BY prev_type, event_type""".stripMargin)),
+
+    GQuery(
+      "events_dau_wau",
+      (s, dir) => {
+        // DAU + trailing-7-day WAU per day. Events collapse to the
+        // distinct (user, day) frame FIRST (the only big aggregate),
+        // then the 7-day window is a |days| × (user, day) range join —
+        // at 100 TB the join's left side is a tiny day dimension, so
+        // it broadcasts and the frame streams through once.
+        val ud = Tables.t(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val days = ud.select(col("d").as("dd")).distinct()
+        val dau = ud.groupBy("d").agg(countDistinct("user_id").as("dau"))
+        val wau = broadcast(days)
+          .join(ud, col("d").between(date_sub(col("dd"), 6), col("dd")))
+          .groupBy(col("dd")).agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, col("d") === col("dd"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+             |     days AS (SELECT DISTINCT d AS dd FROM ud),
+             |     dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+             |     wau AS (SELECT dd, count(DISTINCT user_id) AS wau
+             |             FROM days JOIN ud ON ud.d BETWEEN dd - 6 AND dd
+             |             GROUP BY dd)
+             |SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau
+             |FROM dau JOIN wau ON d = dd
+             |ORDER BY day""".stripMargin))
   )
 }
