@@ -207,6 +207,55 @@ object DedupOps {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm): each round rewires every node's
+    * neighbors to the minimum of its closed neighborhood, halving tree
+    * heights, so convergence is O(log diameter) rounds instead of the
+    * O(diameter) of min-label propagation — the upgrade that matters on
+    * long-chain graphs. Each round is two groupBy-join passes over the
+    * edge list; lineage cut per round with localCheckpoint.
+    * Returns (node, cluster = component minimum), same contract as
+    * [[connectedComponents]] (spec-gated equivalent).
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    def pass(e: DataFrame, large: Boolean): DataFrame = {
+      // closed-neighborhood minimum per node over the bidirected edges
+      val bidir = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val m = bidir.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val joined = bidir.join(m, "src")
+      val rewired =
+        if (large) joined.where(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+        else joined.where(col("dst") <= col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(m.select(col("src"), col("m").as("dst")))
+      rewired.where(col("src") =!= col("dst")).distinct()
+    }
+    var e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val next = pass(pass(e, large = true), large = false).localCheckpoint()
+      stable = next.count() == e.count() &&
+        next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    // converged: every edge points node -> component min (a star);
+    // roots map to themselves
+    val nodes = edges.select(col("doc_a").as("node"))
+      .union(edges.select(col("doc_b"))).distinct()
+    val labels = e.groupBy(col("src").as("node")).agg(min("dst").as("cluster"))
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -319,6 +368,41 @@ object DedupOps {
              |FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
              |WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GQuery(
+      "dedup_clusters_lss",
+      (s, dir) => {
+        // Same clustering as dedup_clusters, computed by the
+        // LARGE-STAR/SMALL-STAR fixpoint (O(log diameter) rounds) and
+        // checked against the SAME recursive-CTE oracle — the proof the
+        // scale algorithm is semantics-identical to min-label
+        // propagation.
+        connectedComponentsStar(jaccardPairs(docs(s, dir), n = 3, minJ = 0.5))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+             |  t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |        FROM documents),
+             |  sh AS (SELECT doc_id,
+             |                list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                               for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |  sz AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+             |  pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |            GROUP BY 1, 2),
+             |  edges AS (SELECT doc_a, doc_b
+             |            FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             |            WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.5),
+             |  bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+             |            UNION SELECT doc_b, doc_a FROM edges),
+             |  reach(node, label) AS (
+             |    SELECT a, a FROM bidir
+             |    UNION
+             |    SELECT bd.b, r.label FROM reach r JOIN bidir bd ON bd.a = r.node)
+             |SELECT node, min(label) AS cluster FROM reach GROUP BY node
+             |ORDER BY node""".stripMargin)),
 
     GQuery(
       "dedup_lsh_clusters",

@@ -19,6 +19,27 @@ class ClusterSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("large-star/small-star CC equals min-label CC on chain, clique, random, and fixture graphs") {
+    val crafted = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    // 200-node chain: diameter 199 — the shape min-label is slow on
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // seeded random graph
+    val rnd = new scala.util.Random(7)
+    val random = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val fixture = DedupOps.jaccardPairs(
+      Tables.t(spark, sf, "documents"), 3, 0.5).select("doc_a", "doc_b")
+    for (g <- Seq(crafted, chain, random, fixture)) {
+      val lss = DedupOps.connectedComponentsStar(g)
+      val minLabel = DedupOps.connectedComponents(g, maxIter = 250)
+      assert(lss.except(minLabel).isEmpty && minLabel.except(lss).isEmpty,
+        "star CC must produce identical (node, cluster) labels")
+    }
+  }
+
   test("prefix-filtered Jaccard finds exactly the same pairs as the plain join at J>=0.5") {
     val docs = Tables.t(spark, sf, "documents")
     val plain = DedupOps.jaccardPairs(docs, 3, 0.5)
