@@ -16,7 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** Typed row for the Dataset[T]-surface query. */
+  case class TypedEvent(user_id: Long, event_type: String, value: Double)
+
   val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "typed_events_stats",
+      (s, dir) => {
+        // The typed Dataset[T] surface end-to-end: case-class Encoder,
+        // lambda filter, groupByKey + TypedColumn aggregates. The lambda
+        // filter deserializes rows (the honest cost of compile-time
+        // types — note the scan can't push it down, unlike the Column
+        // form used everywhere else); the aggregate itself still runs as
+        // codegen'd partial aggregation.
+        import s.implicits._
+        val ds = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+          .as[TypedEvent]
+        ds.filter((e: TypedEvent) => e.value > 50.0)
+          .groupByKey(_.event_type)
+          .agg(count(lit(1)).as[Long], avg(col("value")).as[Double])
+          .toDF("event_type", "n", "avg_value")
+          .select(col("event_type"), col("n"),
+            round(col("avg_value"), 4).as("avg_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+             |FROM events WHERE value > 50.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     GQuery(
       "time_session",

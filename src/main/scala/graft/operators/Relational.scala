@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Dialect-neutral TPC-H Q10 text — runs verbatim in Spark AND DuckDB
+    * (`q10_returned_customers` uses it as both query and oracle).
+    */
+  private val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6))), 2)
+      |            AS DOUBLE) AS revenue,
+      |       round(c_acctbal, 2) AS acctbal, n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
 
   private def tsNtz(lit0: String): Column = expr(s"TIMESTAMP_NTZ '$lit0'")
@@ -290,6 +309,19 @@ object Relational {
              |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
              |  ON c_custkey = o_custkey
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    GQuery(
+      "q10_returned_customers",
+      (s, dir) => {
+        // TPC-H Q10 shape, run as RAW SQL through the engine's catalog —
+        // the text below is dialect-neutral and is EXACTLY the oracle
+        // text, so the SQL surface itself (parser → Catalyst → plan) is
+        // what's being differentially tested. Plan: two broadcast dims
+        // + one fact-fact shuffle, TakeOrderedAndProject for top-20.
+        Tables.registerAll(s, dir)
+        s.sql(q10Sql)
+      },
+      Some(q10Sql)),
 
     GQuery(
       "subquery_not_in",
