@@ -129,6 +129,41 @@ object CorpusOps {
              |FROM g GROUP BY gram HAVING n_docs >= 2 ORDER BY gram""".stripMargin)),
 
     GQuery(
+      "decontaminate_ngrams",
+      (s, dir) => {
+        // Benchmark DECONTAMINATION (the eval-overlap gate every training
+        // pipeline needs): training docs sharing any word-4-gram with the
+        // eval set (here: doc_id % 20 == 0 stands in for the benchmark),
+        // with the count of shared distinct grams. The eval gram set is
+        // tiny relative to the corpus → BROADCAST to the training scan;
+        // gram identity travels as the one-pass WordGramHashes 64-bit
+        // kernel hash, never the string (the oracle joins on the string
+        // grams — hash-join ≡ string-join absent collisions, same
+        // argument as dedup_ngram_jaccard).
+        graft.functions.WordGramHashes.register(s)
+        val inv = docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.WordGramHashes.word_gram_hashes("text", 4)).as("g"))
+        val evalGrams = inv.where(col("doc_id") % 20 === 0)
+          .select("g").distinct()
+        inv.where(col("doc_id") % 20 =!= 0)
+          .join(broadcast(evalGrams), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct("g").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     g AS (SELECT doc_id,
+             |                  unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+             |                                        for i in range(1, len(tk) - 2)])) AS gram
+             |           FROM t WHERE len(tk) >= 4),
+             |     ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+             |SELECT doc_id, count(DISTINCT gram) AS n_shared
+             |FROM g JOIN ev USING (gram)
+             |WHERE doc_id % 20 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "tfidf_top_terms",
       (s, dir) => {
         // Per-document top-3 terms by TF-IDF. Corpus statistics (doc

@@ -46,13 +46,17 @@ object DedupOps {
         slice(sig, b * rows + 1, rows).cast("array<string>")).cast("binary")))
     }: _*)
 
-  /** 64-bit SimHash from a column of token-hash arrays (`hs`): for each
+  /** 32-bit SimHash from a column of token-hash arrays (`hs`): for each
     * bit position, majority vote across token hashes. Expressed as a SQL
     * higher-order fold (shiftright/shiftleft take column operands in SQL
-    * but not in the Scala DSL).
+    * but not in the Scala DSL). 32 bits (not 64) because the token
+    * hashes are the PORTABLE md5-derived 32-bit [[portableHash]] — which
+    * makes signatures, bands, and candidate pairs bit-reproducible in
+    * DuckDB, turning SimHash from a rows-only check into a full
+    * differential oracle.
     */
   val simhashFromHashes: Column = expr(
-    """aggregate(sequence(0, 63), 0L,
+    """aggregate(sequence(0, 31), 0L,
       |  (acc, bit) -> acc + if(
       |     size(filter(hs, h -> (shiftright(h, bit) & 1) = 1)) * 2 > size(hs),
       |     shiftleft(1L, bit), 0L))""".stripMargin)
@@ -76,7 +80,11 @@ object DedupOps {
     // NOTE: the self-join recomputes the shingle pipeline for both sides;
     // materializing it first (localCheckpoint) was measured SLOWER here —
     // the tokenize+shingle compute is cheaper than writing/reading the
-    // materialized index. Recompute wins.
+    // materialized index. Recompute wins. Also measured slower (~2×): a
+    // join-free form that groups the inverted index per shingle and
+    // explodes i<j combinations via nested higher-order transforms —
+    // collect_list + per-row array construction loses to the
+    // shuffle-hash probe stream even though it saves one exchange.
     graft.functions.WordGramHashes.register(d.sparkSession)
     val inv = d.select(col("doc_id"),
         graft.functions.WordGramHashes.word_gram_hashes("text", n).as("sh"))
@@ -118,17 +126,17 @@ object DedupOps {
       .where(col("jaccard") >= minJ)
   }
 
-  /** SimHash near-dup candidates: 4 bands of 16 bits over the 64-bit
+  /** SimHash near-dup candidates: 4 bands of 8 bits over the 32-bit
     * signature; any pair within Hamming distance 3 shares >= 1 exact band.
     * Emits candidate pairs with their Hamming distance <= maxHamming.
     */
   def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = d
-      .select(col("doc_id"), transform(TextOps.tokens(col("text")), x => xxhash64(x)).as("hs"))
+      .select(col("doc_id"), transform(TextOps.tokens(col("text")), x => portableHash(x, 0)).as("hs"))
       .select(col("doc_id"), simhashFromHashes.as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
-        concat(lit(b + ":"), (shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)).cast("string"))): _*)).as("bk"))
+        concat(lit(b + ":"), (shiftright(col("sig"), b * 8).bitwiseAND(0xFFL)).cast("string"))): _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -338,10 +346,67 @@ object DedupOps {
     GQuery(
       "dedup_simhash",
       (s, dir) => {
-        simhashPairs(docs(s, dir), maxHamming = 8)
+        // FULLY oracle-checked (round 2): portable md5 token hashes make
+        // the 32-bit majority signature, the 4×8-bit band keys, and the
+        // candidate pairs bit-identical in DuckDB. maxHamming = 3 is the
+        // band guarantee: 4 bands of 8 bits catch EVERY pair within
+        // Hamming distance 3 (pigeonhole), so the result is the complete
+        // answer, not a sample.
+        simhashPairs(docs(s, dir), maxHamming = 3)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  h AS (SELECT doc_id,
+             |               [('0x' || substring(md5('0:' || x), 1, 8))::BIGINT for x in tk] AS hs
+             |        FROM t),
+             |  sg AS (SELECT doc_id,
+             |                list_sum([CASE WHEN 2 * len(list_filter(hs, h -> ((h >> bit) & 1) = 1)) > len(hs)
+             |                               THEN (1::BIGINT << bit) ELSE 0 END
+             |                          for bit in range(0, 32)])::BIGINT AS sig
+             |         FROM h),
+             |  banded AS (SELECT doc_id, sig,
+             |                    unnest([b || ':' || ((sig >> (b * 8)) & 255)
+             |                            for b in range(0, 4)]) AS bk
+             |             FROM sg),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.sig AS sa, b.sig AS sb
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GQuery(
+      "dedup_edit_distance",
+      (s, dir) => {
+        // Edit-distance (Levenshtein) fuzzy matching for value
+        // canonicalization: CANONICALIZE first (exact groupBy collapses
+        // the 2000 parts to their 64 distinct names, carrying counts),
+        // then fuzzy-join the distinct values blocked on the last token.
+        // The two-stage shape is the scale design: the expensive O(len²)
+        // distance only ever runs on distinct-value pairs inside a
+        // block, never on raw rows — the O(N²) pair space is cut first
+        // by exact dedup, then by blocking.
+        val names = Tables.t(s, dir, "part")
+          .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+          .withColumn("blk", substring_index(col("p_name"), " ", -1))
+        names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+          .where(col("dist") <= 4)
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (SELECT p_name, count(*) AS n_parts,
+             |                      split_part(p_name, ' ', -1) AS blk
+             |               FROM part GROUP BY p_name)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |       a.n_parts AS n_a, b.n_parts AS n_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 4
+             |ORDER BY name_a, name_b""".stripMargin)),
 
     GQuery(
       "dedup_jaccard_prefix",

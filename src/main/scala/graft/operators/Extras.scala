@@ -92,6 +92,73 @@ object Extras {
              |ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "sample_stratified",
+      (s, dir) => {
+        // Deterministic STRATIFIED sample (sampleBy semantics without its
+        // engine-dependent RNG): per-stratum keep-fraction via an md5
+        // threshold on the content — 25% of 'en' docs, 50% of the rest.
+        // Pushes as a cheap filter above the scan; repartition-stable and
+        // reproducible across engines and re-runs.
+        Tables.t(s, dir, "documents")
+          .where(conv(substring(md5(col("text").cast("binary")), 1, 2), 16, 10).cast("long") <
+            when(col("lang") === "en", lit(64L)).otherwise(lit(128L)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substring(md5(text), 1, 2))::BIGINT <
+             |      CASE WHEN lang = 'en' THEN 64 ELSE 128 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "sample_group_topk",
+      (s, dir) => {
+        // Deterministic per-group reservoir: k=5 docs per language,
+        // chosen by md5 rank (uniform-ish, reproducible — the portable
+        // replacement for per-group reservoir sampling). One window sort
+        // per group; at 100 TB rank-by-hash pushes into a top-k-per-key
+        // aggregate (min_by over k) with no full sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            row_number().over(w).cast("long").as("rk"))
+          .where(col("rk") <= 5)
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, doc_id,
+             |       CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+             |FROM documents
+             |QUALIFY rk <= 5
+             |ORDER BY lang, rk""".stripMargin)),
+
+    GQuery(
+      "table_fingerprint",
+      (s, dir) => {
+        // Order-independent table checksum (anti-entropy / replica
+        // verification): SUM of per-row 32-bit md5-derived hashes + row
+        // count, grouped by return flag. One scan, one tiny aggregate,
+        // no sort — the shape that verifies a 100 TB copy job without
+        // moving the data. Only int/string/date columns enter the row
+        // repr (float formatting differs across engines).
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            conv(substring(md5(concat_ws("|",
+              col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+              date_format(col("l_shipdate"), "yyyy-MM-dd")).cast("binary")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+          .groupBy("l_returnflag")
+          .agg(sum("h").as("checksum"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(sum(('0x' || substring(md5(
+             |              l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|' ||
+             |              strftime(l_shipdate, '%Y-%m-%d')), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
       "agg_approx_distinct",
       (s, dir) => {
         // HLL++ sketch distinct — the 100 TB path for distinct counts

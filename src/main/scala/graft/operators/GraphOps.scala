@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics expressed as DataFrame fixpoints — the
+  * companion to DedupOps' connected components: PageRank over the
+  * co-purchase graph (parts linked when they appear in the same order).
+  *
+  * Scale design: the edge list (with per-source out-degree attached) is
+  * materialized ONCE (localCheckpoint cuts lineage, exactly as the CC
+  * rounds do); each iteration is then one join + one aggregate — the
+  * canonical Pregel-as-DataFrame shape. Rank vectors are O(|V|) rows,
+  * edges O(|E|); nothing quadratic ever forms. On a cluster the edge
+  * list would be HASH-partitioned by src once and every iteration's
+  * join reuses that partitioning (no re-shuffle of the big side).
+  */
+object GraphOps {
+
+  /** Fixed-iteration damped PageRank over a DIRECTED edge list
+    * (src, dst). Callers pass a bidirected list for undirected graphs.
+    * Init rank 1.0 per node (unnormalized form — node count never needs
+    * a global pass); every node must appear as a src (true for
+    * bidirected lists), so the node set is stable across iterations.
+    */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(1.0 - damping) + lit(damping) * sum("c")).as("rank"))
+    }
+    ranks
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "graph_pagerank",
+      (s, dir) => {
+        // Co-purchase graph: parts are linked when some order contains
+        // both (lineitem self-join per order — pairs only within an
+        // order's ~4 lines, never cross-order). 3 damped iterations;
+        // ranks rounded to 6 dp so cross-engine double-summation-order
+        // noise (~1e-13 on O(1) ranks) cancels.
+        val li = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        pagerank(bidir, iters = 3)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |           FROM lineitem a JOIN lineitem b
+             |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |     bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |     deg AS (SELECT src, count(*) AS d FROM bidir GROUP BY src),
+             |     r0 AS (SELECT src AS node, 1.0 AS rank FROM deg),
+             |     r1 AS (SELECT bidir.dst AS node, 0.15 + 0.85 * sum(r0.rank / deg.d) AS rank
+             |            FROM bidir JOIN r0 ON bidir.src = r0.node
+             |                       JOIN deg ON bidir.src = deg.src
+             |            GROUP BY bidir.dst),
+             |     r2 AS (SELECT bidir.dst AS node, 0.15 + 0.85 * sum(r1.rank / deg.d) AS rank
+             |            FROM bidir JOIN r1 ON bidir.src = r1.node
+             |                       JOIN deg ON bidir.src = deg.src
+             |            GROUP BY bidir.dst),
+             |     r3 AS (SELECT bidir.dst AS node, 0.15 + 0.85 * sum(r2.rank / deg.d) AS rank
+             |            FROM bidir JOIN r2 ON bidir.src = r2.node
+             |                       JOIN deg ON bidir.src = deg.src
+             |            GROUP BY bidir.dst)
+             |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin))
+  )
+}

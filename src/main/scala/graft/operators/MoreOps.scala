@@ -264,6 +264,54 @@ object MoreOps {
              |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
              |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    GQuery(
+      "join_interval_range",
+      (s, dir) => {
+        // Interval-overlap join via DAY BUCKETING: each order's 4-day
+        // window explodes into its covered days, lineitems map to their
+        // ship day, and the range predicate becomes an EQUI-join on the
+        // day key — the transformation that turns an O(N·M) range join
+        // into a shuffle-hash join at 100 TB (the oracle states the same
+        // query as a plain BETWEEN range join). Each lineitem matches an
+        // order at most once: the window's exploded days are distinct.
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"))
+          .select(col("o_orderkey"),
+            explode(sequence(col("d0"), date_add(col("d0"), 3))).as("day"))
+        val l = Tables.t(s, dir, "lineitem")
+          .select(to_date(col("l_shipdate")).as("day"))
+        o.join(l, "day")
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_shipped"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_shipped
+             |FROM orders JOIN lineitem
+             |  ON l_shipdate::DATE BETWEEN o_orderdate::DATE AND o_orderdate::DATE + 3
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "hist_totalprice",
+      (s, dir) => {
+        // Fixed-width histogram: one scan, one tiny hash aggregate —
+        // the bucket id is a pure projection so the scan stays in one
+        // codegen stage. floor(x / w) is an IEEE-deterministic double op,
+        // identical across engines (no rounding hazard).
+        Tables.t(s, dir, "orders")
+          .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+            col("o_totalprice"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             |       count(*) AS n,
+             |       round(min(o_totalprice), 2) AS lo,
+             |       round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -1,9 +1,11 @@
 package graft
 
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, GraphOps}
 import org.apache.spark.sql.functions._
 
-/** Connected components + prefix-filtered Jaccard + partition pruning. */
+/** Connected components + PageRank + prefix-filtered Jaccard + partition
+  * pruning.
+  */
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
 
@@ -38,6 +40,27 @@ class ClusterSpec extends SparkSpec {
       assert(lss.except(minLabel).isEmpty && minLabel.except(lss).isEmpty,
         "star CC must produce identical (node, cluster) labels")
     }
+  }
+
+  test("pagerank: regular graphs stay at rank 1.0; star centers outrank leaves") {
+    // 10-cycle (2-regular, bidirected): rank 1.0 is the exact fixpoint —
+    // each node receives 2 · (1.0/2) · 0.85 + 0.15 = 1.0 every iteration.
+    val cycle = (0L until 10L).flatMap(i =>
+        Seq((i, (i + 1) % 10), ((i + 1) % 10, i)))
+      .toDF("src", "dst")
+    val cycleRanks = GraphOps.pagerank(cycle, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(cycleRanks.size == 10 &&
+      cycleRanks.values.forall(r => math.abs(r - 1.0) < 1e-12))
+
+    // 6-leaf star (bidirected): center must outrank leaves; leaves are
+    // symmetric so their ranks must be identical.
+    val star = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val starRanks = GraphOps.pagerank(star, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val leaves = (1L to 6L).map(starRanks)
+    assert(starRanks(0L) > leaves.max)
+    assert(leaves.distinct.size == 1)
   }
 
   test("prefix-filtered Jaccard finds exactly the same pairs as the plain join at J>=0.5") {
