@@ -19,6 +19,10 @@ object Extras {
   /** Typed row for the Dataset[T]-surface query. */
   case class TypedEvent(user_id: Long, event_type: String, value: Double)
 
+  /** One event entering the stream-stream attribution join. */
+  case class AttrEvent(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -290,22 +294,77 @@ object Extras {
              |ORDER BY user_id, session_start""".stripMargin)),
 
     GQuery(
+      "streaming_stream_join",
+      (s, dir) => {
+        // Differential check of STREAM-STREAM JOIN: replay views and
+        // purchases as two watermarked streams in 4 event-time-ordered
+        // rounds (BOTH streams cut at the same global time boundaries, so
+        // neither side's state is ever evicted before its match window
+        // closes), inner-join purchases to same-user views within 1 hour,
+        // then reduce the append log per user — must equal the batch
+        // range-join oracle exactly: incremental and batch agree.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs = Tables.t(s, dir, "events")
+          .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[AttrEvent].collect().sortBy(_.ts.getTime)
+        val bounds = Seq(1, 2, 3).map(q => evs(evs.length * q / 4).ts.getTime) :+ Long.MaxValue
+        val views = evs.filter(_.event_type == "view")
+        val buys = evs.filter(_.event_type == "purchase")
+        val msV = MemoryStream[AttrEvent]
+        val msB = MemoryStream[AttrEvent]
+        val v = msV.toDS().select(col("ts").as("vts"), col("user_id"))
+          .withWatermark("vts", "1 hour")
+        val b = msB.toDS().select(col("ts").as("bts"),
+            col("user_id").as("buser"), col("value"))
+          .withWatermark("bts", "1 hour")
+        val joined = v.join(b,
+          col("user_id") === col("buser") &&
+            col("bts") >= col("vts") &&
+            col("bts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+        s.catalog.dropTempView("ssj_sink")
+        val q = joined.writeStream.format("memory").queryName("ssj_sink")
+          .outputMode("append").start()
+        try {
+          var lo = Long.MinValue
+          bounds.foreach { hi =>
+            msV.addData(views.filter(e => e.ts.getTime > lo && e.ts.getTime <= hi).toIndexedSeq)
+            msB.addData(buys.filter(e => e.ts.getTime > lo && e.ts.getTime <= hi).toIndexedSeq)
+            q.processAllAvailable()
+            lo = hi
+          }
+        } finally q.stop()
+        s.table("ssj_sink")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_attr"), round(sum("value"), 2).as("sv"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT e1.user_id, count(*) AS n_attr, round(sum(e2.value), 2) AS sv
+             |FROM events e1 JOIN events e2
+             |  ON e1.user_id = e2.user_id
+             | AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+             | AND e2.ts::TIMESTAMP >= e1.ts::TIMESTAMP
+             | AND e2.ts::TIMESTAMP <= e1.ts::TIMESTAMP + INTERVAL 1 HOUR
+             |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin)),
+
+    GQuery(
       "asof_join",
       (s, dir) => {
         // As-of join: each event gets the customer's most recent order at
         // event time (union + carry-forward window — one shuffle, no
-        // pairwise range join; see graft.plans.AsOfJoin).
+        // pairwise range join; see graft.plans.AsOfJoin). Same-date ties
+        // resolve to the max o_orderkey INSIDE the window sort
+        // (rightTiebreak) — round 1 pre-deduped the right side with a
+        // latest-wins aggregate, which cost a whole extra shuffle of
+        // orders for the same answer.
         val ev = Tables.t(s, dir, "events").select("event_id", "user_id", "ts")
-        // pre-dedupe right side to one row per (key, time) so ties are
-        // impossible (DuckDB's ASOF tie choice is unspecified)
-        val ord = Ingest.latestWins(
-          Tables.t(s, dir, "orders")
-            .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
-          keys = Seq("o_custkey", "o_orderdate"), version = Seq("o_orderkey"))
+        val ord = Tables.t(s, dir, "orders")
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
         AsOfJoin.asof(ev, ord,
             leftKey = "user_id", rightKey = "o_custkey",
             leftTime = "ts", rightTime = "o_orderdate",
-            rightPayload = Seq("o_orderkey", "o_totalprice"))
+            rightPayload = Seq("o_orderkey", "o_totalprice"),
+            rightTiebreak = Seq("o_orderkey"))
           .select(col("event_id"), col("user_id"), col("o_orderkey"),
             round(col("o_totalprice"), 2).as("o_totalprice"))
           .orderBy("event_id")

@@ -78,6 +78,49 @@ object GraphOps {
              |            FROM bidir JOIN r2 ON bidir.src = r2.node
              |                       JOIN deg ON bidir.src = deg.src
              |            GROUP BY bidir.dst)
-             |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin))
+             |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin)),
+
+    GQuery(
+      "graph_triangles",
+      (s, dir) => {
+        // Triangle census + global clustering coefficient over the
+        // co-purchase graph. Edges are ORIENTED low-id → high-id, so the
+        // two-hop join x→y→z closed by the check edge x→z counts each
+        // triangle exactly once (the compact-forward algorithm; at 100 TB
+        // the orientation key becomes (degree, id), which bounds every
+        // join fan-out by the max CORE number, not the max degree).
+        // Wedges (open two-paths) come from bidirected degrees:
+        // Σ d·(d−1)/2; global CC = 3·triangles / wedges.
+        val li = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct().localCheckpoint()
+        val tri = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+          .join(e.as("z"),
+            col("z.src") === col("x.src") && col("z.dst") === col("y.dst"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val wedges = e.select(col("src").as("node"))
+          .union(e.select(col("dst")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+        tri.crossJoin(wedges)
+          .select(col("n_triangles"), col("n_wedges"),
+            round(col("n_triangles") * 3.0 / col("n_wedges"), 6).as("global_cc"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |           FROM lineitem a JOIN lineitem b
+             |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |     tri AS (SELECT count(*) AS n_triangles
+             |             FROM e x JOIN e y ON x.dst = y.src
+             |                      JOIN e z ON z.src = x.src AND z.dst = y.dst),
+             |     deg AS (SELECT node, count(*) AS d
+             |             FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+             |             GROUP BY node),
+             |     w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+             |SELECT n_triangles, n_wedges,
+             |       round(n_triangles * 3.0 / n_wedges, 6) AS global_cc
+             |FROM tri, w""".stripMargin))
   )
 }

@@ -33,12 +33,19 @@ object AsOfJoin {
     * @param rightTime event-time column on `right`
     * @param rightPayload columns of `right` to carry (must not collide
     *                     with left column names)
+    * @param rightTiebreak payload columns ordering right rows that share
+    *                      (key, time): the LAST under this order wins.
+    *                      This subsumes a latest-wins pre-dedup of the
+    *                      right side — the dedup's whole shuffle+aggregate
+    *                      disappears into the window sort the as-of
+    *                      already pays for.
     */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
 
     val lCols = left.columns.toSeq
     // merged timeline: left rows get null payload, right rows get null
@@ -56,8 +63,11 @@ object AsOfJoin {
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(col): _*)
 
+    // Tiebreak columns are null on left rows, but left rows sort after
+    // every right row at the same time anyway (side 1 > 0), so the
+    // tiebreak only ever orders right rows against each other.
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t") +: col("__side") +: rightTiebreak.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.unionByName(rTagged)
