@@ -164,6 +164,40 @@ object CorpusOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "docs_pack_sequential",
+      (s, dir) => {
+        // Sequence PACKING (concat-then-chunk, the way LLM training data
+        // is packed into fixed context windows): documents concatenate
+        // in doc_id order and chunk into 2048-token bins; each doc's bin
+        // and offset come from the running token total BEFORE it. One
+        // global cumulative window at test scale; at 100 TB this is the
+        // classic two-pass distributed scan — per-partition token
+        // subtotals (tiny) broadcast back as partition offsets, so no
+        // single-partition window ever forms.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(cum - n_tokens) div 2048").as("bin"),
+            ((col("cum") - col("n_tokens")) % 2048).as("off"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |     c AS (SELECT doc_id, n_tokens,
+             |                  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |           FROM t)
+             |SELECT doc_id, n_tokens,
+             |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+             |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS off
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "tfidf_top_terms",
       (s, dir) => {
         // Per-document top-3 terms by TF-IDF. Corpus statistics (doc

@@ -111,6 +111,69 @@ object EventOps {
              |ORDER BY prev_type, event_type""".stripMargin)),
 
     GQuery(
+      "events_sequence_match",
+      (s, dir) => {
+        // Ordered-sequence pattern detection (the MATCH_RECOGNIZE
+        // shape): find view → click → purchase as three CONSECUTIVE
+        // events of a user's time-ordered stream, via lead() over one
+        // window — one shuffle on user_id, no self-joins (a k-step
+        // pattern is k-1 lead columns, still one window pass). Ties
+        // broken by event_id so the sequence is total-ordered in both
+        // engines.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"),
+            lead("event_type", 1).over(w).as("t1"),
+            lead("event_type", 2).over(w).as("t2"))
+          .where(col("event_type") === "view" &&
+            col("t1") === "click" && col("t2") === "purchase")
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("match_start"))
+          .orderBy("user_id", "match_start")
+      },
+      Some("""WITH w AS (SELECT user_id, ts::TIMESTAMP AS t, event_type,
+             |                  lead(event_type, 1) OVER (PARTITION BY user_id
+             |                                            ORDER BY ts::TIMESTAMP, event_id) AS t1,
+             |                  lead(event_type, 2) OVER (PARTITION BY user_id
+             |                                            ORDER BY ts::TIMESTAMP, event_id) AS t2
+             |           FROM events)
+             |SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS match_start
+             |FROM w
+             |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+             |ORDER BY user_id, match_start""".stripMargin)),
+
+    GQuery(
+      "events_twap",
+      (s, dir) => {
+        // Time-weighted average value per user (the TWAP/telemetry-gauge
+        // aggregate): each reading is weighted by how long it was
+        // current (lead(ts) − ts). One window pass + one aggregate;
+        // the last reading per user has no successor and drops out.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // NTZ has no direct double cast; session TZ is UTC, so the
+        // TIMESTAMP hop is exact and yields epoch seconds w/ fraction.
+        def secs(c: org.apache.spark.sql.Column) =
+          c.cast("timestamp").cast("double")
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            (secs(lead(col("ts"), 1).over(w)) - secs(col("ts"))).as("dt"))
+          .where(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(round(sum(col("value") * col("dt")) / sum("dt"), 4).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH w AS (SELECT user_id, value,
+             |                  epoch(lead(ts::TIMESTAMP) OVER (PARTITION BY user_id
+             |                                                  ORDER BY ts::TIMESTAMP, event_id)
+             |                        - ts::TIMESTAMP) AS dt
+             |           FROM events)
+             |SELECT user_id, round(sum(value * dt) / sum(dt), 4) AS twap
+             |FROM w WHERE dt IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
       "events_dau_wau",
       (s, dir) => {
         // DAU + trailing-7-day WAU per day. Events collapse to the
