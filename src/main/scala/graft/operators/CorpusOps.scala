@@ -198,6 +198,38 @@ object CorpusOps {
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "docs_unigram_logprob",
+      (s, dir) => {
+        // Unigram language-model scoring (the KenLM-style quality gate,
+        // simplified to its distributed shape): corpus unigram
+        // probabilities are trained in one aggregate, BROADCAST back
+        // onto the token stream, and each doc scores its average
+        // negative log-likelihood — high avg_nll = improbable token mix.
+        // The model (vocabulary counts) is the small side at any corpus
+        // size; the corpus streams through once.
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy("term").agg(count(lit(1)).as("n_term"))
+        val tot = tok.agg(count(lit(1)).as("n_total"))
+        tok.join(broadcast(tf), "term").crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (-log(col("n_term").cast("double") / col("n_total"))).as("nll"))
+          .groupBy("doc_id")
+          .agg(round(avg("nll"), 4).as("avg_nll"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             |           FROM documents),
+             |     tf AS (SELECT term, count(*) AS n_term FROM w GROUP BY term),
+             |     tot AS (SELECT count(*) AS n_total FROM w)
+             |SELECT doc_id, round(avg(-ln(n_term * 1.0 / n_total)), 4) AS avg_nll,
+             |       count(*) AS n_tokens
+             |FROM w JOIN tf USING (term), tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "tfidf_top_terms",
       (s, dir) => {
         // Per-document top-3 terms by TF-IDF. Corpus statistics (doc

@@ -294,6 +294,50 @@ object Extras {
              |ORDER BY user_id, session_start""".stripMargin)),
 
     GQuery(
+      "streaming_windowed_counts",
+      (s, dir) => {
+        // Differential check of STREAMING EVENT-TIME WINDOWS: replay the
+        // events table in event-time order through 4 micro-batches of
+        // the watermarked tumbling-window aggregate (append mode emits a
+        // window only when the watermark closes it), force the tail
+        // windows closed with watermark-advancing sentinel rows, and
+        // compare against the SAME date_trunc oracle as the batch
+        // time_tumbling query — incremental emission must reconstruct
+        // the batch answer exactly.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs = Tables.t(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+          .as[(java.sql.Timestamp, String, Double)].collect().sortBy(_._1.getTime)
+        val maxTs = evs.last._1.getTime
+        val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+        s.catalog.dropTempView("swc_sink")
+        val q = StreamingIngest.windowedCounts(
+            ms.toDF().toDF("ts", "event_type", "value"),
+            eventTimeCol = "ts", delay = "10 minutes", window0 = "1 hour")
+          .writeStream.format("memory").queryName("swc_sink")
+          .outputMode("append").start()
+        try {
+          evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          (1 to 2).foreach { i =>
+            ms.addData((new java.sql.Timestamp(maxTs + i * 7200000L), "___wm", 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("swc_sink")
+          .where(col("event_type") =!= "___wm")
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("ws", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    GQuery(
       "streaming_stream_join",
       (s, dir) => {
         // Differential check of STREAM-STREAM JOIN: replay views and
