@@ -34,6 +34,32 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** Dialect-neutral recursive month spine + gap-filled order counts
+    * (`sql_recursive_spine` query and oracle). CASTs keep DATE
+    * arithmetic identical across engines (DuckDB DATE + INTERVAL is
+    * TIMESTAMP; Spark's stays DATE).
+    */
+  private val recursiveSpineSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      |  WHERE m < DATE '2001-07-01')
+      |SELECT CAST(m AS STRING) AS month, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m ORDER BY month""".stripMargin
+
+  /** Dialect-neutral LATERAL top-1-per-key (`sql_lateral_topk`). */
+  private val lateralTopkSql: String =
+    """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total
+      |FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |                        WHERE o_custkey = c_custkey
+      |                        ORDER BY o_totalprice DESC, o_orderkey
+      |                        LIMIT 1) AS o
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
 
   private def tsNtz(lit0: String): Column = expr(s"TIMESTAMP_NTZ '$lit0'")
@@ -322,6 +348,35 @@ object Relational {
         s.sql(q10Sql)
       },
       Some(q10Sql)),
+
+    GQuery(
+      "sql_recursive_spine",
+      (s, dir) => {
+        // RECURSIVE CTE surface (Spark 4 WITH RECURSIVE): build a month
+        // spine by recursion, LEFT-join order counts onto it — the
+        // gap-filling idiom that reports 0 for months with no orders
+        // (a plain GROUP BY silently drops them). Dialect-neutral text
+        // = the oracle text, so the recursive-CTE execution itself is
+        // differentially tested. The spine is O(months) rows — the
+        // recursion never touches fact-table volume.
+        Tables.registerAll(s, dir)
+        s.sql(recursiveSpineSql)
+      },
+      Some(recursiveSpineSql)),
+
+    GQuery(
+      "sql_lateral_topk",
+      (s, dir) => {
+        // LATERAL (correlated table subquery) surface: top-1 order per
+        // BUILDING customer via a per-row ORDER BY..LIMIT subquery.
+        // Catalyst rewrites the lateral into a window/join plan — no
+        // per-row re-execution survives in the physical plan. Shared
+        // text with the oracle: the LATERAL decorrelation is what's
+        // being differentially tested.
+        Tables.registerAll(s, dir)
+        s.sql(lateralTopkSql)
+      },
+      Some(lateralTopkSql)),
 
     GQuery(
       "subquery_not_in",
