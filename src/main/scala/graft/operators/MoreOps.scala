@@ -233,6 +233,32 @@ object MoreOps {
              |ORDER BY doc_id, pos""".stripMargin)),
 
     GQuery(
+      "udtf_pos_grams",
+      (s, dir) => {
+        // The UDTF surface: custom Catalyst Generator (functions/
+        // PosWordGrams) fanning each doc out to (pos, gram) rows inside
+        // a Generate node — no intermediate gram array per row, unlike
+        // explode(ngrams(...)). Bounded to the first 50 docs like
+        // text_posexplode to keep output small.
+        graft.functions.PosWordGrams.register(s)
+        Tables.t(s, dir, "documents")
+          .where(col("doc_id") < 50)
+          .select(col("doc_id"),
+            expr("pos_word_grams(text, 3)").as(Seq("pos", "gram")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents WHERE doc_id < 50)
+             |SELECT * FROM (
+             |  SELECT doc_id,
+             |         unnest([{'pos': CAST(i - 1 AS BIGINT),
+             |                  'gram': array_to_string(tk[i:i+2], ' ')}
+             |                 for i in range(1, len(tk) - 1)], recursive := true)
+             |  FROM t WHERE len(tk) >= 3)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    GQuery(
       "scalar_nullsafe",
       (s, dir) => {
         // Null-safe equality (<=> / IS NOT DISTINCT FROM) and null

@@ -53,6 +53,31 @@ class GramFuzzSpec extends SparkSpec {
     }
   }
 
+  test("PosWordGrams generator matches the explode(ngrams) pipeline on fuzzed docs") {
+    graft.functions.PosWordGrams.register(spark)
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map(i => (i.toLong, randomDoc(rnd))) :+
+      (999L, "") :+ (1000L, "solo") :+ (1001L, "   ")
+    val df = docs.toDF("doc_id", "text")
+    for (n <- Seq(1, 3)) {
+      val viaGen = df.select(col("doc_id"),
+          expr(s"pos_word_grams(text, $n)").as(Seq("pos", "gram")))
+        .as[(Long, Int, String)].collect().toSet
+      val viaDsl = df.select(col("doc_id"),
+          posexplode(TextOps.ngrams(TextOps.tokens(col("text")),
+            math.max(n, 2))))
+        .as[(Long, Int, String)].collect().toSet
+      if (n >= 2) assert(viaGen == viaDsl, s"generator diverges at n=$n")
+      else {
+        // ngrams() requires n>=2; check n=1 against plain posexplode
+        val toks = df.select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))))
+          .as[(Long, Int, String)].collect().toSet
+        assert(viaGen == toks, "generator n=1 must equal token posexplode")
+      }
+    }
+  }
+
   test("gram hashes are stable across evaluation paths (eval vs codegen)") {
     graft.functions.WordGramHashes.register(spark)
     val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
