@@ -142,4 +142,22 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("as-of join plans exactly ONE hash exchange (tiebreak subsumed the pre-dedup)") {
+    // Round-2 regression gate: the union + carry-forward as-of must cost
+    // one hashpartitioning exchange (the window shuffle) — a second one
+    // means a pre-aggregate crept back in.
+    val plan = SparkEntry.queries("asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges in:\n$plan")
+    assert(!plan.contains("HashAggregate"), "no aggregate belongs in the as-of plan")
+  }
+
+  test("decontamination broadcasts the eval gram set (training scan never shuffles)") {
+    val plan = SparkEntry.queries("decontaminate_ngrams")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+  }
 }
