@@ -25,6 +25,27 @@ class AsOfCosineSpec extends SparkSpec {
     assert(out(4L).isEmpty)        // C has no quotes at all
   }
 
+  test("asof: rightTiebreak resolves same-(key,time) right rows to the max, and equals pre-dedup") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 101L)).toDF("trade_id", "sym", "t")
+    // two quotes at the same (key, time): tiebreak must pick ver=2
+    val quotes = Seq(
+      ("A", 100L, 1L, 10.0), ("A", 100L, 2L, 20.0), ("A", 99L, 9L, 5.0)
+    ).toDF("qsym", "qt", "ver", "px")
+    val out = AsOfJoin.asof(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("ver", "px"), rightTiebreak = Seq("ver"))
+      .select("trade_id", "ver", "px").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((2L, 20.0)), "max-ver quote must win the tie")
+    assert(out(2L) == ((2L, 20.0)), "carry-forward must carry the tie winner")
+    // equivalence with the explicit latest-wins pre-dedup form
+    val pre = graft.operators.Ingest.latestWins(quotes,
+      keys = Seq("qsym", "qt"), version = Seq("ver"))
+    val viaDedup = AsOfJoin.asof(trades, pre, "sym", "qsym", "t", "qt", Seq("ver", "px"))
+      .select("trade_id", "ver", "px").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == viaDedup)
+  }
+
   test("cosine_sim expression is bit-identical to the HOF composition") {
     CosineSimilarity.register(spark)
     val e = Tables.t(spark, sf, "embeddings")
