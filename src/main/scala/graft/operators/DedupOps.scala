@@ -85,6 +85,9 @@ object DedupOps {
     // explodes i<j combinations via nested higher-order transforms —
     // collect_list + per-row array construction loses to the
     // shuffle-hash probe stream even though it saves one exchange.
+    // A .cache() of the shingle arrays was ~10% faster only once the
+    // cache was already hot — not worth the executor-memory footprint
+    // (caching corpus shingles is exactly what does NOT scale to 100 TB).
     graft.functions.WordGramHashes.register(d.sparkSession)
     val inv = d.select(col("doc_id"),
         graft.functions.WordGramHashes.word_gram_hashes("text", n).as("sh"))
