@@ -233,6 +233,50 @@ object MoreOps {
              |ORDER BY doc_id, pos""".stripMargin)),
 
     GQuery(
+      "scalar_bitwise",
+      (s, dir) => {
+        // Bitwise scalar surface: and/or/xor/shifts/bit_count — pure
+        // codegen projections (bounded to 500 rows for output size).
+        Tables.t(s, dir, "orders")
+          .where(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"),
+            col("o_orderkey").bitwiseAND(255L).as("band"),
+            col("o_orderkey").bitwiseOR(16L).as("bor"),
+            col("o_orderkey").bitwiseXOR(lit(0x5AL)).as("bxor"),
+            shiftleft(col("o_orderkey"), 3).as("shl"),
+            shiftright(col("o_orderkey"), 2).as("shr"),
+            expr("bit_count(o_orderkey)").cast("long").as("nbits"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |       o_orderkey & 255 AS band,
+             |       o_orderkey | 16 AS bor,
+             |       xor(o_orderkey, 90) AS bxor,
+             |       o_orderkey << 3 AS shl,
+             |       o_orderkey >> 2 AS shr,
+             |       CAST(bit_count(o_orderkey) AS BIGINT) AS nbits
+             |FROM orders WHERE o_orderkey <= 500
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "agg_collect_sorted",
+      (s, dir) => {
+        // Deterministic set-valued aggregate: collect_set is
+        // order-nondeterministic, so the portable form is sort-then-join
+        // to a string — the pattern for ANY list-valued column that must
+        // hash-compare across engines.
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
+            countDistinct("l_linestatus").as("n_statuses"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+             |       count(DISTINCT l_linestatus) AS n_statuses
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
       "udtf_pos_grams",
       (s, dir) => {
         // The UDTF surface: custom Catalyst Generator (functions/
