@@ -108,4 +108,22 @@ class IngestSpec extends SparkSpec {
       assert(df.collect().head == Row(id, msg))
     }
   }
+
+  test("Dataset.observe reports ingest metrics from the same pass (no second scan)") {
+    // Production-observability surface: row counts and null counts ride
+    // the existing action as accumulator metrics — the pattern that
+    // monitors a 100 TB ingest without re-scanning it.
+    val obs = org.apache.spark.sql.Observation("ingest_metrics")
+    val src = Tables.t(spark, sf, "events")
+      .select(col("user_id").as("id"), col("event_type").as("msg"),
+        col("event_id").as("version"))
+    val observed = src.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum(when(col("msg").isNull, 1L).otherwise(0L)).as("n_null_msg"))
+    val nOut = Ingest.latestWins(observed, Seq("id"), Seq("version")).count()
+    val m = obs.get
+    assert(m("n_in") == src.count(), "observed input rows must match table count")
+    assert(m("n_null_msg") == 0L)
+    assert(nOut <= m("n_in").asInstanceOf[Long])
+  }
 }

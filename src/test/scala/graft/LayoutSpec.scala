@@ -99,6 +99,22 @@ class LayoutSpec extends SparkSpec {
     assert(zHit < 8, s"z-order layout must allow skipping some files, got $zHit/8")
   }
 
+  test("nested-schema pruning: reading one struct field prunes the rest from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("nested_prune").toString
+    Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("total")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select(col("o_orderkey"), col("meta.cust"))
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(scan).getOrElse("")
+    assert(readSchema.contains("cust"), s"pruned field missing: $readSchema")
+    assert(!readSchema.contains("prio") && !readSchema.contains("total"),
+      s"unused struct fields must be pruned from the parquet scan: $readSchema")
+    assert(q.count() == Tables.t(spark, sf, "orders").count())
+  }
+
   private def withConf[T](kvs: (String, String)*)(body: => T): T = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
