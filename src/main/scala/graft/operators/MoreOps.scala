@@ -259,6 +259,29 @@ object MoreOps {
              |ORDER BY o_orderkey""".stripMargin)),
 
     GQuery(
+      "scalar_try",
+      (s, dir) => {
+        // Error-tolerant scalar surface: try_divide / try_cast return
+        // NULL where strict evaluation would throw — the semantics a
+        // 100 TB job needs so one bad row can't kill stage retries
+        // (same stance as the reference's skip-bad-records parse,
+        // HadoopKafkaConsumer.java:58-61).
+        Tables.t(s, dir, "orders")
+          .where(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"),
+            round(expr("try_divide(o_totalprice, o_orderkey % 10)"), 4).as("per_digit"),
+            expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+            expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").cast("long").as("prio_digit"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |       round(o_totalprice / nullif(o_orderkey % 10, 0), 4) AS per_digit,
+             |       TRY_CAST(o_orderpriority AS INT) AS prio_int,
+             |       CAST(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS BIGINT) AS prio_digit
+             |FROM orders WHERE o_orderkey <= 500
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
       "agg_collect_sorted",
       (s, dir) => {
         // Deterministic set-valued aggregate: collect_set is
