@@ -31,5 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("z_interleave"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "z_interleave"),
       (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("pos_word_grams"),
+      new ExpressionInfo(classOf[graft.functions.PosWordGrams].getName, "pos_word_grams"),
+      (exprs: Seq[Expression]) => graft.functions.PosWordGrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    // thresholded levenshtein comparisons → bounded banded DP
+    e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
   }
 }

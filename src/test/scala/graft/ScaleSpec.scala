@@ -160,4 +160,31 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval grams must broadcast:\n$plan")
   }
+
+  test("BoundedLevenshteinRule rewrites filters to the banded DP, results unchanged") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val p = Tables.t(spark, sf, "part").select("p_partkey", "p_name")
+    def q() = p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("pa"), col("b.p_partkey").as("pb"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .where(col("dist") <= 3)
+    val before = q().collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BoundedLevenshteinRule
+    try {
+      val opt = q()
+      val boundedInPlan = opt.queryExecution.optimizedPlan
+        .collect { case node => node.expressions }.flatten
+        .exists(_.exists {
+          case Levenshtein(_, _, Some(_)) => true
+          case _ => false
+        })
+      assert(boundedInPlan, "filter must carry the thresholded levenshtein form")
+      assert(opt.collect().toSet == before, "rewrite must not change results")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.BoundedLevenshteinRule)
+    }
+  }
 }
