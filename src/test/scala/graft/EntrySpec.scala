@@ -16,6 +16,13 @@ class EntrySpec extends SparkSpec {
     assert(qs.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("registry has no duplicate query names (map would silently drop one)") {
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
   test("NOT IN goes empty when the subquery contains a NULL (3VL anti join)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
