@@ -163,6 +163,48 @@ object Extras {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     GQuery(
+      "table_profile",
+      (s, dir) => {
+        // Data profiling (ANALYZE-style column statistics as a query):
+        // null count, distinct count, min/max per column, one row per
+        // column. Each profile is a single scan-side aggregate; at
+        // 100 TB ndv becomes approx_count_distinct and all columns
+        // share ONE scan via a multi-aggregate — this exact form is the
+        // oracle-checkable anchor.
+        val l = Tables.t(s, dir, "lineitem")
+        def prof(c: String) = l.agg(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(lit(c).as("col"), col("n_nulls"), col("ndv"),
+            col("min_s"), col("max_s"))
+        prof("l_orderkey").union(prof("l_returnflag")).union(prof("l_quantity"))
+          .orderBy("col")
+      },
+      Some("""SELECT col, CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv,
+             |       min_s, max_s FROM (
+             |  SELECT 'l_orderkey' AS col,
+             |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             |         count(DISTINCT l_orderkey) AS ndv,
+             |         CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+             |         CAST(max(l_orderkey) AS VARCHAR) AS max_s
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag',
+             |         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+             |         count(DISTINCT l_returnflag),
+             |         CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity',
+             |         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+             |         count(DISTINCT l_quantity),
+             |         CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+             |  FROM lineitem)
+             |ORDER BY col""".stripMargin)),
+
+    GQuery(
       "agg_approx_distinct",
       (s, dir) => {
         // HLL++ sketch distinct — the 100 TB path for distinct counts

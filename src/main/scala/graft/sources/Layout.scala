@@ -74,4 +74,34 @@ object Layout {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Compact a parquet directory's small files to ~`targetBytes` files
+    * (the maintenance job every streaming/partitioned sink needs: a
+    * micro-batch sink writes one file per trigger per partition, and a
+    * year of 1-minute triggers is half a million tiny files whose
+    * listing + open overhead dominates scans). Sizing comes from the
+    * directory's actual on-disk bytes; rewrite is one coalesce — no
+    * shuffle — into a temp dir, then an atomic-enough swap via rename.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val before = parquetFiles(new java.io.File(dir))
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = dir + ".compact_tmp"
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dirF = new java.io.File(dir)
+    val bak = new java.io.File(dir + ".compact_old")
+    require(dirF.renameTo(bak), s"could not move $dir aside")
+    require(new java.io.File(tmp).renameTo(dirF), s"could not move $tmp into place")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(bak)
+    (before.size, parquetFiles(dirF).size)
+  }
 }

@@ -99,6 +99,18 @@ class LayoutSpec extends SparkSpec {
     assert(zHit < 8, s"z-order layout must allow skipping some files, got $zHit/8")
   }
 
+  test("compact merges a many-small-file directory, preserving rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val src = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    src.repartition(32).write.parquet(dir) // simulate a chatty sink
+    val expected = src.orderBy("o_orderkey").collect().toSeq
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(before == 32 && after < before && after >= 1,
+      s"expected fewer files, got $before -> $after")
+    val back = spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq
+    assert(back == expected, "compaction must preserve rows exactly")
+  }
+
   test("nested-schema pruning: reading one struct field prunes the rest from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("nested_prune").toString
     Tables.t(spark, sf, "orders")
