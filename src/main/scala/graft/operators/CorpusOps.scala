@@ -164,6 +164,73 @@ object CorpusOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "dedup_span_removal",
+      (s, dir) => {
+        // EXACT-SUBSTRING SPAN REMOVAL (the Lee-et-al. transform: delete
+        // the duplicated span bytes, keep the rest of the document —
+        // stronger than whole-doc dedup, the form production corpora
+        // actually ship). A token position is removed iff it is covered
+        // by some word-8-gram occurring in >= 2 distinct docs.
+        // Pipeline: gram starts from the PosWordGrams generator (UDTF,
+        // no per-row gram array) → cross-doc duplicate grams (broadcast:
+        // the duplicate-gram set is tiny relative to the corpus) →
+        // covered positions via sequence-explode → anti join back onto
+        // the token stream → re-assemble per doc. At 100 TB every join
+        // here keys on (doc_id, pos) or a broadcast gram set — nothing
+        // quadratic, and the only wide exchange is the per-doc
+        // re-assembly the transform inherently needs.
+        graft.functions.PosWordGrams.register(s)
+        val d = docs(s, dir)
+        val gramStarts = d.select(col("doc_id"),
+          expr("pos_word_grams(text, 8)").as(Seq("start", "gram")))
+        val dupGrams = gramStarts.groupBy("gram")
+          .agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") >= 2).select("gram")
+        val covered = gramStarts.join(broadcast(dupGrams), "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("start"), col("start") + 7)).as("p"))
+          .distinct()
+        val toks = d.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        val kept = toks.join(covered,
+            toks("doc_id") === covered("doc_id") && toks("pos") === covered("p"),
+            "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"))
+        d.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  g AS (SELECT doc_id, start, gram FROM (
+             |          SELECT doc_id, unnest([{'start': i, 'gram': array_to_string(tk[i:i+7], ' ')}
+             |                                 for i in range(1, len(tk) - 6)], recursive := true)
+             |          FROM t WHERE len(tk) >= 8)),
+             |  dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |  cov AS (SELECT DISTINCT g.doc_id, u.p
+             |          FROM g JOIN dup USING (gram),
+             |               LATERAL (SELECT unnest(range(g.start, g.start + 8)) AS p) u),
+             |  toks AS (SELECT doc_id, pos, tok FROM (
+             |             SELECT doc_id, unnest([{'pos': i, 'tok': tk[i]}
+             |                                    for i in range(1, len(tk) + 1)], recursive := true)
+             |             FROM t)),
+             |  kept AS (SELECT toks.doc_id, count(*) AS n_kept,
+             |                  array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+             |           FROM toks LEFT JOIN cov
+             |             ON toks.doc_id = cov.doc_id AND toks.pos = cov.p
+             |           WHERE cov.p IS NULL
+             |           GROUP BY toks.doc_id)
+             |SELECT d.doc_id, coalesce(n_kept, 0) AS n_kept,
+             |       coalesce(clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
       "docs_pack_sequential",
       (s, dir) => {
         // Sequence PACKING (concat-then-chunk, the way LLM training data
