@@ -266,16 +266,21 @@ object MoreOps {
         // 100 TB job needs so one bad row can't kill stage retries
         // (same stance as the reference's skip-bad-records parse,
         // HadoopKafkaConsumer.java:58-61).
+        // per_digit is FLOOR-scaled, not rounded: round(q, 4) of a
+        // repeating-decimal quotient can land on a half-tie whose winner
+        // differs between engines' rounding paths (caught by the
+        // sf0.001 cross-scale check); floor(q * 100) is a pure IEEE op
+        // chain, identical everywhere.
         Tables.t(s, dir, "orders")
           .where(col("o_orderkey") <= 500)
           .select(col("o_orderkey"),
-            round(expr("try_divide(o_totalprice, o_orderkey % 10)"), 4).as("per_digit"),
+            floor(expr("try_divide(o_totalprice, o_orderkey % 10)") * 100).cast("long").as("per_digit_e2"),
             expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
             expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").cast("long").as("prio_digit"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
-             |       round(o_totalprice / nullif(o_orderkey % 10, 0), 4) AS per_digit,
+             |       CAST(floor(o_totalprice / nullif(o_orderkey % 10, 0) * 100) AS BIGINT) AS per_digit_e2,
              |       TRY_CAST(o_orderpriority AS INT) AS prio_int,
              |       CAST(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS BIGINT) AS prio_digit
              |FROM orders WHERE o_orderkey <= 500
