@@ -54,6 +54,36 @@ class SourcesSpec extends SparkSpec {
       s"ORC scan must push the predicate:\n$scan")
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet writes") {
+    // Schema drift is a fact of life for a long-lived 100 TB table:
+    // later writers add columns; mergeSchema reads must surface the
+    // union with nulls for the missing side.
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "msg").write.parquet(dir + "/w1")
+    Seq((2L, "b", 9L)).toDF("id", "msg", "version").write.parquet(dir + "/w2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir + "/w1", dir + "/w2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "msg", "version"))
+    val rows = merged.select("id", "msg", "version")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
+  test("_metadata file columns attribute rows to their source files") {
+    // Row provenance (which file did this row come from) without any
+    // extra column in the data — the debugging/incremental-processing
+    // hook at scale.
+    val dir = java.nio.file.Files.createTempDirectory("meta").toString + "/t"
+    Tables.t(spark, sf, "region").write.parquet(dir)
+    val withMeta = spark.read.parquet(dir)
+      .select(col("r_regionkey"), col("_metadata.file_name").as("fn"),
+        col("_metadata.file_size").as("sz"))
+    val rows = withMeta.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(1).endsWith(".parquet") && r.getLong(2) > 0))
+  }
+
   test("CSV strict: explicit schema, malformed rows dropped") {
     val dir = java.nio.file.Files.createTempDirectory("csv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "d.csv"),
