@@ -174,6 +174,33 @@ object EventOps {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     GQuery(
+      "events_outliers",
+      (s, dir) => {
+        // Z-score outlier gate (the numeric analog of the text quality
+        // rules): per-type mean/stddev are a TINY aggregate broadcast
+        // back onto the stream; flagging is a scan-side comparison.
+        // Output is counts (|v−m| > 3σ), not z quotients — comparisons
+        // of continuous doubles don't sit on representable ties the way
+        // rounded decimal quotients do.
+        val e = Tables.t(s, dir, "events")
+        val st = e.groupBy("event_type")
+          .agg(avg("value").as("m"), stddev_pop("value").as("sd"))
+        e.join(broadcast(st), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("m")) > lit(3) * col("sd"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+             |           FROM events GROUP BY event_type)
+             |SELECT e.event_type, count(*) AS n,
+             |       CAST(sum(CASE WHEN abs(e.value - s.m) > 3 * s.sd THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_outliers
+             |FROM events e JOIN s USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    GQuery(
       "events_dau_wau",
       (s, dir) => {
         // DAU + trailing-7-day WAU per day. Events collapse to the
