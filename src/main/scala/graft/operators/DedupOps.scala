@@ -37,6 +37,41 @@ object DedupOps {
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(sh, x => portableHash(x, i)))): _*)
 
+  /** PRODUCTION MinHash+LSH pairs: identical pipeline shape to
+    * [[minhashLshPairs]] but with xxhash64 seeds over the
+    * [[graft.functions.WordGramHashes]] kernel hashes — no gram strings,
+    * no md5. ~50× cheaper signatures than the portable-md5 form, which
+    * exists to be bit-reproducible in the DuckDB oracle; this is the
+    * variant a 100 TB corpus runs (DedupScaleSpec stresses it on a
+    * synthesized 40× corpus with planted near-dups).
+    */
+  def minhashLshPairsFast(d: DataFrame, n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+    require(k % bands == 0)
+    val rows = k / bands
+    graft.functions.WordGramHashes.register(d.sparkSession)
+    val withSh = d.select(col("doc_id"),
+        graft.functions.WordGramHashes.word_gram_hashes("text", n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = array((0 until k).map(i =>
+      array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*)
+    val banded = withSh
+      .select(col("doc_id"), col("sh"), sig.as("sig"))
+      .select(col("doc_id"), col("sh"), explode(array((0 until bands).map { b =>
+        concat(lit(b + ":"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).cast("string"))
+      }: _*)).as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
   /** LSH band keys: signature split into `bands` bands of `rows` hashes,
     * each hashed to one bucket key string "band:md5(...)".
     */
