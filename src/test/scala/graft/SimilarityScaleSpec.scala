@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the ANN path, mirroring DedupScaleSpec: a 40k-vector
+  * corpus (16× the fixture) built by jittering each base vector, with
+  * the jittered copies as PLANTED nearest neighbors of their base. Gates
+  * that the SRP-LSH bucket join still concentrates true neighbors at a
+  * corpus size where brute force is 1.6B pair-scores per full sweep.
+  */
+class SimilarityScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SRP-LSH finds planted jitter-neighbors in a 40k-vector corpus") {
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(23)
+    // 16 jittered copies per base vector (cosine to base stays ~0.999)
+    val corpus = base.flatMap { case (id, v) =>
+      (0 until 16).map { j =>
+        val jv = v.map(x => x + rnd.nextGaussian() * 0.01)
+        (id * 16 + j, jv)
+      }
+    }.toSeq.toDF("vec_id", "em")
+
+    val ann = SimilarityOps.annTopK(corpus, k = 5, planes = 6, tables = 8, dims = 64)
+      .where(col("qid") % 16 === 0 && col("qid") < 50 * 16)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // for each probed base copy, its 15 sibling jitters are the planted
+    // true neighbors; the top-5 should be dominated by siblings
+    val hitRates = ann.map { case (qid, got) =>
+      val family = qid / 16
+      got.count(_ / 16 == family).toDouble / got.size.max(1)
+    }
+    assert(ann.size >= 40, s"expected ~50 probed queries, got ${ann.size}")
+    val mean = hitRates.sum / hitRates.size
+    assert(mean >= 0.8, s"planted-sibling hit rate $mean over ${ann.size} queries")
+  }
+}
