@@ -35,6 +35,20 @@ class EntrySpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("no registered query plans a shuffle CartesianProduct") {
+    // BroadcastNestedLoopJoin over a broadcast singleton/tiny side is a
+    // deliberate pattern here (corpus-stat crossJoins, band joins); a
+    // CartesianProductExec means two BIG sides met without a key — the
+    // plan shape that detonates at scale. Streaming differential
+    // queries execute work on construction, so this doubles as a cheap
+    // second smoke at sf0.001.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("every query executes and returns rows on sf0.001") {
     val empties = Seq.newBuilder[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
