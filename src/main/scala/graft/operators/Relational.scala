@@ -350,6 +350,40 @@ object Relational {
       Some(q10Sql)),
 
     GQuery(
+      "q18_large_orders",
+      (s, dir) => {
+        // TPC-H Q18 shape: IN over an AGGREGATED subquery (orders whose
+        // line quantities sum past a threshold), then enrich. Catalyst
+        // plans the IN as a left-semi join against the aggregate — the
+        // aggregate side collapses to |qualifying orders| rows before
+        // any join, so the pattern scales as two keyed exchanges.
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .where(col("sum_qty") > 180)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            round(col("o_totalprice"), 2).as("totalprice"),
+            round(col("sum_qty"), 2).as("sum_qty"))
+          .orderBy(desc("sum_qty"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             |       round(o_totalprice, 2) AS totalprice,
+             |       round(sum_qty, 2) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(l_quantity) > 180) big
+             |  ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    GQuery(
       "sql_recursive_spine",
       (s, dir) => {
         // RECURSIVE CTE surface (Spark 4 WITH RECURSIVE): build a month
