@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   *    scale;
   *  - MinHash/LSH: candidate pairs only within equal (band, bandhash)
   *    buckets — N·bands rows shuffled, never N²;
-  *  - SimHash: 64-bit signature, banded into 4×16-bit keys → bucket join
-  *    catches all pairs within Hamming distance 3.
+  *  - SimHash: 32-bit portable signature, banded into 4×8-bit keys →
+  *    bucket join catches all pairs within Hamming distance 3.
   */
 object DedupOps {
 
@@ -31,7 +31,7 @@ object DedupOps {
     * what makes the MinHash signatures oracle-checkable in principle.)
     */
   def portableHash(s: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed + ":"), s).cast("binary")), 1, 8), 16, 10).cast("long")
+    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** MinHash signature: array of `k` min-hashes over the shingle set. */
   def minhashSignature(sh: Column, k: Int): Column =
@@ -57,7 +57,7 @@ object DedupOps {
     val banded = withSh
       .select(col("doc_id"), col("sh"), sig.as("sig"))
       .select(col("doc_id"), col("sh"), explode(array((0 until bands).map { b =>
-        concat(lit(b + ":"),
+        concat(lit(s"$b:"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).cast("string"))
       }: _*)).as("bk"))
     val cands = banded.as("a").join(banded.as("b"),
@@ -77,7 +77,7 @@ object DedupOps {
     */
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
-      concat(lit(b + ":"), md5(concat_ws("_",
+      concat(lit(s"$b:"), md5(concat_ws("_",
         slice(sig, b * rows + 1, rows).cast("array<string>")).cast("binary")))
     }: _*)
 
@@ -174,7 +174,7 @@ object DedupOps {
       .select(col("doc_id"), simhashFromHashes.as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
-        concat(lit(b + ":"), (shiftright(col("sig"), b * 8).bitwiseAND(0xFFL)).cast("string"))): _*)).as("bk"))
+        concat(lit(s"$b:"), (shiftright(col("sig"), b * 8).bitwiseAND(0xFFL)).cast("string"))): _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -58,7 +58,7 @@ object Ingest {
         .map(d => coalesce(col(s"__j.${f.name}"), d).as(f.name))
         .getOrElse(col(s"__j.${f.name}").as(f.name))
     }
-    parsed.select(df.columns.map(col) ++ fields: _*).drop("__j", jsonCol)
+    parsed.select(df.columns.toIndexedSeq.map(col) ++ fields: _*).drop("__j", jsonCol)
   }
 
   /** Latest-wins dedup: keep, per `keys`, the row with the maximal
@@ -76,7 +76,7 @@ object Ingest {
   def latestWins(df: DataFrame, keys: Seq[String], version: Seq[String]): DataFrame = {
     val payload = df.columns.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), struct(version.map(col): _*)).as("__latest"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), struct(version.map(col): _*)).as("__latest"))
       .select(keys.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
   }
 
@@ -85,7 +85,7 @@ object Ingest {
     * write snapshot ≡ `mode("overwrite")`).
     */
   def writeSnapshotJson(df: DataFrame, path: String): Unit =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .write.mode("overwrite").text(path)
 
   // ---------------------------------------------------------------- queries

@@ -68,7 +68,7 @@ object SimilarityOps {
   /** ±1 pseudo-random sign vector for plane `p` (deterministic). */
   private def signArray(p: Int, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
-      d => when(pmod(xxhash64(concat(lit(p + ":"), d.cast("string"))), lit(2)) === 0, lit(1.0))
+      d => when(pmod(xxhash64(concat(lit(s"$p:"), d.cast("string"))), lit(2)) === 0, lit(1.0))
         .otherwise(lit(-1.0)))
 
   /** ANN top-k: SRP-bucketed candidate join, exact cosine inside buckets.
@@ -80,7 +80,7 @@ object SimilarityOps {
       explode(array((0 until tables).map(t =>
         // each table gets its OWN plane set (offset t*planes) — otherwise
         // all tables hash identically and multi-probe buys nothing
-        concat(lit(t + "#"), srpKey(col("em"), planes, dims, t * planes))): _*)).as("bk"))
+        concat(lit(s"$t#"), srpKey(col("em"), planes, dims, t * planes))): _*)).as("bk"))
     val cands = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),

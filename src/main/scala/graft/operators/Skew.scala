@@ -30,7 +30,7 @@ object Skew {
     require(saltBuckets > 1)
     val payload = df.columns.filterNot(keys.contains)
     val versioned = struct(version.map(col): _*)
-    val payloadStruct = struct(payload.map(col): _*)
+    val payloadStruct = struct(payload.toIndexedSeq.map(col): _*)
     // deterministic salt from the version columns: spreads a hot key's
     // rows across buckets without an RNG (replayable, streaming-safe)
     val salt = pmod(xxhash64(versioned), lit(saltBuckets))
@@ -40,7 +40,7 @@ object Skew {
       .select(keys.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
     val stage2 = stage1
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), struct(version.map(col): _*)).as("__latest"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), struct(version.map(col): _*)).as("__latest"))
     stage2.select(keys.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
   }
 
