@@ -24,6 +24,38 @@ object CorpusOps {
 
   private val stopList = TextOps.stopwords.map("'" + _ + "'").mkString(",")
 
+  /** Exact-substring span removal over `d` (doc_id, text): tokens
+    * covered by any word-`n`-gram occurring in >= 2 distinct docs are
+    * deleted; returns (doc_id, n_kept, clean_text) for EVERY input doc
+    * (fully-duplicated docs come back with n_kept = 0, clean_text = "").
+    * See `dedup_span_removal` for the per-stage scale notes.
+    */
+  def spanRemoved(d: DataFrame, n: Int): DataFrame = {
+    graft.functions.PosWordGrams.register(d.sparkSession)
+    val gramStarts = d.select(col("doc_id"),
+      expr(s"pos_word_grams(text, $n)").as(Seq("start", "gram")))
+    val dupGrams = gramStarts.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    val covered = gramStarts.join(broadcast(dupGrams), "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
+      .distinct()
+    val toks = d.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(covered,
+        toks("doc_id") === covered("doc_id") && toks("pos") === covered("p"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    d.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -179,31 +211,7 @@ object CorpusOps {
         // here keys on (doc_id, pos) or a broadcast gram set — nothing
         // quadratic, and the only wide exchange is the per-doc
         // re-assembly the transform inherently needs.
-        graft.functions.PosWordGrams.register(s)
-        val d = docs(s, dir)
-        val gramStarts = d.select(col("doc_id"),
-          expr("pos_word_grams(text, 8)").as(Seq("start", "gram")))
-        val dupGrams = gramStarts.groupBy("gram")
-          .agg(countDistinct("doc_id").as("nd"))
-          .where(col("nd") >= 2).select("gram")
-        val covered = gramStarts.join(broadcast(dupGrams), "gram")
-          .select(col("doc_id"),
-            explode(sequence(col("start"), col("start") + 7)).as("p"))
-          .distinct()
-        val toks = d.select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-        val kept = toks.join(covered,
-            toks("doc_id") === covered("doc_id") && toks("pos") === covered("p"),
-            "left_anti")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-              x => x.getField("tok"))).as("clean_text"))
-        d.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("clean_text"), lit("")).as("clean_text"))
-          .orderBy("doc_id")
+        spanRemoved(docs(s, dir), n = 8).orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
              |           FROM documents),
@@ -229,6 +237,56 @@ object CorpusOps {
              |       coalesce(clean_text, '') AS clean_text
              |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
+      "docs_export_pipeline",
+      (s, dir) => {
+        // The EXPORT capstone — what actually ships to training, as ONE
+        // plan: span-removal cleaning (dedup at sub-document
+        // granularity) → minimum-length gate on the CLEANED token count
+        // → concat-then-chunk packing of the survivors into 2048-token
+        // context windows. Composes the verified pieces end-to-end so
+        // the stage interfaces (cleaned counts feeding the gate feeding
+        // the cumsum) are themselves differentially checked.
+        import org.apache.spark.sql.expressions.Window
+        val cleaned = spanRemoved(docs(s, dir), n = 8)
+          .where(col("n_kept") >= 30)
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cleaned
+          .withColumn("cum", sum("n_kept").over(w))
+          .select(col("doc_id"), col("n_kept"),
+            expr("(cum - n_kept) div 2048").as("bin"),
+            ((col("cum") - col("n_kept")) % 2048).as("off"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  g AS (SELECT doc_id, start, gram FROM (
+             |          SELECT doc_id, unnest([{'start': i, 'gram': array_to_string(tk[i:i+7], ' ')}
+             |                                 for i in range(1, len(tk) - 6)], recursive := true)
+             |          FROM t WHERE len(tk) >= 8)),
+             |  dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |  cov AS (SELECT DISTINCT g.doc_id, u.p
+             |          FROM g JOIN dup USING (gram),
+             |               LATERAL (SELECT unnest(range(g.start, g.start + 8)) AS p) u),
+             |  toks AS (SELECT doc_id, pos FROM (
+             |             SELECT doc_id, unnest([{'pos': i, 'tok': tk[i]}
+             |                                    for i in range(1, len(tk) + 1)], recursive := true)
+             |             FROM t)),
+             |  kept AS (SELECT toks.doc_id, count(*) AS n_kept
+             |           FROM toks LEFT JOIN cov
+             |             ON toks.doc_id = cov.doc_id AND toks.pos = cov.p
+             |           WHERE cov.p IS NULL
+             |           GROUP BY toks.doc_id),
+             |  gated AS (SELECT doc_id, n_kept FROM kept WHERE n_kept >= 30),
+             |  c AS (SELECT doc_id, n_kept,
+             |               sum(n_kept) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |        FROM gated)
+             |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+             |       CAST((cum - n_kept) // 2048 AS BIGINT) AS bin,
+             |       CAST((cum - n_kept) % 2048 AS BIGINT) AS off
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     GQuery(
       "docs_pack_sequential",
