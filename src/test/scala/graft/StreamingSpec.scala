@@ -167,6 +167,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 99.0)))
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows once the watermark closes the window") {
+    // Outer stream-stream semantics: an unmatched left row can only be
+    // emitted (with nulls) after the watermark proves no match can
+    // still arrive — the subtle contract distinguishing it from a batch
+    // left join.
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val c = clicks.toDF().toDF("cts", "user_id").withWatermark("cts", "5 minutes")
+    val b = buys.toDF().toDF("bts", "buser", "amount").withWatermark("bts", "5 minutes")
+    val joined = c.join(b,
+      col("user_id") === col("buser") &&
+        col("bts") >= col("cts") && col("bts") <= col("cts") + expr("INTERVAL 15 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData((t(0), 1L), (t(0), 2L))
+      buys.addData((t(10), 1L, 99.0)) // user 1 converts; user 2 never does
+      q.processAllAvailable()
+      // watermark far past user 2's click + join window → null row emits
+      clicks.addData((t(59), 9L))
+      buys.addData((t(59), 9L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_outer")
+      .select("user_id", "amount").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((1L, Some(99.0))), "matched pair must emit")
+    assert(rows.contains((2L, None)), s"unmatched click must emit null-padded after watermark: $rows")
+  }
+
   test("restart from checkpoint: offsets AND upsert state survive (no reprocess, no downgrade)") {
     // The recovery contract a production ingest needs: stop the query,
     // restart from the same checkpoint with a file source, and (a) old
