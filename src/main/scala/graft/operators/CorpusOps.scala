@@ -196,6 +196,81 @@ object CorpusOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "decontaminate_bloom",
+      (s, dir) => {
+        // Bloom-PREFILTERED decontamination — same answer as
+        // decontaminate_ngrams (the oracle IS the exact form), but the
+        // training-side gram stream passes a Bloom filter built from the
+        // eval grams BEFORE the broadcast-join verify. This is the shape
+        // that matters at 100 TB: the bloom bits (~1.2 MB per 1M grams
+        // at 1% fpp) ride the closure to every task and discard ~99% of
+        // the training gram stream before any join; false positives are
+        // removed by the exact join after, so the result is provably
+        // identical. (Spark's own runtime-filter rewrite injects exactly
+        // this under joins; here it's the explicit library form.)
+        graft.functions.WordGramHashes.register(s)
+        val inv = docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.WordGramHashes.word_gram_hashes("text", 4)).as("g"))
+        val evalGrams = inv.where(col("doc_id") % 20 === 0)
+          .select("g").distinct()
+        val bf = evalGrams.stat.bloomFilter("g", 100000L, 0.01)
+        val mightContain = udf((h: Long) => bf.mightContainLong(h))
+        inv.where(col("doc_id") % 20 =!= 0)
+          .where(mightContain(col("g")))
+          .join(broadcast(evalGrams), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct("g").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     g AS (SELECT doc_id,
+             |                  unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+             |                                        for i in range(1, len(tk) - 2)])) AS gram
+             |           FROM t WHERE len(tk) >= 4),
+             |     ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+             |SELECT doc_id, count(DISTINCT gram) AS n_shared
+             |FROM g JOIN ev USING (gram)
+             |WHERE doc_id % 20 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "docs_chunk_overlap",
+      (s, dir) => {
+        // Context-window CHUNKING with overlap (window 32 tokens, stride
+        // 24): the training-data op that slices documents into
+        // model-ready windows, keeping 8 tokens of overlap so no span is
+        // split across a boundary without context. Start positions come
+        // from sequence(0, n-1, stride) exploded per row — pure per-row
+        // array ops, a map-only stage at 100 TB (the only shuffle is the
+        // presentation ORDER BY).
+        val W = 32
+        val S = 24
+        docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) > 0)
+          .select(col("doc_id"), col("tk"),
+            explode(expr(s"sequence(0, size(tk) - 1, $S)")).as("st"))
+          .select(col("doc_id"),
+            (col("st") / S).cast("long").as("chunk_id"),
+            col("st").cast("long").as("start_tok"),
+            size(expr(s"slice(tk, st + 1, $W)")).cast("long").as("n_tok"),
+            md5(array_join(expr(s"slice(tk, st + 1, $W)"), " ")
+              .cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS st
+             |           FROM t WHERE len(tk) > 0)
+             |SELECT doc_id,
+             |       CAST(st // 24 AS BIGINT) AS chunk_id,
+             |       CAST(st AS BIGINT) AS start_tok,
+             |       CAST(len(tk[st + 1 : st + 32]) AS BIGINT) AS n_tok,
+             |       md5(array_to_string(tk[st + 1 : st + 32], ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    GQuery(
       "dedup_span_removal",
       (s, dir) => {
         // EXACT-SUBSTRING SPAN REMOVAL (the Lee-et-al. transform: delete

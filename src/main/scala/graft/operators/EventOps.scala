@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over `events` (the Kafka-topic analog):
@@ -228,6 +229,49 @@ object EventOps {
              |             GROUP BY dd)
              |SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau
              |FROM dau JOIN wau ON d = dd
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    GQuery(
+      "events_gapfill",
+      (s, dir) => {
+        // Time-series GAP-FILL: per-user daily max gauge, forward-filled
+        // over each user's own day spine. The spine is sequence(min_d,
+        // max_d) exploded from ONE row per user (never a cross join with
+        // a calendar table), the fill is last_value(IGNORE NULLS) over an
+        // unbounded-preceding frame — one window pass, no self-joins.
+        // At 100 TB: the daily aggregate is the only big shuffle (map-side
+        // combine to |users|×|days| rows); the spine+fill then run on that
+        // compacted frame. max() (not avg) keeps the gauge value exact
+        // under any summation order.
+        val daily = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+          .groupBy("user_id", "d")
+          .agg(round(max("value"), 2).as("v"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("d").as("d0"), max("d").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        spine.join(daily, Seq("user_id", "d"), "left")
+          .withColumn("v_filled", last("v", ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"),
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("v").as("v_obs"), col("v_filled"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (SELECT user_id, ts::DATE AS d, round(max(value), 2) AS v
+             |                FROM events GROUP BY user_id, ts::DATE),
+             |     bounds AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+             |                FROM daily GROUP BY user_id),
+             |     spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dt
+             |               FROM bounds),
+             |     j AS (SELECT s.user_id, s.dt::DATE AS d, daily.v
+             |           FROM spine s LEFT JOIN daily
+             |             ON daily.user_id = s.user_id AND daily.d = s.dt::DATE)
+             |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, v AS v_obs,
+             |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+             |         ROWS UNBOUNDED PRECEDING) AS v_filled
+             |FROM j ORDER BY user_id, day""".stripMargin))
   )
 }

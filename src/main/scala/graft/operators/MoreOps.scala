@@ -410,6 +410,105 @@ object MoreOps {
              |       count(*) AS n,
              |       round(min(o_totalprice), 2) AS lo,
              |       round(max(o_totalprice), 2) AS hi
-             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    GQuery(
+      "agg_median_mode",
+      (s, dir) => {
+        // Exact median (interpolating percentile-0.5) and mode in one
+        // hash aggregate. Cross-engine determinism by construction:
+        // the price median runs over exact integer CENTS, so the
+        // even-count midpoint (a+b)/2 is exactly representable and both
+        // engines' interpolation formulas agree bit-for-bit (a DOUBLE
+        // median's .xx5 midpoint round(2) is a half-tie whose winner
+        // differs between engines — the round-2 hazard). Quantities are
+        // small integral doubles, exact the same way. Mode ties are both
+        // engines' "arbitrary pick", so the mode input is made
+        // structurally tie-free: least(qty, 10) folds 10..50 onto 10
+        // (an ~82% mass winner at any scale factor).
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            median(round(col("l_extendedprice") * 100).cast("long"))
+              .as("med_price_c"),
+            median(col("l_quantity")).as("med_qty"),
+            mode(least(col("l_quantity"), lit(10.0))).cast("long").as("mode_qcap"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS med_price_c,
+             |       median(l_quantity) AS med_qty,
+             |       CAST(mode(least(l_quantity, 10)) AS BIGINT) AS mode_qcap
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
+      "scalar_variant",
+      (s, dir) => {
+        // Spark 4 VARIANT surface: parse the JSON props column ONCE into
+        // the binary semi-structured encoding, then do typed path
+        // extraction — the schema-on-read scale path (shreddable storage,
+        // no per-access string re-parse; contrast get_json_object which
+        // re-parses per field). A miss path returns NULL, not an error.
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(col("event_id"),
+            try_variant_get(col("v"), "$.k", "bigint").as("k"),
+            try_variant_get(col("v"), "$.missing", "string").as("missing"))
+          .select(col("event_id"), col("k"), col("missing"),
+            (col("k") % 10).as("k_bucket"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |       json_extract(props, '$.k')::BIGINT AS k,
+             |       json_extract_string(props, '$.missing') AS missing,
+             |       json_extract(props, '$.k')::BIGINT % 10 AS k_bucket
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "ingest_xml_parse",
+      (s, dir) => {
+        // Spark 4 native XML: wrap each row in an XML envelope, parse it
+        // back with from_xml under an explicit schema (same
+        // declared-schema lenient stance as the reference's JSON path,
+        // SURVEY §2A #5). The oracle is the identity projection — the
+        // check is that the XML round-trip is lossless and typed.
+        // Pure per-row projection: codegen'd, no shuffle, map-only at
+        // 100 TB.
+        import org.apache.spark.sql.types.StructType
+        val xml = Tables.t(s, dir, "orders")
+          .select(concat(
+            lit("<o><k>"), col("o_orderkey"),
+            lit("</k><st>"), col("o_orderstatus"),
+            lit("</st><pr>"), col("o_orderpriority"), lit("</pr></o>")).as("x"))
+        xml.select(from_xml(col("x"),
+            StructType.fromDDL("k BIGINT, st STRING, pr STRING")).as("r"))
+          .select(col("r.k").as("k"), col("r.st").as("st"), col("r.pr").as("pr"))
+          .orderBy("k")
+      },
+      Some("""SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr
+             |FROM orders ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "agg_sketch_union",
+      (s, dir) => {
+        // Mergeable-sketch pattern (the two-level form EVERY 100 TB
+        // distinct-count takes): shards sketch independently
+        // (hll_sketch_agg — DataSketches HLL, bounded memory per task),
+        // then the tiny per-shard sketches union into one estimate
+        // (hll_union_agg). Contrast a global countDistinct, whose
+        // exact shuffle moves every distinct key. Rows-only driver
+        // check (sketch internals are engine-specific); ScalaTest
+        // gates the estimate within 5% of exact.
+        Tables.t(s, dir, "lineitem")
+          .withColumn("shard", pmod(col("l_orderkey"), lit(16)))
+          .groupBy("shard")
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+            count(lit(1)).as("n"))
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
+            sum("n").as("n_rows"))
+          .select(col("approx_parts"), col("n_rows"))
+      },
+      None)
   )
 }

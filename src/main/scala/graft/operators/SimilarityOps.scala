@@ -244,6 +244,56 @@ object SimilarityOps {
              |ORDER BY keeper, dup""".stripMargin)),
 
     GQuery(
+      "dedup_semantic",
+      (s, dir) => {
+        // SEMANTIC dedup (SemDeDup shape): coarse semantic bucketing —
+        // every vector assigned to its nearest of k seed centroids (the
+        // deterministic, oracle-able stand-in for a trained quantizer;
+        // the ITERATIVE quantizer lives in ivfTopK) — then near-dup
+        // pairs scanned ONLY within buckets. At 100 TB the O(n²) pair
+        // scan becomes k independent O((n/k)²) scans co-located by the
+        // bucket shuffle, and the seed table broadcasts. Assignment uses
+        // row_number over (cosine DESC, cell) — the same argmax-with-
+        // tiebreak that hash-matches in sim_topk_bruteforce, so the
+        // whole path stays bit-identical to the DuckDB oracle.
+        CosineSimilarity.register(s)
+        val e = emb(s, dir).select(col("vec_id"), col("em"))
+        val seeds = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("em").as("ce"))
+        val assigned = e.join(broadcast(seeds))
+          .select(col("vec_id"), col("em"), col("cell"),
+            CosineSimilarity.cosine_sim("em", "ce").as("sc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(desc("sc"), asc("cell"))))
+          .where(col("rn") === 1)
+          .select(col("cell"), col("vec_id"), col("em"))
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.cell").as("cell"), col("a.vec_id").as("keeper"),
+            col("b.vec_id").as("dup"),
+            CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+          .where(col("score") >= 0.45)
+          .select(col("cell"), col("keeper"), col("dup"),
+            round(col("score"), 4).as("score"))
+          .orderBy("cell", "keeper", "dup")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             |     seeds AS (SELECT vec_id AS cell, em AS ce FROM e WHERE vec_id < 8),
+             |     scored AS (SELECT e.vec_id, e.em, cell,
+             |                       list_cosine_similarity(em, ce) AS sc
+             |                FROM e, seeds),
+             |     r AS (SELECT vec_id, em, cell,
+             |                  row_number() OVER (PARTITION BY vec_id
+             |                                     ORDER BY sc DESC, cell) AS rn
+             |           FROM scored),
+             |     a AS (SELECT cell, vec_id, em FROM r WHERE rn = 1)
+             |SELECT x.cell AS cell, x.vec_id AS keeper, y.vec_id AS dup,
+             |       round(list_cosine_similarity(x.em, y.em), 4) AS score
+             |FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+             |WHERE list_cosine_similarity(x.em, y.em) >= 0.45
+             |ORDER BY cell, keeper, dup""".stripMargin)),
+
+    GQuery(
       "emb_quantize_int8",
       (s, dir) => {
         // Symmetric int8 quantization of the embedding column — the
