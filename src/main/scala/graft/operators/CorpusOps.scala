@@ -212,9 +212,18 @@ object CorpusOps {
         val inv = docs(s, dir).select(col("doc_id"),
           explode(graft.functions.WordGramHashes.word_gram_hashes("text", 4)).as("g"))
         val evalGrams = inv.where(col("doc_id") % 20 === 0)
-          .select("g").distinct()
-        val bf = evalGrams.stat.bloomFilter("g", 100000L, 0.01)
-        val mightContain = udf((h: Long) => bf.mightContainLong(h))
+          .select("g").distinct().persist()
+        // Size the filter from the data (2x headroom) — a fixed capacity
+        // saturates at larger scale factors, degrading fpp toward 1 and
+        // turning the prefilter into a pass-through. The persist means the
+        // eval-gram explode+distinct runs once, shared by the count, the
+        // bloomFilter action, and the broadcast-join build side.
+        val nEval = evalGrams.count()
+        val bf = evalGrams.stat.bloomFilter("g", math.max(2L * nEval, 1024L), 0.01)
+        // asNondeterministic stops constraint inference from copying the
+        // probe onto the eval side (grams there are all present by
+        // construction — a pure-overhead filter in the physical plan).
+        val mightContain = udf((h: Long) => bf.mightContainLong(h)).asNondeterministic()
         inv.where(col("doc_id") % 20 =!= 0)
           .where(mightContain(col("g")))
           .join(broadcast(evalGrams), "g")

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus CURATION operators — the keep/drop decisions of a training-data
+  * pipeline that sit between raw dedup signals and the export: prefix
+  * dedup, cluster-representative selection by quality, deterministic
+  * source re-weighting (data mixing), and per-key rate limiting.
+  *
+  * All four are one-or-two-shuffle plans keyed on stable 64-bit hashes or
+  * small composite keys; nothing here widens rows or multiplies them, so
+  * each survives a 100 TB corpus with the shuffle the semantics already
+  * require and nothing more.
+  */
+object CurateOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "text_prefix_dedup",
+      (s, dir) => {
+        // PREFIX dedup (RefinedWeb-style): documents that share their
+        // first 16 tokens are near-certain near-dups (mirrors, partial
+        // re-crawls, truncations) — cheaper than any shingle pass
+        // because the key is ONE 64-bit hash per doc, not a gram set.
+        // Keep the lowest doc_id per prefix key. At 100 TB this is the
+        // exact-dedup plan shape: hash right above the scan, one
+        // shuffle of (hash, id) pairs, min-aggregate.
+        val toks = TextOps.tokens(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            DedupOps.portableHash(concat_ws(" ", slice(toks, 1, 16)), 0).as("pk"))
+          .groupBy("pk")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+          .select(col("doc_id"), col("n_dups"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |     k AS (SELECT doc_id,
+             |                  ('0x' || substring(md5('0:' ||
+             |                     array_to_string(tk[1:16], ' ')), 1, 8))::BIGINT AS pk
+             |           FROM t)
+             |SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+             |FROM k GROUP BY pk ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "dedup_keep_best",
+      (s, dir) => {
+        // Cluster-representative SELECTION: near-dup clusters (J>=0.5
+        // connected components, same pair graph as dedup_clusters) keep
+        // their highest-quality member — here max n_chars, ties to the
+        // lowest doc_id — instead of the arbitrary min-id. Singleton
+        // docs are their own cluster (coalesce to doc_id). This is the
+        // keep/drop decision step of corpus dedup: one argmax aggregate
+        // per cluster after the CC labels, no extra shuffle beyond the
+        // label join.
+        val d = Tables.t(s, dir, "documents")
+        val labels = DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(d, n = 3, minJ = 0.5))
+        d.select(col("doc_id"), col("n_chars"))
+          .join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .groupBy("cluster")
+          .agg(
+            max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd")))
+              .as("keep_id"),
+            max("n_chars").as("keep_chars"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE
+             |  t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |        FROM documents),
+             |  sh AS (SELECT doc_id,
+             |                list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                               for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |  sz AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+             |  pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |            GROUP BY 1, 2),
+             |  edges AS (SELECT doc_a, doc_b
+             |            FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             |            WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.5),
+             |  bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+             |            UNION SELECT doc_b, doc_a FROM edges),
+             |  reach(node, label) AS (
+             |    SELECT a, a FROM bidir
+             |    UNION
+             |    SELECT bd.b, r.label FROM reach r JOIN bidir bd ON bd.a = r.node),
+             |  labels AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+             |  all_l AS (SELECT d.doc_id, d.n_chars,
+             |                   coalesce(l.cluster, d.doc_id) AS cluster
+             |            FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+             |  ranked AS (SELECT cluster, doc_id, n_chars,
+             |                    row_number() OVER (PARTITION BY cluster
+             |                       ORDER BY n_chars DESC, doc_id) AS rn
+             |             FROM all_l)
+             |SELECT cluster, max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS keep_id,
+             |       max(n_chars)::BIGINT AS keep_chars, count(*)::BIGINT AS n_members
+             |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    GQuery(
+      "docs_mix_weighted",
+      (s, dir) => {
+        // Deterministic DATA MIXING: re-weight sources toward a target
+        // mixture by per-source keep-fractions (1, 1/2, 1/4, 1/8 by
+        // source index mod 4), decided by an md5 threshold on the
+        // content — reproducible across engines, runs, and partitionings
+        // (no RNG), and it pushes as a cheap filter right above the
+        // scan. The mixing step every multi-source training corpus
+        // runs before tokenization.
+        val idx = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+        val thr = element_at(
+          array(lit(256L), lit(128L), lit(64L), lit(32L)), pmod(idx, lit(4)) + 1)
+        val hv = conv(substring(md5(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")).cast("binary")),
+          1, 2), 16, 10).cast("long")
+        Tables.t(s, dir, "documents")
+          .withColumn("keep", hv < thr)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_in"),
+            count(when(col("keep"), 1)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*)::BIGINT AS n_in,
+             |       count(CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || ':' || text), 1, 2))::BIGINT
+             |                       < CASE regexp_extract(source, 'src(\d+)', 1)::INT % 4
+             |                           WHEN 0 THEN 256 WHEN 1 THEN 128
+             |                           WHEN 2 THEN 64 ELSE 32 END
+             |                  THEN 1 END)::BIGINT AS n_kept
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    GQuery(
+      "events_rate_limit",
+      (s, dir) => {
+        // Per-key RATE LIMITING: keep the first event per (user,
+        // 10-minute bucket) — the throttle/sampling shape of event
+        // ingestion (dedup by time quantum rather than by version).
+        // One window pass over one shuffle; the bucket key is derived
+        // arithmetic, so at 100 TB this partitions by (user, bucket)
+        // with no skew beyond the hottest user-bucket.
+        val e = Tables.t(s, dir, "events")
+          .withColumn("bucket",
+            floor(col("ts").cast("timestamp").cast("double") / 600).cast("long"))
+        val w = Window.partitionBy("user_id", "bucket")
+          .orderBy(col("ts"), col("event_id"))
+        e.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("bucket"), col("event_id"))
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH b AS (SELECT user_id, event_id, ts,
+             |                  floor(epoch(ts::TIMESTAMP) / 600)::BIGINT AS bucket
+             |           FROM events),
+             |     r AS (SELECT user_id, bucket, event_id,
+             |                  row_number() OVER (PARTITION BY user_id, bucket
+             |                     ORDER BY ts, event_id) AS rn
+             |           FROM b)
+             |SELECT user_id, bucket, event_id
+             |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin))
+  )
+}

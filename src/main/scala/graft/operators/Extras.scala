@@ -467,6 +467,35 @@ object Extras {
       bench = true),
 
     GQuery(
+      "asof_join_forward",
+      (s, dir) => {
+        // FORWARD as-of: each order gets the customer's NEXT event at or
+        // after the order date ("first activity after purchase") — the
+        // mirror of asof_join, same union + single-shuffle window plan
+        // but carrying the earliest following right row backward
+        // (AsOfJoin.asofForward). Ties at equal (key, time) resolve to
+        // the min event_id INSIDE the window sort.
+        val ord = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val ev = Tables.t(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type")
+        AsOfJoin.asofForward(ord, ev,
+            leftKey = "o_custkey", rightKey = "user_id",
+            leftTime = "o_orderdate", rightTime = "ts",
+            rightPayload = Seq("event_id", "event_type"),
+            rightTiebreak = Seq("event_id"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("event_id"), col("event_type"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_type
+             |FROM orders o LEFT JOIN LATERAL (
+             |  SELECT event_id, event_type FROM events ev
+             |  WHERE ev.user_id = o.o_custkey AND ev.ts::TIMESTAMP >= o.o_orderdate
+             |  ORDER BY ev.ts, ev.event_id LIMIT 1) e ON true
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
       "udaf_latest_typed",
       (s, dir) => {
         // Typed Aggregator[IN, BUF, OUT] surface — the reference dedup as

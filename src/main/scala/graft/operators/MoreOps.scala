@@ -287,6 +287,39 @@ object MoreOps {
              |ORDER BY o_orderkey""".stripMargin)),
 
     GQuery(
+      "scalar_url",
+      (s, dir) => {
+        // URL parsing surface (parse_url): host / path / query-param
+        // extraction — the canonicalization primitives of web-corpus
+        // curation (URL dedup keys, domain mixing). URLs are constructed
+        // deterministically from part attributes, then decomposed with
+        // Spark's parse_url; the oracle re-derives the same components
+        // with regexes, so the check is a genuine differential on the
+        // parser, not string round-tripping.
+        val u = concat(lit("https://shop.example.com/brand/"),
+          regexp_replace(lower(col("p_brand")), "#", "-"),
+          lit("/item?id="), col("p_partkey").cast("string"),
+          lit("&size="), col("p_size").cast("string"))
+        Tables.t(s, dir, "part")
+          .select(col("p_partkey"), u.as("url"))
+          .select(col("p_partkey"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'size')").as("qsize"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH u AS (SELECT p_partkey,
+             |                  'https://shop.example.com/brand/' ||
+             |                  replace(lower(p_brand), '#', '-') ||
+             |                  '/item?id=' || p_partkey || '&size=' || p_size AS url
+             |           FROM part)
+             |SELECT p_partkey,
+             |       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             |       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             |       regexp_extract(url, '[?&]size=([^&#]*)', 1) AS qsize
+             |FROM u ORDER BY p_partkey""".stripMargin)),
+
+    GQuery(
       "agg_collect_sorted",
       (s, dir) => {
         // Deterministic set-valued aggregate: collect_set is

@@ -258,7 +258,11 @@ object SimilarityOps {
         // whole path stays bit-identical to the DuckDB oracle.
         CosineSimilarity.register(s)
         val e = emb(s, dir).select(col("vec_id"), col("em"))
-        val seeds = e.where(col("vec_id") < 8)
+        // Seeds = the 8 lowest vec_ids actually PRESENT (TakeOrdered, no
+        // assumption that ids 0..7 exist in every scale/filter of the
+        // table — a `vec_id < 8` predicate would silently yield zero
+        // buckets on a corpus that lacks them).
+        val seeds = e.orderBy("vec_id").limit(8)
           .select(col("vec_id").as("cell"), col("em").as("ce"))
         val assigned = e.join(broadcast(seeds))
           .select(col("vec_id"), col("em"), col("cell"),
@@ -278,7 +282,7 @@ object SimilarityOps {
           .orderBy("cell", "keeper", "dup")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
-             |     seeds AS (SELECT vec_id AS cell, em AS ce FROM e WHERE vec_id < 8),
+             |     seeds AS (SELECT vec_id AS cell, em AS ce FROM e ORDER BY vec_id LIMIT 8),
              |     scored AS (SELECT e.vec_id, e.em, cell,
              |                       list_cosine_similarity(em, ce) AS sc
              |                FROM e, seeds),

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical surface beyond plain moments: bivariate aggregates
+  * (correlation / covariance / linear regression), robust outlier
+  * detection (median absolute deviation), running distinct counts over
+  * ordered windows, and information-theoretic text scoring (token
+  * entropy).
+  *
+  * Scale stances:
+  *  - corr/covar/regr_* are single-pass co-moment aggregates — same
+  *    partial/final shape as sum/avg, one shuffle of tiny per-group
+  *    states regardless of input size.
+  *  - MAD needs exact medians, so it is two aggregate passes over the
+  *    stream plus a broadcast of the per-group stats (one row per
+  *    event_type) back onto it — the stream itself is never shuffled.
+  *  - Running COUNT(DISTINCT x) over a window is not directly
+  *    executable in either engine; both sides use the first-occurrence
+  *    flag identity: distinct-so-far == sum over is-first-occurrence,
+  *    which is two window passes and one shuffle (same partition key).
+  *  - Token entropy never materializes per-token probabilities: entropy
+  *    = log2(n) - Σ c·log2(c) / n needs only the per-(doc, token)
+  *    counts, and the output is floor-scaled to an integer so the
+  *    transcendental tail can't flake the cross-engine hash compare.
+  */
+object StatOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "agg_corr_regr",
+      (s, dir) => {
+        // Bivariate aggregate family over lineitem: how does quantity
+        // co-vary with extended price within each return flag? corr,
+        // sample covariance, and the OLS fit y=extendedprice ~
+        // x=quantity — all one-pass co-moment aggregates (Welford-style
+        // partial states), so the plan is a plain partial+final hash
+        // aggregate: nothing but 3 group states crosses the wire.
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+            round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+             |       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+             |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+             |       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             |       count(*)::BIGINT AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
+      "events_outliers_mad",
+      (s, dir) => {
+        // ROBUST outlier gate: |value - median| > 3 · 1.4826 · MAD per
+        // event_type (the 1.4826 factor makes MAD consistent with σ
+        // under normality). Unlike the z-score gate (events_outliers),
+        // a few extreme values cannot drag the threshold — medians
+        // don't move. Two aggregate passes (median, then MAD around
+        // it), each broadcasting its 5-row result back onto the
+        // stream; the events stream itself is scanned, never shuffled.
+        val e = Tables.t(s, dir, "events").select(col("event_type"), col("value"))
+        val med = e.groupBy("event_type").agg(median(col("value")).as("med"))
+        val stats = e.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(first("med").as("med"),
+            median(abs(col("value") - col("med"))).as("mad"))
+        e.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"), 1))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type, median(value) AS med
+             |             FROM events GROUP BY event_type),
+             |     st AS (SELECT e.event_type, any_value(med) AS med,
+             |                   median(abs(value - med)) AS mad
+             |            FROM events e JOIN med USING (event_type)
+             |            GROUP BY e.event_type)
+             |SELECT e.event_type, count(*)::BIGINT AS n,
+             |       count(CASE WHEN abs(value - med) > 3 * 1.4826 * mad THEN 1 END)::BIGINT
+             |         AS n_outliers
+             |FROM events e JOIN st USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    GQuery(
+      "window_count_distinct",
+      (s, dir) => {
+        // Running COUNT(DISTINCT part) per supplier in ship order —
+        // "how many distinct parts has this supplier shipped so far?".
+        // Neither engine executes DISTINCT aggregates over running
+        // window frames, so both use the first-occurrence identity:
+        // flag the first (supplier, part) row under the total order,
+        // then a running sum of flags. Two window passes over ONE
+        // shuffle (both windows hash-partition by l_suppkey — Spark
+        // reuses the exchange; the part key only affects the in-
+        // partition sort of the first pass).
+        val w1 = Window.partitionBy("l_suppkey", "l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        val w2 = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey"), col("l_shipdate"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("first_seen",
+            when(row_number().over(w1) === 1, 1L).otherwise(0L))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            sum("first_seen").over(w2).as("n_distinct_parts"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             |                  CASE WHEN row_number() OVER (
+             |                         PARTITION BY l_suppkey, l_partkey
+             |                         ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+             |                       THEN 1 ELSE 0 END AS first_seen
+             |           FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_suppkey,
+             |       (sum(first_seen) OVER (PARTITION BY l_suppkey
+             |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |          ROWS UNBOUNDED PRECEDING))::BIGINT AS n_distinct_parts
+             |FROM f ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    GQuery(
+      "text_entropy",
+      (s, dir) => {
+        // Per-document token Shannon entropy — the information-density
+        // quality signal (boilerplate and keyword-stuffed docs score
+        // low). Entropy is computed from per-(doc, token) counts alone
+        // via H = log2(n) - Σ c·log2(c)/n: no probability column, no
+        // second pass. Output is floor(H·10⁴) as BIGINT so the
+        // transcendental tail (engine-order-of-summation noise ~1e-13)
+        // can't flake the hash compare.
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n"),
+            sum(col("c").cast("double") * log2(col("c"))).as("sclog"))
+          .select(col("doc_id"), col("n"),
+            floor((log2(col("n")) - col("sclog") / col("n")) * 10000)
+              .cast("long").as("entropy_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |             FROM documents),
+             |     cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+             |     ent AS (SELECT doc_id, sum(c) AS n,
+             |                    sum(c::DOUBLE * log2(c::DOUBLE)) AS sclog
+             |             FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, n::BIGINT AS n,
+             |       floor((log2(n::DOUBLE) - sclog / n) * 10000)::BIGINT AS entropy_e4
+             |FROM ent ORDER BY doc_id""".stripMargin))
+  )
+}

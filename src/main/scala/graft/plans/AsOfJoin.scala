@@ -76,4 +76,46 @@ object AsOfJoin {
       .where(col("__side") === 1) // keep probe rows only
       .drop("__side")
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * with the same key whose time is >= the left row's time (the "next
+    * observation" direction — e.g. first event after an order ships).
+    *
+    * Mirror image of [[asof]]: same union-merged timeline, same single
+    * shuffle, but left rows sort BEFORE right rows at equal times (so an
+    * equal-time right row is visible forward) and `first(payload,
+    * ignoreNulls)` over [current, unbounded following] carries the next
+    * right row backward onto each left row. The FIRST right row under
+    * `rightTiebreak` order wins among equal (key, time).
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+
+    val lCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        lCols.map(col) ++ rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(col): _*)
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t") +: col("__side") +: rightTiebreak.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lTagged.unionByName(rTagged)
+      .select(Seq(col("__side")) ++ lCols.map(col) ++
+        rightPayload.map(c => first(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 0) // keep probe rows only
+      .drop("__side")
+  }
 }

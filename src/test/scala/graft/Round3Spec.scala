@@ -53,8 +53,17 @@ class Round3Spec extends SparkSpec {
     // forward fill: v_filled null only before a user's first observation —
     // and the spine starts AT the first observed day, so never null at all
     assert(out.where(col("v_filled").isNull).count() == 0)
-    // filled rows where nothing was observed must copy some earlier value
+    // observed rows pass through unchanged
     assert(out.where(col("v_obs").isNotNull && col("v_obs") =!= col("v_filled"))
+      .count() == 0)
+    // gap rows (v_obs null) copy the most recent prior observation —
+    // recomputed here with an independent window pass
+    val wff = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    val re = out.withColumn("expect",
+      last(col("v_obs"), ignoreNulls = true).over(wff))
+    assert(re.where(col("v_obs").isNull && col("v_filled") =!= col("expect"))
       .count() == 0)
     // spine density: per-user day count == (max day - min day + 1)
     val spine = out.groupBy("user_id")

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CurateOps, Extras, MoreOps, StatOps}
+
+/** Invariant gates for the round-4 operators — properties the driver's
+  * hash compare can't express (bounds, conservation laws, and
+  * independent recomputations of window/as-of semantics).
+  */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(all: Seq[GQuery], name: String) =
+    all.find(_.name == name).get.run(spark, sf)
+
+  test("corr/regr aggregates satisfy analytic identities") {
+    val out = q(StatOps.all, "agg_corr_regr").cache()
+    assert(out.count() > 0)
+    assert(out.where(abs(col("corr_qp")) > 1.0001).count() == 0)
+    assert(out.where(col("r2") < -0.0001 || col("r2") > 1.0001).count() == 0)
+    // r2 == corr² for simple linear regression (both rounded to 4)
+    assert(out.where(abs(col("r2") - col("corr_qp") * col("corr_qp")) > 0.001)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("MAD outlier gate flags a strict minority per type") {
+    val out = q(StatOps.all, "events_outliers_mad")
+    assert(out.count() > 0)
+    assert(out.where(col("n_outliers") * 2 >= col("n")).count() == 0)
+    assert(out.where(col("n_outliers") < 0).count() == 0)
+  }
+
+  test("running distinct count ends at the exact per-supplier distinct") {
+    val out = q(StatOps.all, "window_count_distinct")
+    val finals = out.groupBy("l_suppkey").agg(max("n_distinct_parts").as("got"))
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_suppkey").agg(countDistinct("l_partkey").as("want"))
+    assert(finals.join(exact, "l_suppkey")
+      .where(col("got") =!= col("want")).count() == 0)
+    // monotone non-decreasing along each supplier's timeline is implied
+    // by max == final; also check it never exceeds rows-so-far
+    assert(out.where(col("n_distinct_parts") < 1).count() == 0)
+  }
+
+  test("token entropy is bounded by log2(n) and zero for uniform-1 docs") {
+    val out = q(StatOps.all, "text_entropy").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("entropy_e4") < 0).count() == 0)
+    // H <= log2(n_tokens) always (equality iff all tokens distinct)
+    assert(out.where(col("entropy_e4") > floor(log2(col("n")) * 10000)).count() == 0)
+    // docs where every token is distinct hit the bound exactly
+    val distinctTok = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(operators.TextOps.tokens(col("text"))).as("nt"),
+        size(array_distinct(operators.TextOps.tokens(col("text")))).as("nd"))
+      .where(col("nt") === col("nd") && col("nt") > 0)
+    assert(out.join(distinctTok, "doc_id")
+      .where(col("entropy_e4") =!= floor(log2(col("nt")) * 10000)).count() == 0)
+    out.unpersist()
+  }
+
+  test("prefix dedup conserves docs and survivors are group minima") {
+    val out = q(CurateOps.all, "text_prefix_dedup").cache()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(out.agg(sum("n_dups")).as[Long].head() == nDocs)
+    assert(out.select("doc_id").distinct().count() == out.count())
+    out.unpersist()
+  }
+
+  test("keep-best clusters conserve docs and keepers carry max n_chars") {
+    val out = q(CurateOps.all, "dedup_keep_best").cache()
+    val d = Tables.t(spark, sf, "documents").select(col("doc_id"), col("n_chars"))
+    assert(out.agg(sum("n_members")).as[Long].head() == d.count())
+    // the keeper's n_chars IS the cluster max (keep_chars)
+    assert(out.join(d, col("keep_id") === col("doc_id"))
+      .where(col("n_chars") =!= col("keep_chars")).count() == 0)
+    // singleton clusters keep themselves
+    assert(out.where(col("n_members") === 1 && col("keep_id") =!= col("cluster"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("weighted mix keeps everything at weight 1 and subsets elsewhere") {
+    val out = q(CurateOps.all, "docs_mix_weighted").cache()
+    assert(out.where(col("n_kept") > col("n_in")).count() == 0)
+    // sources with index % 4 == 0 have threshold 256 > any 2-hex value
+    val full = out.where(regexp_extract(col("source"), "src(\\d+)", 1)
+      .cast("int") % 4 === 0)
+    assert(full.count() > 0 && full.where(col("n_kept") =!= col("n_in")).count() == 0)
+    out.unpersist()
+  }
+
+  test("rate limit keeps exactly the earliest event per (user, bucket)") {
+    val out = q(CurateOps.all, "events_rate_limit").cache()
+    assert(out.groupBy("user_id", "bucket").count().where(col("count") > 1)
+      .count() == 0)
+    // recompute the earliest event per bucket independently via min_by
+    val e = Tables.t(spark, sf, "events")
+      .withColumn("bucket",
+        floor(col("ts").cast("timestamp").cast("double") / 600).cast("long"))
+    val want = e.groupBy("user_id", "bucket")
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("want_id"))
+    assert(out.join(want, Seq("user_id", "bucket"))
+      .where(col("event_id") =!= col("want_id")).count() == 0)
+    assert(out.count() == want.count())
+    out.unpersist()
+  }
+
+  test("forward as-of attaches the genuinely next event per order") {
+    val out = q(Extras.all, "asof_join_forward").cache()
+    val ord = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    assert(out.count() == ord.count(), "left rows all survive")
+    // independent recomputation by (bounded, test-scale) range join
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id").as("want_id"))
+    val want = ord.join(ev,
+        col("o_custkey") === col("user_id") && col("ts") >= col("o_orderdate"),
+        "left")
+      .groupBy("o_orderkey")
+      .agg(min_by(col("want_id"), struct(col("ts"), col("want_id"))).as("want_id"))
+    assert(out.join(want, "o_orderkey")
+      .where(coalesce(col("event_id"), lit(-1L)) =!= coalesce(col("want_id"), lit(-1L)))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("parse_url decomposition matches recomputed components") {
+    val out = q(MoreOps.all, "scalar_url").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("host") =!= "shop.example.com").count() == 0)
+    val p = Tables.t(spark, sf, "part").select(col("p_partkey"),
+      col("p_size").cast("string").as("want_size"),
+      concat(lit("/brand/"), regexp_replace(lower(col("p_brand")), "#", "-"),
+        lit("/item")).as("want_path"))
+    assert(out.join(p, "p_partkey")
+      .where(col("path") =!= col("want_path") || col("qsize") =!= col("want_size"))
+      .count() == 0)
+    out.unpersist()
+  }
+}
