@@ -272,6 +272,41 @@ object EventOps {
              |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, v AS v_obs,
              |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
              |         ROWS UNBOUNDED PRECEDING) AS v_filled
-             |FROM j ORDER BY user_id, day""".stripMargin))
+             |FROM j ORDER BY user_id, day""".stripMargin)),
+
+    GQuery(
+      "events_cum_users",
+      (s, dir) => {
+        // Daily active + NEW + CUMULATIVE distinct users — the growth-
+        // accounting trio. Cumulative distinct is NOT a windowed
+        // count(distinct): each user's min(day) attributes them to one
+        // day (one per-user aggregate), then a running sum over the tiny
+        // day spine. At 100 TB the heavy shuffles are the two keyed
+        // aggregates; the window runs over ~days rows on one task.
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val newPerDay = e.groupBy("user_id").agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_new"))
+        val dau = e.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dau.join(newPerDay, Seq("day"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("n_new"),
+            sum("n_new").over(w).as("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),
+             |     npd AS (SELECT day, count(*) AS n_new
+             |             FROM (SELECT user_id, min(day) AS day FROM e GROUP BY user_id)
+             |             GROUP BY day),
+             |     dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM e GROUP BY day)
+             |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau::BIGINT AS dau,
+             |       coalesce(n_new, 0)::BIGINT AS n_new,
+             |       (sum(coalesce(n_new, 0)) OVER (ORDER BY dau.day
+             |          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
+             |FROM dau LEFT JOIN npd ON dau.day = npd.day
+             |ORDER BY day""".stripMargin))
   )
 }

@@ -280,6 +280,53 @@ object Extras {
              |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
 
     GQuery(
+      "streaming_rate_limit",
+      (s, dir) => {
+        // Differential check of STREAMING RATE LIMITING: replay events in
+        // 4 micro-batches through the earliest-wins upsert (the mirror of
+        // latest-wins: state = min (ts, event_id) per (user, 10-minute
+        // bucket), emitting only on strictly-earlier arrivals), reduce
+        // the update log, and compare to the batch first-per-bucket
+        // oracle — the same answer events_rate_limit computes with a
+        // window, now incremental and arrival-order-independent (a
+        // streaming dropDuplicates would keep intra-batch race winners).
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val evs = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            floor(col("ts").cast("timestamp").cast("double") / 600)
+              .cast("long").as("bucket"),
+            expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+          .as[StreamingIngest.BucketEvent].collect().sortBy(r => (r.ts_us, r.event_id))
+        val ms = MemoryStream[StreamingIngest.BucketEvent]
+        s.catalog.dropTempView("srl_sink")
+        val q = StreamingIngest.earliestWinsUpdates(ms.toDS())
+          .writeStream.format("memory").queryName("srl_sink")
+          .outputMode("update").start()
+        try {
+          evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table("srl_sink")
+          .groupBy("user_id", "bucket")
+          .agg(min_by(col("event_id"), struct(col("ts_us"), col("event_id")))
+            .as("event_id"))
+          .select(col("user_id"), col("bucket"), col("event_id"))
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH b AS (SELECT user_id, event_id, ts,
+             |                  floor(epoch(ts::TIMESTAMP) / 600)::BIGINT AS bucket
+             |           FROM events),
+             |     r AS (SELECT user_id, bucket, event_id,
+             |                  row_number() OVER (PARTITION BY user_id, bucket
+             |                     ORDER BY ts, event_id) AS rn
+             |           FROM b)
+             |SELECT user_id, bucket, event_id
+             |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin)),
+
+    GQuery(
       "streaming_sessionize",
       (s, dir) => {
         // Differential check of CUSTOM STATEFUL sessionization: replay

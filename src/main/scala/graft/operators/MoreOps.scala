@@ -446,6 +446,35 @@ object MoreOps {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     GQuery(
+      "hist_equidepth",
+      (s, dir) => {
+        // EQUI-DEPTH histogram (decile buckets of equal row count) via
+        // ntile over a deterministic total order — the complement of
+        // hist_totalprice's fixed-width form. The exact version needs a
+        // global sort, fine for a per-group or sampled profile; at
+        // 100 TB the boundary computation switches to the mergeable GK
+        // sketch (docs_token_quantiles) and this shape then buckets by
+        // comparing against the ~10 broadcast boundaries instead.
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT o_totalprice,
+             |                  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+             |           FROM orders)
+             |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+             |       round(min(o_totalprice), 2) AS lo,
+             |       round(max(o_totalprice), 2) AS hi
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    GQuery(
       "agg_median_mode",
       (s, dir) => {
         // Exact median (interpolating percentile-0.5) and mode in one

@@ -133,6 +133,34 @@ object StatOps {
              |FROM f ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     GQuery(
+      "basket_pairs",
+      (s, dir) => {
+        // Market-basket CO-OCCURRENCE (frequent pair mining, support>=3):
+        // part pairs that recur across orders. The self-join explodes
+        // each order into its within-order pairs — bounded combinatorics
+        // (orders have ≤7 lines, so ≤21 pairs each), NOT an O(N²)
+        // blow-up: pair generation is linear in orders, and the only
+        // shuffle is the (part_a, part_b) support count. The same plan
+        // shape mines n-gram co-occurrence in a corpus.
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("support"))
+          .where(col("support") >= 3)
+          .orderBy("part_a", "part_b")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |       count(*)::BIGINT AS support
+             |FROM li a JOIN li b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY part_a, part_b""".stripMargin)),
+
+    GQuery(
       "text_entropy",
       (s, dir) => {
         // Per-document token Shannon entropy — the information-density

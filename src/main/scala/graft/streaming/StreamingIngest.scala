@@ -80,6 +80,39 @@ object StreamingIngest {
       }
   }
 
+  /** One event keyed to a (user, time-bucket) rate-limit cell. */
+  case class BucketEvent(user_id: Long, bucket: Long, ts_us: Long, event_id: Long)
+
+  /** EARLIEST-wins upsert — the mirror of [[latestWinsUpdates]] used for
+    * streaming RATE LIMITING: state holds the minimum (ts, event_id) per
+    * (user, bucket) cell and a cell emits only when a strictly earlier
+    * event arrives, so the reduced update log equals the batch
+    * first-per-bucket answer REGARDLESS of arrival order (late or
+    * shuffled arrivals self-correct — deterministic where a streaming
+    * dropDuplicates would keep whichever row won the intra-batch race).
+    * State is O(live cells); bucket keys are time-derived, so a
+    * production run ages them out with a timeout on the bucket clock.
+    */
+  def earliestWinsUpdates(ds: Dataset[BucketEvent]): Dataset[BucketEvent] = {
+    import ds.sparkSession.implicits._
+    val ord = Ordering[(Long, Long)]
+    ds.groupByKey(r => (r.user_id, r.bucket))
+      .flatMapGroupsWithState[BucketEvent, BucketEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long), recs: Iterator[BucketEvent], state: GroupState[BucketEvent]) =>
+          val incoming = recs.minByOption(r => (r.ts_us, r.event_id))
+          val best = (incoming.toSeq ++ state.getOption.toSeq)
+            .minByOption(r => (r.ts_us, r.event_id))
+          best match {
+            case Some(b) if !state.getOption.exists(s =>
+                ord.lteq((s.ts_us, s.event_id), (b.ts_us, b.event_id))) =>
+              state.update(b)
+              Iterator.single(b)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   /** Tier 3: snapshot sink — every micro-batch rewrites the output dir
     * with the deduped latest state of THAT batch plus what `latestWins`
     * already folded (callers feed this from `latestWinsUpdates` for a

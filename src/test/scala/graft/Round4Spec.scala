@@ -126,6 +126,46 @@ class Round4Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("equi-depth buckets are balanced and non-overlapping") {
+    val out = q(MoreOps.all, "hist_equidepth").cache()
+    assert(out.count() == 10)
+    val Seq(mn, mx) = out.agg(min("n"), max("n")).as[(Long, Long)].head()
+      .productIterator.map(_.asInstanceOf[Long]).toSeq
+    assert(mx - mn <= 1, "equi-depth: bucket sizes differ by at most 1")
+    // bucket ranges are ordered: each bucket's lo >= previous bucket's hi
+    val rows = out.orderBy("bucket").select("lo", "hi").as[(Double, Double)].collect()
+    assert(rows.sliding(2).forall {
+      case Array((_, h1), (l2, _)) => l2 >= h1 - 1e-9
+      case _ => true
+    })
+    out.unpersist()
+  }
+
+  test("basket pairs are ordered and genuinely co-occurring") {
+    val out = q(StatOps.all, "basket_pairs").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("part_a") >= col("part_b")).count() == 0)
+    assert(out.where(col("support") < 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("cumulative users ends at total distinct and dominates daily news") {
+    val out = q(operators.EventOps.all, "events_cum_users").cache()
+    val total = Tables.t(spark, sf, "events").select("user_id").distinct().count()
+    assert(out.agg(max("cum_users")).as[Long].head() == total)
+    assert(out.where(col("n_new") > col("dau")).count() == 0)
+    assert(out.agg(sum("n_new")).as[Long].head() == total)
+    out.unpersist()
+  }
+
+  test("streaming rate limit reconstructs the batch first-per-bucket answer") {
+    val streamed = q(Extras.all, "streaming_rate_limit")
+    val batch = q(CurateOps.all, "events_rate_limit")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("parse_url decomposition matches recomputed components") {
     val out = q(MoreOps.all, "scalar_url").cache()
     assert(out.count() > 0)
