@@ -133,6 +133,35 @@ object StatOps {
              |FROM f ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     GQuery(
+      "agg_skew_kurt",
+      (s, dir) => {
+        // Higher-moment aggregates: population skewness and excess
+        // kurtosis per return flag — one-pass central-moment partials
+        // like corr/regr (scale-free). Engines disagree on the
+        // DEFAULT estimator (Spark = population moments, DuckDB =
+        // bias-corrected sample form), so the oracle converts DuckDB's
+        // G1/G2 back to population g1/g2 with the standard exact
+        // bias-correction identities — a genuine cross-engine check of
+        // the moment math, not a same-formula echo.
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(skewness(col("l_quantity")), 4).as("skew_q"),
+            round(kurtosis(col("l_quantity")), 4).as("kurt_q"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (SELECT l_returnflag,
+             |                  skewness(l_quantity) AS G1, kurtosis(l_quantity) AS G2,
+             |                  count(*) AS n
+             |           FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |       round(G1 * (n - 2) / sqrt(n * (n - 1.0)), 4) AS skew_q,
+             |       round((G2 * (n - 2) * (n - 3) / (n - 1.0) - 6) / (n + 1), 4) AS kurt_q,
+             |       n::BIGINT AS n
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
       "basket_pairs",
       (s, dir) => {
         // Market-basket CO-OCCURRENCE (frequent pair mining, support>=3):

@@ -222,6 +222,36 @@ object TextOps {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "text_bpe_merges",
+      (s, dir) => {
+        // The FIRST BPE merge step: corpus-wide adjacent character-pair
+        // counts within words, top 20 — the argmax that byte-pair
+        // encoding iterates to induce a tokenizer vocabulary. Pair
+        // expansion is a per-word projection (sequence + substring, no
+        // join); the only shuffle is the pair-count aggregate, map-side
+        // combined to |distinct pairs| per task (≤ alphabet², tiny).
+        // Words of length 1 have no pairs and are filtered BEFORE
+        // sequence(1, len-1), which would otherwise descend.
+        docs(s, dir)
+          .select(explode(tokens(col("text"))).as("w"))
+          .where(length(col("w")) >= 2)
+          .select(explode(
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("pair"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |           FROM documents),
+             |     p AS (SELECT unnest([substring(w, i, 2) for i in range(1, len(w))]) AS pair
+             |           FROM w WHERE len(w) >= 2)
+             |SELECT pair, count(*)::BIGINT AS cnt
+             |FROM p GROUP BY pair
+             |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
+
+    GQuery(
       "text_winnow_fingerprint",
       (s, dir) => {
         // Winnowing (rolling-hash family) document fingerprinting:

@@ -166,6 +166,53 @@ class Round4Spec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("skewness/kurtosis match directly recomputed population moments") {
+    val out = q(StatOps.all, "agg_skew_kurt").cache()
+    val li = Tables.t(spark, sf, "lineitem")
+    val mu = li.groupBy("l_returnflag").agg(avg("l_quantity").as("mu"))
+    val mom = li.join(mu, "l_returnflag").groupBy("l_returnflag").agg(
+      avg(pow(col("l_quantity") - col("mu"), 2)).as("m2"),
+      avg(pow(col("l_quantity") - col("mu"), 3)).as("m3"),
+      avg(pow(col("l_quantity") - col("mu"), 4)).as("m4"))
+      .select(col("l_returnflag"),
+        round(col("m3") / pow(col("m2"), 1.5), 4).as("want_skew"),
+        round(col("m4") / pow(col("m2"), 2) - 3, 4).as("want_kurt"))
+    assert(out.join(mom, "l_returnflag")
+      .where(abs(col("skew_q") - col("want_skew")) > 0.0002 ||
+        abs(col("kurt_q") - col("want_kurt")) > 0.0002).count() == 0)
+    out.unpersist()
+  }
+
+  test("BPE merge candidates are 2-char pairs in non-increasing count order") {
+    val out = q(operators.TextOps.all, "text_bpe_merges")
+    val rows = out.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    assert(rows.map(_.getLong(1)).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+  }
+
+  test("forward as-of matches equal-time right rows with min tiebreak") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 01:00:00")
+    val left = Seq((1L, t0, "L0"), (1L, t1, "L1"), (2L, t1, "L2"))
+      .toDF("k", "t", "ltag")
+    // key 1 has TWO right rows at exactly t0 (payload ids 9 and 5 — the
+    // MIN id must win) and one later row; key 2 has none at/after t1
+    val right = Seq((1L, t0, 9L), (1L, t0, 5L), (1L, t1, 7L), (2L, t0, 3L))
+      .toDF("rk", "rt", "rid")
+    val out = graft.plans.AsOfJoin.asofForward(left, right,
+        leftKey = "k", rightKey = "rk", leftTime = "t", rightTime = "rt",
+        rightPayload = Seq("rid"), rightTiebreak = Seq("rid"))
+      .select("ltag", "rid").as[(String, Option[Long])].collect().toMap
+    assert(out("L0").contains(5L), "equal-time right row visible, min id wins")
+    assert(out("L1").contains(7L))
+    assert(out("L2").isEmpty, "no right row at-or-after → null")
+  }
+
   test("parse_url decomposition matches recomputed components") {
     val out = q(MoreOps.all, "scalar_url").cache()
     assert(out.count() > 0)
