@@ -191,6 +191,82 @@ object Ingest {
              |       arg_max(event_type, event_id) AS event_type,
              |       arg_max(value, event_id)      AS value,
              |       arg_max(props, event_id)      AS props
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
+      "ingest_scd2",
+      (s, dir) => {
+        // SCD TYPE 2: turn the latest-wins event stream into validity
+        // INTERVALS — every change of a user's event_type opens a
+        // version row [eff_from, eff_to) keyed by event_id, the open
+        // row having eff_to NULL. This is the warehouse-history form of
+        // the reference's snapshot (keep ALL versions with validity,
+        // not just the latest). One window partition per user: change
+        // detection via lag, interval close via lead — single shuffle.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"))
+        val changes = ev
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        changes
+          .withColumn("eff_to", lead("event_id", 1).over(w2))
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("eff_from"), col("eff_to"))
+          .orderBy("user_id", "eff_from")
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+             |                  lag(event_type) OVER (PARTITION BY user_id
+             |                     ORDER BY ts, event_id) AS prev
+             |           FROM events),
+             |     c AS (SELECT user_id, ts, event_id, event_type FROM o
+             |           WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, event_id AS eff_from,
+             |       lead(event_id) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS eff_to
+             |FROM c ORDER BY user_id, eff_from""".stripMargin)),
+
+    GQuery(
+      "ingest_merge_classify",
+      (s, dir) => {
+        // MERGE-INTO classification (the CDC audit view): fold the delta
+        // onto the snapshot as in ingest_incremental_merge, but REPORT
+        // what the merge did per key — insert (new key), update (key
+        // present, latest event_type changed), touch (key present,
+        // newer version, same value). One full-outer join of two
+        // latest-wins aggregates; at 100 TB both sides are |keys|-sized,
+        // not |history|-sized, and the join shuffles on the key once.
+        val ev = events(s, dir).select("user_id", "event_id", "event_type")
+        val cut = ev.agg((((min("event_id") + max("event_id")) / 2).cast("long")).as("cut"))
+        val withCut = ev.crossJoin(broadcast(cut))
+        val snap = latestWins(
+            withCut.where(col("event_id") <= col("cut")).drop("cut"),
+            keys = Seq("user_id"), version = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("old_type"))
+        val delta = latestWins(
+            withCut.where(col("event_id") > col("cut")).drop("cut"),
+            keys = Seq("user_id"), version = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("new_type"))
+        delta.join(snap, Seq("user_id"), "left")
+          .select(when(col("old_type").isNull, "insert")
+            .when(col("old_type") =!= col("new_type"), "update")
+            .otherwise("touch").as("action"))
+          .groupBy("action").agg(count(lit(1)).as("n_keys"))
+          .orderBy("action")
+      },
+      Some("""WITH cut AS (SELECT ((min(event_id) + max(event_id)) // 2) AS c FROM events),
+             |     snap AS (SELECT user_id, arg_max(event_type, event_id) AS old_type
+             |              FROM events, cut WHERE event_id <= c GROUP BY user_id),
+             |     delta AS (SELECT user_id, arg_max(event_type, event_id) AS new_type
+             |               FROM events, cut WHERE event_id > c GROUP BY user_id)
+             |SELECT CASE WHEN old_type IS NULL THEN 'insert'
+             |            WHEN old_type <> new_type THEN 'update'
+             |            ELSE 'touch' END AS action,
+             |       count(*)::BIGINT AS n_keys
+             |FROM delta LEFT JOIN snap USING (user_id)
+             |GROUP BY action ORDER BY action""".stripMargin))
   )
 }

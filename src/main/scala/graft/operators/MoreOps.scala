@@ -446,6 +446,33 @@ object MoreOps {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     GQuery(
+      "window_nth_value",
+      (s, dir) => {
+        // Positional window analytics: first / second / last order price
+        // per customer under an explicit whole-partition ROWS frame
+        // (default frames stop at CURRENT ROW, which makes nth_value
+        // order-dependent — the bug this query's explicit frame avoids).
+        // One shuffle on custkey; all three functions share the sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(first("o_totalprice").over(w), 2).as("first_price"),
+            round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
+            round(last("o_totalprice").over(w), 2).as("last_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+             |       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+             |       round(last_value(o_totalprice) OVER w, 2) AS last_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
       "hist_equidepth",
       (s, dir) => {
         // EQUI-DEPTH histogram (decile buckets of equal row count) via

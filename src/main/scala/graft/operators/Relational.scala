@@ -337,6 +337,33 @@ object Relational {
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
     GQuery(
+      "join_sortmerge",
+      (s, dir) => {
+        // The AT-SCALE fact-fact join path made explicit: lineitem ⋈
+        // orders with a merge-join hint, so the plan is the
+        // SortMergeJoin both sides would get at 100 TB where neither
+        // fits a broadcast (AQE picks broadcast at this SF otherwise —
+        // the hint pins the plan the scale design reasons about; a
+        // ScalaTest gate asserts SortMergeJoinExec is present). Both
+        // sides shuffle on orderkey once; bucketing both tables by
+        // orderkey removes even that (LayoutSpec's zero-exchange join).
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        l.hint("merge")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*)::BIGINT AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    GQuery(
       "q10_returned_customers",
       (s, dir) => {
         // TPC-H Q10 shape, run as RAW SQL through the engine's catalog —

@@ -213,6 +213,78 @@ class Round4Spec extends SparkSpec {
     assert(out("L2").isEmpty, "no right row at-or-after → null")
   }
 
+  test("earliest-wins upsert is arrival-order independent") {
+    import graft.streaming.StreamingIngest
+    import graft.streaming.StreamingIngest.BucketEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Seq(
+      BucketEvent(1, 10, 100, 7), BucketEvent(1, 10, 100, 3), // ts tie → min id
+      BucketEvent(1, 10, 50, 9), // strictly earlier ts beats both
+      BucketEvent(2, 10, 200, 1), BucketEvent(2, 11, 300, 2))
+    val want = Map((1L, 10L) -> 9L, (2L, 10L) -> 1L, (2L, 11L) -> 2L)
+    Seq(evs, evs.reverse, evs.sortBy(_.event_id)).zipWithIndex.foreach {
+      case (order, i) =>
+        val ms = MemoryStream[BucketEvent]
+        val sink = s"rate_perm_$i"
+        val q = StreamingIngest.earliestWinsUpdates(ms.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try {
+          // one event per micro-batch = the worst-case arrival split
+          order.foreach { e => ms.addData(e); q.processAllAvailable() }
+        } finally q.stop()
+        val got = spark.table(sink)
+          .groupBy("user_id", "bucket")
+          .agg(min_by(col("event_id"), struct(col("ts_us"), col("event_id")))
+            .as("event_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == want, s"permutation $i diverged: $got")
+    }
+  }
+
+  test("sort-merge join plan is pinned and matches the broadcast answer") {
+    val q1 = q(operators.Relational.all, "join_sortmerge")
+    val smj = q1.queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), "merge hint must pin SortMergeJoinExec")
+    // same answer without the hint (whatever strategy AQE picks)
+    val l = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    val free = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+    assert(q1.except(free).count() == 0 && free.except(q1).count() == 0)
+  }
+
+  test("SCD2 intervals chain per user and open exactly one current row") {
+    val out = q(operators.Ingest.all, "ingest_scd2").cache()
+    // exactly one open interval (eff_to null) per user
+    val opens = out.where(col("eff_to").isNull).groupBy("user_id").count()
+    assert(opens.where(col("count") =!= 1).count() == 0)
+    val users = Tables.t(spark, sf, "events").select("user_id").distinct().count()
+    assert(opens.count() == users)
+    // intervals chain: each non-open row's eff_to is the next row's eff_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("eff_from")
+    val chained = out.withColumn("next_from", lead("eff_from", 1).over(w))
+    assert(chained.where(col("eff_to").isNotNull &&
+      col("eff_to") =!= col("next_from")).count() == 0)
+    // consecutive versions always change the attribute
+    val ch = out.withColumn("prev_type", lag("event_type", 1).over(w))
+    assert(ch.where(col("prev_type").isNotNull &&
+      col("prev_type") === col("event_type")).count() == 0)
+    out.unpersist()
+  }
+
+  test("merge classification partitions the delta keys") {
+    val out = q(operators.Ingest.all, "ingest_merge_classify").cache()
+    assert(out.count() <= 3)
+    assert(out.where(!col("action").isin("insert", "update", "touch")).count() == 0)
+    out.unpersist()
+  }
+
   test("parse_url decomposition matches recomputed components") {
     val out = q(MoreOps.all, "scalar_url").cache()
     assert(out.count() > 0)
