@@ -246,6 +246,64 @@ object Extras {
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     GQuery(
+      "multimodal_frames",
+      (s, dir) => {
+        // Video FRAME SAMPLING as metadata arithmetic: n evenly-spaced
+        // frame indices explode per video row (images/audio pass through
+        // with frame 0) — the row-multiplication happens on metadata
+        // only; each sampled frame's decode is the stubbed step at the
+        // point the bytes are already local. Frame count is derived
+        // deterministically so the oracle replays the index math.
+        val media = Multimodal.syntheticMedia(
+            Tables.t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+          .withColumn("n_frames", (pmod(col("media_id"), lit(100)) + 8).cast("int"))
+        Multimodal.frameSample(media, n = 4, totalFramesCol = col("n_frames"))
+          .select(col("media_id"), col("kind"),
+            col("frame_idx").cast("long").as("frame_idx"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |                       ELSE 'video' END AS kind,
+             |                  doc_id % 100 + 8 AS nf
+             |           FROM documents)
+             |SELECT media_id, kind,
+             |       unnest(CASE WHEN kind = 'video'
+             |                   THEN [(i * nf) // 4 for i in range(0, 4)]
+             |                   ELSE [0] END)::BIGINT AS frame_idx
+             |FROM m ORDER BY media_id, frame_idx""".stripMargin)),
+
+    GQuery(
+      "multimodal_dedup",
+      (s, dir) => {
+        // Binary CONTENT-HASH dedup — the image/audio analog of exact
+        // text dedup: digest the payload bytes at the scan (the blob
+        // itself never shuffles; only the 16-byte digest + id do), then
+        // group to find copies. The oracle reconstructs the synthetic
+        // payload (text || md5(text)) and its digest in SQL, so the
+        // whole digest pipeline is differentially checked.
+        val d = Tables.t(s, dir, "documents")
+        // plant byte-identical copies under new ids (every 7th doc's
+        // payload re-ingested, as re-crawls/mirrors would) so the digest
+        // grouping has real work to do at any scale factor
+        val replay = d.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val media = Multimodal.syntheticMedia(
+          d.unionByName(replay), idCol = "doc_id", textCol = "text")
+        media.select(col("media_id"), md5(col("bytes")).as("digest"))
+          .groupBy("digest")
+          .agg(min("media_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .select(col("keeper"), col("n_copies"))
+          .orderBy("keeper")
+      },
+      Some("""WITH m AS (SELECT doc_id, text FROM documents
+             |           UNION ALL
+             |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+             |SELECT min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS n_copies
+             |FROM (SELECT doc_id, md5(text || md5(text)) AS digest FROM m)
+             |GROUP BY digest ORDER BY keeper""".stripMargin)),
+
+    GQuery(
       "streaming_latest_upsert",
       (s, dir) => {
         // Differential check of the STREAMING engine: feed events through

@@ -285,6 +285,31 @@ class Round4Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("frame sampling explodes 4 in-range frames per video, 1 otherwise") {
+    val out = q(Extras.all, "multimodal_frames").cache()
+    val perItem = out.groupBy("media_id", "kind")
+      .agg(count(lit(1)).as("nf"), max("frame_idx").as("mx"))
+    assert(perItem.where(col("kind") === "video" && col("nf") =!= 4).count() == 0)
+    assert(perItem.where(col("kind") =!= "video" &&
+      (col("nf") =!= 1 || col("mx") =!= 0)).count() == 0)
+    // sampled indices stay inside the item's frame count
+    assert(out.where(col("kind") === "video" &&
+      col("frame_idx") >= pmod(col("media_id"), lit(100)) + 8).count() == 0)
+    out.unpersist()
+  }
+
+  test("content-hash dedup collapses planted byte-identical copies") {
+    val out = q(Extras.all, "multimodal_dedup").cache()
+    val planted = Tables.t(spark, sf, "documents")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(out.where(col("n_copies") >= 2).count() == planted)
+    assert(out.agg(sum("n_copies")).as[Long].head() ==
+      Tables.t(spark, sf, "documents").count() + planted)
+    // keepers are the original ids, never the replayed ones
+    assert(out.where(col("keeper") >= 1000000L).count() == 0)
+    out.unpersist()
+  }
+
   test("parse_url decomposition matches recomputed components") {
     val out = q(MoreOps.all, "scalar_url").cache()
     assert(out.count() > 0)
