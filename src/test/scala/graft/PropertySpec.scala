@@ -60,6 +60,40 @@ object PropertySpec extends Properties("graft") {
       back == rows.toSet
     }
 
+  /** Keyed timed rows over tiny key/time spaces so equal-time ties and
+    * missing-match cases are generated constantly.
+    */
+  private val timedRows: Gen[(List[(Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      left <- Gen.nonEmptyListOf(for {
+        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 12L)
+      } yield (k, t)).map(_.take(25))
+      right <- Gen.nonEmptyListOf(for {
+        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 12L)
+      } yield (k, t)).map(_.take(25).zipWithIndex.map {
+        case ((k, t), i) => (k, t, 100L + i) // unique payload id
+      })
+    } yield (left, right)
+
+  property("asofForward attaches the min-(time, id) right row at-or-after, vs brute force") =
+    forAll(timedRows) { case (left, right) =>
+      import org.apache.spark.sql.functions.col
+      val lDf = left.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val rDf = right.toDF("rk", "rt", "rid")
+      val got = graft.plans.AsOfJoin.asofForward(lDf, rDf,
+          leftKey = "k", rightKey = "rk", leftTime = "t", rightTime = "rt",
+          rightPayload = Seq("rid"), rightTiebreak = Seq("rid"))
+        .select(col("lid"), col("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      val want = left.zipWithIndex.map { case ((k, t), i) =>
+        val cands = right.filter(r => r._1 == k && r._2 >= t)
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.minBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == want
+    }
+
   // Spark job per case — 10 cases hits plenty of collision/shuffle
   // variety with the 7-key space above
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =

@@ -172,6 +172,14 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), "no aggregate belongs in the as-of plan")
   }
 
+  test("forward as-of join also plans exactly ONE hash exchange") {
+    val plan = SparkEntry.queries("asof_join_forward")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges in:\n$plan")
+    assert(!plan.contains("HashAggregate"), "no aggregate belongs in the as-of plan")
+  }
+
   test("decontamination broadcasts the eval gram set (training scan never shuffles)") {
     val plan = SparkEntry.queries("decontaminate_ngrams")(spark, sf)
       .queryExecution.executedPlan.toString
