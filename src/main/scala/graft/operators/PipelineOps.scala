@@ -440,5 +440,111 @@ object PipelineOps {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, event_type, value, props
-             |FROM events ORDER BY event_id""".stripMargin)))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "events_winsorize",
+      (s, dir) => {
+        // WINSORIZATION (robust preprocessing): clip each event_type's
+        // values at its empirical p05/p95 — by RANK, not interpolation:
+        // the threshold is the value AT position ceil(p·n) of the sorted
+        // multiset, which is engine-independent integer arithmetic
+        // (interpolated percentiles differ cross-engine in the last
+        // ulp). One row_number window per type (the same shuffle any
+        // per-type sort pays), thresholds reduce to |types| rows and
+        // broadcast back onto the stream for the map-side clip.
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_type"), cents(col("value")).as("v_c"))
+        val w = Window.partitionBy("event_type").orderBy("v_c")
+        val ranked = e
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        val thresholds = ranked
+          .withColumn("lo_k", greatest(lit(1L), ceil(col("n") * 0.05)))
+          .withColumn("hi_k", ceil(col("n") * 0.95))
+          .groupBy("event_type")
+          .agg(min(when(col("rk") === col("lo_k"), col("v_c"))).as("p05_c"),
+            min(when(col("rk") === col("hi_k"), col("v_c"))).as("p95_c"))
+        e.join(broadcast(thresholds), "event_type")
+          .groupBy("event_type")
+          .agg(
+            first(col("p05_c")).as("p05_c"),
+            first(col("p95_c")).as("p95_c"),
+            sum(least(greatest(col("v_c"), col("p05_c")), col("p95_c")))
+              .as("clipped_sum_c"),
+            sum(when(col("v_c") < col("p05_c"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("v_c") > col("p95_c"), 1L).otherwise(0L)).as("n_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS v_c
+             |           FROM events),
+             |     r AS (SELECT event_type, v_c,
+             |                  row_number() OVER (PARTITION BY event_type ORDER BY v_c) AS rk,
+             |                  count(*) OVER (PARTITION BY event_type) AS n
+             |           FROM e),
+             |     th AS (SELECT event_type,
+             |                   min(CASE WHEN rk = greatest(1, ceil(n * 0.05)) THEN v_c END) AS p05_c,
+             |                   min(CASE WHEN rk = ceil(n * 0.95) THEN v_c END) AS p95_c
+             |            FROM r GROUP BY event_type)
+             |SELECT event_type, any_value(p05_c)::BIGINT AS p05_c,
+             |       any_value(p95_c)::BIGINT AS p95_c,
+             |       sum(least(greatest(v_c, p05_c), p95_c))::BIGINT AS clipped_sum_c,
+             |       sum(CASE WHEN v_c < p05_c THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+             |       sum(CASE WHEN v_c > p95_c THEN 1 ELSE 0 END)::BIGINT AS n_hi
+             |FROM e JOIN th USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GQuery(
+      "events_wow_growth",
+      (s, dir) => {
+        // Period-over-period: weekly revenue and its week-over-week
+        // growth ratio. Events collapse to |weeks| rows in one keyed
+        // aggregate BEFORE the lag window — the unpartitioned window is
+        // fine because it only ever sees the aggregate, never the
+        // stream. Revenue is exact cents; growth is one IEEE divide of
+        // two longs, floor-scaled.
+        val weekly = Tables.t(s, dir, "events")
+          .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+          .agg(sum(cents(col("value"))).as("rev_c"))
+        weekly
+          .withColumn("prev_c", lag("rev_c", 1).over(Window.orderBy("wk")))
+          .select(date_format(col("wk"), "yyyy-MM-dd").as("wk"), col("rev_c"),
+            floor(col("rev_c").cast("double") / col("prev_c") * 10000)
+              .cast("long").as("growth_e4"))
+          .orderBy("wk")
+      },
+      Some("""WITH weekly AS (
+             |  SELECT date_trunc('week', ts::TIMESTAMP)::DATE AS wk,
+             |         sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+             |  FROM events GROUP BY 1)
+             |SELECT strftime(wk, '%Y-%m-%d') AS wk, rev_c::BIGINT AS rev_c,
+             |       floor(rev_c::DOUBLE / lag(rev_c) OVER (ORDER BY wk)
+             |             * 10000)::BIGINT AS growth_e4
+             |FROM weekly ORDER BY wk""".stripMargin)),
+
+    GQuery(
+      "text_normalize_dedup",
+      (s, dir) => {
+        // NORMALIZE-then-dedup (the "fuzzy-exact" stage of corpus
+        // pipelines): case-fold, strip non-alphanumerics, collapse
+        // whitespace, then count collisions of the normalized form.
+        // Exercised on a constructed noisy field (type + JSON props —
+        // braces, quotes, colons) so the normalization actually has
+        // work to do. Map-side projection + one hash aggregate; at
+        // 100 TB the normalized key shuffles ~once per distinct form
+        // thanks to partial aggregation.
+        Tables.t(s, dir, "events")
+          .select(trim(regexp_replace(regexp_replace(
+            lower(concat(col("event_type"), lit(" | "), col("props"))),
+            "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+          .groupBy("norm")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("norm")
+      },
+      Some("""SELECT trim(regexp_replace(regexp_replace(
+             |         lower(event_type || ' | ' || props),
+             |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+             |       count(*)::BIGINT AS n
+             |FROM events GROUP BY norm ORDER BY norm""".stripMargin)))
 }

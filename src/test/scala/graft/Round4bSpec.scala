@@ -148,6 +148,41 @@ class Round4bSpec extends SparkSpec {
     assert(ev.except(out).count() == 0)
   }
 
+  test("winsorize: thresholds ordered, clip fractions bounded by 5%") {
+    val out = q("events_winsorize").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("p05_c") > col("p95_c")).count() == 0)
+    val n = Tables.t(spark, sf, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val j = out.join(n, "event_type")
+    assert(j.where(col("n_lo") > col("n") * 0.05).count() == 0)
+    assert(j.where(col("n_hi") > col("n") * 0.05).count() == 0)
+    // clipped total sits inside the [n·p05, n·p95] envelope
+    assert(j.where(col("clipped_sum_c") < col("n") * col("p05_c") ||
+      col("clipped_sum_c") > col("n") * col("p95_c")).count() == 0)
+  }
+
+  test("wow growth: one row per week, only the first lacks a ratio") {
+    val out = q("events_wow_growth").cache()
+    val weeks = Tables.t(spark, sf, "events")
+      .select(to_date(date_trunc("week", col("ts"))).as("wk")).distinct().count()
+    assert(out.count() == weeks)
+    assert(out.where(col("growth_e4").isNull).count() == 1)
+    assert(out.orderBy("wk").limit(1).where(col("growth_e4").isNotNull)
+      .count() == 0)
+    assert(out.where(col("rev_c") <= 0).count() == 0)
+  }
+
+  test("normalize dedup: forms are canonical and counts conserve") {
+    val out = q("text_normalize_dedup").cache()
+    assert(out.where(col("norm").rlike("[^a-z0-9 ]")).count() == 0)
+    assert(out.where(col("norm").contains("  ")).count() == 0)
+    val total = Tables.t(spark, sf, "events").count()
+    assert(out.agg(sum("n")).head().getLong(0) == total)
+    // normalization actually collides distinct raw strings at this sf
+    assert(out.count() < total)
+  }
+
   test("replay dedup: streaming dropDuplicatesWithinWatermark matches batch") {
     val rows = Tables.t(spark, sf, "events")
       .select(col("event_id"), col("ts_ns"), col("user_id"),
