@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, InterleaveBits, RollingHashGrams, WordGramHashes}
+import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, RollingHashGrams, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.PosWordGrams].getName, "pos_word_grams"),
       (exprs: Seq[Expression]) => graft.functions.PosWordGrams(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // thresholded levenshtein comparisons → bounded banded DP
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
   }
