@@ -17,10 +17,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session relation cache: `spark.read.parquet` pays file listing
+    * + footer/schema decode on every call, and the registry re-loads the
+    * same ten tables for every query — hundreds of redundant listings
+    * per Verify/Bench run. DataFrames are immutable, so handing back the
+    * same instance is safe (Spark's DeduplicateRelations re-IDs
+    * attributes on self-joins; the whole suite passes against the cache
+    * at both test scale factors). Keyed by session identity so test
+    * sessions with different confs never share plans.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Load one table. For `events`, adds `ts_ns: Long` and rewrites `ts`
     * as TIMESTAMP_NTZ truncated to microseconds.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
