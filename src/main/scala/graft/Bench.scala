@@ -16,9 +16,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-JVM local mode: shuffle/broadcast bytes never cross a
+      // wire, so compression is pure CPU overhead at this scale (on a
+      // real cluster these stay at their network-bound defaults)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
