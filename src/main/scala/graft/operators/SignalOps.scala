@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave 5: rolling correlation between two series, open-order
+  * backlog via a sweep line, Zipf rank-frequency slope, and product-
+  * quantization code assignment. All DuckDB-oracle-checked.
+  */
+object SignalOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "window_rolling_corr",
+      (s, dir) => {
+        // Rolling 14-day CORRELATION between two metric series (do
+        // purchases track views this fortnight?) — the co-movement
+        // monitor behind every metric-drift alert. The event stream
+        // collapses to |days| rows FIRST (one keyed aggregate with the
+        // conditional sums as columns); the corr window then runs over
+        // that tiny frame — never over raw events. corr is a co-moment
+        // window aggregate: one pass, O(1) state per row.
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            round(sum(when(col("event_type") === "purchase", col("value"))), 2).as("p"),
+            round(sum(when(col("event_type") === "view", col("value"))), 2).as("v"))
+        val w = Window.orderBy("d").rowsBetween(-13, 0)
+        daily.select(col("d"), round(corr("p", "v").over(w), 4).as("c"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS d,
+             |                      round(sum(value) FILTER (event_type = 'purchase'), 2) AS p,
+             |                      round(sum(value) FILTER (event_type = 'view'), 2) AS v
+             |               FROM events GROUP BY 1)
+             |SELECT d, round(corr(p, v) OVER (ORDER BY d
+             |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 4) AS c
+             |FROM daily ORDER BY d""".stripMargin)),
+
+    GQuery(
+      "orders_backlog",
+      (s, dir) => {
+        // Open-order BACKLOG by day — the sweep-line pattern: each order
+        // contributes +1 at placement and -1 at its last shipment, the
+        // running sum of the daily net is the live backlog. Interval
+        // counting without ever materializing intervals × days: events
+        // collapse to |days| rows before the one unpartitioned window
+        // (same |days|-bounded stance as events_wow_growth; at scale the
+        // window input is thousands of rows regardless of order volume).
+        val opens = Tables.t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("d"), lit(1L).as("delta"))
+        val closes = Tables.t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(max("l_shipdate").as("last_ship"))
+          .select(to_date(col("last_ship")).as("d"), lit(-1L).as("delta"))
+        opens.unionAll(closes)
+          .groupBy("d").agg(sum("delta").as("net"))
+          .select(col("d"),
+            sum("net").over(Window.orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, 0)).as("backlog"))
+          .orderBy("d")
+      },
+      Some("""WITH open AS (SELECT o_orderdate::DATE AS d, 1 AS delta FROM orders),
+             | closed AS (SELECT max(l_shipdate)::DATE AS d, -1 AS delta
+             |            FROM lineitem GROUP BY l_orderkey),
+             | ev AS (SELECT d, sum(delta) AS net
+             |        FROM (SELECT * FROM open UNION ALL SELECT * FROM closed)
+             |        GROUP BY 1)
+             |SELECT d, (sum(net) OVER (ORDER BY d
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS backlog
+             |FROM ev ORDER BY d""".stripMargin)),
+
+    GQuery(
+      "text_zipf_slope",
+      (s, dir) => {
+        // ZIPF rank-frequency fit: regression slope of log(freq) on
+        // log(rank) over the top-100 vocabulary — the one-number corpus
+        // health check (natural text ≈ -1; templated/synthetic corpora
+        // flatten). Term counts map-side combine; the rank window and
+        // the regression run over ≤100 rows. regr_slope/intercept are
+        // one-pass co-moment aggregates.
+        val tf = Tables.t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val rk = tf.withColumn("r",
+          row_number().over(Window.orderBy(desc("c"), asc("w"))))
+          .where(col("r") <= 100)
+        rk.agg(
+            round(regr_slope(log(col("c")), log(col("r"))), 4).as("slope"),
+            round(regr_intercept(log(col("c")), log(col("r"))), 4).as("intercept"),
+            count(lit(1)).as("n_terms"))
+      },
+      Some("""WITH tf AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |            FROM documents),
+             | cnt AS (SELECT w, count(*) AS c FROM tf GROUP BY 1),
+             | rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt)
+             |SELECT round(regr_slope(ln(c), ln(r)), 4) AS slope,
+             |       round(regr_intercept(ln(c), ln(r)), 4) AS intercept,
+             |       count(*)::BIGINT AS n_terms
+             |FROM rk WHERE r <= 100""".stripMargin)),
+
+    GQuery(
+      "emb_pq_codes",
+      (s, dir) => {
+        // PRODUCT QUANTIZATION code assignment: 64 dims → 8 subspaces of
+        // 8; each subvector snaps to its nearest of 4 seed centroids
+        // (deterministic seeds = the 4 lowest vec_ids, same oracle-able
+        // stance as dedup_semantic's coarse quantizer); a vector's code
+        // is its 8 centroid digits. This is the vector-compression step
+        // under IVF-PQ indexes: 64 floats become 8 2-bit digits. The
+        // seed table broadcasts (32 subvectors); distances are
+        // sequential-order sums, so assignment ties and scores replay
+        // bit-identically in the oracle. One argmin window + one
+        // sorted-collect per vector.
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("em"))
+        val sub = e.select(col("vec_id"), posexplode(
+            array((0 until 8).map(j => slice(col("em"), j * 8 + 1, 8)): _*)))
+          .select(col("vec_id"), col("pos").as("ss"), col("col").as("sv"))
+        val seeds = sub.join(
+            e.orderBy("vec_id").limit(4).select(col("vec_id").as("sid")),
+            col("vec_id") === col("sid"))
+          .select(col("sid"), col("ss").as("css"), col("sv").as("cv"))
+        val d2: Column = aggregate(
+          zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        val assigned = sub.join(broadcast(seeds), col("ss") === col("css"))
+          .select(col("vec_id"), col("ss"), col("sid"), d2.as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "ss").orderBy(asc("d2"), asc("sid"))))
+          .where(col("rn") === 1)
+        assigned.groupBy("vec_id")
+          .agg(concat_ws("", array_sort(collect_list(
+            concat(col("ss"), lit(":"), col("sid"))))).as("code"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             | sub AS (SELECT vec_id, unnest([{'ss': j, 'sv': em[j*8+1:j*8+8]}
+             |                                for j in range(0, 8)], recursive := true)
+             |         FROM e),
+             | seeds AS (SELECT e.vec_id AS sid, s.ss AS css, s.sv AS cv
+             |           FROM sub s JOIN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4) e
+             |             ON s.vec_id = e.vec_id),
+             | scored AS (SELECT sub.vec_id, sub.ss, seeds.sid,
+             |                   list_sum([ (sub.sv[i] - seeds.cv[i]) * (sub.sv[i] - seeds.cv[i])
+             |                              for i in range(1, len(sub.sv) + 1)]) AS d2
+             |            FROM sub JOIN seeds ON sub.ss = seeds.css),
+             | best AS (SELECT vec_id, ss, sid FROM (
+             |            SELECT vec_id, ss, sid,
+             |                   row_number() OVER (PARTITION BY vec_id, ss
+             |                                      ORDER BY d2, sid) AS rn
+             |            FROM scored) WHERE rn = 1)
+             |SELECT vec_id,
+             |       array_to_string(list_sort(list(ss || ':' || sid)), '') AS code
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+  )
+}

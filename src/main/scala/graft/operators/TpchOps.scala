@@ -76,8 +76,8 @@ object TpchOps {
           .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("sk"))
           .join(broadcast(n2), col("c_nationkey") === col("ck"))
-          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .where((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+            (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("yr"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -92,8 +92,8 @@ object TpchOps {
              |JOIN customer ON c_custkey = o_custkey
              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-             |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             |WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+             |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     GQuery(

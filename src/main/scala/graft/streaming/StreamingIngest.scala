@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Ingest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming form of the reference job (SURVEY.md §7 step 3,
   * BASELINE.json north star: "Structured Streaming Kafka source + HDFS
@@ -78,6 +78,48 @@ object StreamingIngest {
             case _ => Iterator.empty
           }
       }
+  }
+
+  /** Latest-wins as a Spark 4 [[StatefulProcessor]] — the
+    * `transformWithState` successor API to flatMapGroupsWithState:
+    * explicit named state variables (typed ValueState here; List/Map
+    * state and per-key timers exist for richer operators), TTL support,
+    * and a RocksDB-backed store. Semantics are IDENTICAL to
+    * [[latestWinsUpdates]] — `StreamingSpec` differentially replays the
+    * same corpus through both and asserts equal update logs.
+    */
+  class LatestWinsProcessor
+      extends StatefulProcessor[Long, KeyedRecord, KeyedRecord] {
+    @transient private var latest: ValueState[KeyedRecord] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[KeyedRecord](
+        "latest", org.apache.spark.sql.Encoders.product[KeyedRecord], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedRecord],
+        tv: TimerValues): Iterator[KeyedRecord] = {
+      val prev = if (latest.exists()) Some(latest.get()) else None
+      val incoming = rows.maxByOption(r => (r.version, r.msg))
+      val best = (incoming.toSeq ++ prev.toSeq).maxByOption(r => (r.version, r.msg))
+      best match {
+        case Some(b) if !prev.exists(_.version >= b.version) =>
+          latest.update(b)
+          Iterator.single(b)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** Tier 2, modern form: [[latestWinsUpdates]] via `transformWithState`.
+    * Requires the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider`); state remains O(live keys), now
+    * with optional TTL aging for bounded-retention snapshots.
+    */
+  def latestWinsUpdatesTws(ds: Dataset[KeyedRecord]): Dataset[KeyedRecord] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.id)
+      .transformWithState(new LatestWinsProcessor, TimeMode.None(), OutputMode.Update)
   }
 
   /** One event keyed to a (user, time-bucket) rate-limit cell. */
