@@ -338,6 +338,52 @@ object Extras {
              |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
 
     GQuery(
+      "streaming_tws_upsert",
+      (s, dir) => {
+        // The SAME differential replay through the Spark 4
+        // transformWithState (StatefulProcessor + RocksDB store) form of
+        // the upsert — the driver gate now certifies the modern state
+        // API against the identical batch arg_max oracle. The provider
+        // conf is set for the query and restored after (the two state
+        // APIs use different store layouts).
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val recs = Tables.t(s, dir, "events")
+            .select(col("user_id").as("id"), col("event_type").as("msg"),
+              col("event_id").as("version"))
+            .as[KeyedRecord].collect()
+          val ms = MemoryStream[KeyedRecord]
+          s.catalog.dropTempView("tws_upsert_sink")
+          val q = StreamingIngest.latestWinsUpdatesTws(ms.toDS())
+            .writeStream.format("memory").queryName("tws_upsert_sink")
+            .outputMode("update").start()
+          try {
+            recs.grouped(recs.length / 3 + 1).foreach { chunk =>
+              ms.addData(chunk.toIndexedSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          Ingest.latestWins(s.table("tws_upsert_sink"),
+              keys = Seq("id"), version = Seq("version"))
+            .select(col("id"), col("msg"), col("version"))
+            .orderBy("id").localCheckpoint()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      },
+      Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
+             |       max(event_id) AS version
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
+
+    GQuery(
       "streaming_rate_limit",
       (s, dir) => {
         // Differential check of STREAMING RATE LIMITING: replay events in
