@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LabOps
+
+/** Gates for the wave-7 statistics/analytics batch. */
+class LabOpsSpec extends SparkSpec {
+
+  private def q(name: String) =
+    LabOps.all.find(_.name == name).get.run(spark, sf)
+
+  test("RFM quintiles are balanced and segments match their digits") {
+    val out = q("customer_rfm").cache()
+    val n = out.count()
+    for (c <- Seq("rs", "fs", "ms")) {
+      val sizes = out.groupBy(c).count().select("count")
+        .collect().map(_.getLong(0))
+      assert(sizes.max - sizes.min <= 1, s"$c quintiles must differ by <= 1")
+      assert(sizes.sum == n)
+    }
+    assert(out.where(col("segment") =!=
+      concat(col("rs"), col("fs"), col("ms"))).count() == 0)
+  }
+
+  test("ABC classes partition parts; A holds the revenue majority") {
+    val out = q("parts_abc_classes").cache()
+    val nParts = Tables.t(spark, sf, "lineitem")
+      .select(countDistinct("l_partkey")).head().getLong(0)
+    assert(out.agg(sum("n_parts")).head().getLong(0) == nParts)
+    val byCls = out.collect().map(r =>
+      r.getString(0) -> BigDecimal(r.getString(2))).toMap
+    assert(byCls("A") > byCls.getOrElse("B", BigDecimal(0)) &&
+      byCls("A") > byCls.getOrElse("C", BigDecimal(0)),
+      "class A must carry the largest revenue share")
+  }
+
+  test("neighbor jaccard is symmetric-bounded and self-pair-free") {
+    val out = q("graph_neighbor_jaccard").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("pa") >= col("pb")).count() == 0)
+    assert(out.where(col("nj") > 1.0 || col("nj") < 0.1).count() == 0)
+  }
+
+  test("PMI of an independent-ish pair is near zero, bounds hold") {
+    val out = q("text_pmi_bigrams").cache()
+    assert(out.count() > 0)
+    // PMI can't exceed ln(N2 / cb) bounds grossly; sanity: finite values
+    assert(out.where(col("pmi").isNull).count() == 0)
+    // bigram count never exceeds either unigram count → pmi <= min-ratio bound
+    assert(out.where(col("cb") <= 0).count() == 0)
+  }
+
+  test("welch t and chi2 agree with direct recomputation") {
+    val e = Tables.t(spark, sf, "events")
+    val stats = e.where(col("event_type").isin("purchase", "click"))
+      .groupBy("event_type")
+      .agg(avg("value").as("m"), var_samp("value").as("v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val (ma, va, na) = stats("purchase")
+    val (mb, vb, nb) = stats("click")
+    val expectT = BigDecimal((ma - mb) / math.sqrt(va / na + vb / nb))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotT = q("events_welch_ttest").head().getDouble(0)
+    assert(math.abs(gotT - expectT) <= 0.0001)
+    val chi = q("events_chi2_dow").head()
+    assert(chi.getDouble(0) >= 0.0 && chi.getLong(1) <= 35)
+  }
+
+  test("label-centroid outliers are the true top-20 by distance") {
+    val out = q("emb_label_outliers").cache()
+    assert(out.count() == 20)
+    // ranks dense, distances non-increasing
+    val d = out.orderBy("rn").select("d2").collect().map(_.getDouble(0))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b })
+  }
+}
