@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave 9 — ML featurization correctness operators: the
+  * point-in-time join (feature-leakage guard), leave-one-out target
+  * encoding, and the feature-hashing trick. All DuckDB-oracle-checked.
+  */
+object FeatureOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "join_point_in_time",
+      (s, dir) => {
+        // POINT-IN-TIME join — the feature-leakage guard: each event is
+        // joined to the dimension state that was valid AT its timestamp
+        // (never a later one). The SCD2 interval table derives from
+        // per-user state changes; the temporal join itself is the
+        // existing single-exchange AS-OF operator (attach the latest
+        // change ≤ ts), which is exactly equivalent to the interval
+        // form when consecutive intervals partition the timeline — and
+        // unlike the range join the oracle runs, it never multiplies
+        // rows at any scale. Training pipelines that skip this join are
+        // how future information leaks into features.
+        val ev = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = ev
+          .select(col("user_id"), col("ts"), col("event_type"),
+            lag("event_type", 1).over(w).as("prev"))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+          .select(col("user_id").as("c_user"), col("ts").as("cts"),
+            col("event_type").as("state"))
+        AsOfJoin.asof(
+            ev.select("event_id", "user_id", "ts"), changes,
+            leftKey = "user_id", rightKey = "c_user",
+            leftTime = "ts", rightTime = "cts",
+            rightPayload = Seq("state"), rightTiebreak = Seq("state"))
+          .select(col("event_id"), col("user_id"), col("state"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ordered AS (SELECT user_id, ts, event_id, event_type,
+             |                        lag(event_type) OVER (PARTITION BY user_id
+             |                                              ORDER BY ts, event_id) AS prev
+             |                 FROM events),
+             | changes AS (SELECT user_id, ts AS vfrom, event_type AS state,
+             |                    lead(ts) OVER (PARTITION BY user_id
+             |                                   ORDER BY ts, event_type) AS vto
+             |             FROM ordered WHERE prev IS NULL OR prev <> event_type)
+             |SELECT e.event_id, e.user_id, c.state
+             |FROM events e JOIN changes c
+             |  ON e.user_id = c.user_id AND e.ts >= c.vfrom
+             | AND (c.vto IS NULL OR e.ts < c.vto)
+             |ORDER BY e.event_id""".stripMargin)),
+
+    GQuery(
+      "feat_target_encode_loo",
+      (s, dir) => {
+        // LEAVE-ONE-OUT target encoding: each row's category encodes as
+        // the mean target of all OTHER rows in its category —
+        // (sum − y) / (n − 1). Plain mean encoding leaks the row's own
+        // label; LOO removes it with zero extra passes: one per-category
+        // aggregate broadcast back onto the stream.
+        val ev = Tables.t(s, dir, "events")
+        val g = ev.groupBy("event_type")
+          .agg(sum("value").as("sv"), count(lit(1)).as("n"))
+        ev.join(broadcast(g), "event_type")
+          .where(col("n") > 1)
+          .select(col("event_id"),
+            round((col("sv") - col("value")) / (col("n") - 1), 4).as("loo"))
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (SELECT event_type, sum(value) AS sv, count(*) AS n
+             |           FROM events GROUP BY 1)
+             |SELECT event_id, round((sv - value) / (n - 1), 4) AS loo
+             |FROM events JOIN g USING (event_type)
+             |WHERE n > 1 ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "feat_hashing_trick",
+      (s, dir) => {
+        // FEATURE HASHING (the hashing trick): tokens map to a fixed
+        // 64-bucket space via the portable hash, a second independent
+        // hash supplies the ±1 sign (the unbiasedness trick from
+        // Weinberger et al.). Vocabulary-free featurization — no dict
+        // to build, broadcast, or version; the whole op is one keyed
+        // aggregate over (doc, bucket) with map-side combine. Integer
+        // signed counts → exact at any parallelism.
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val b = conv(substring(md5(
+          concat(lit("fh:"), col("w")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 64
+        val sg = when(conv(substring(md5(
+          concat(lit("sg:"), col("w")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L)
+        tok.select(col("doc_id"), b.as("bucket"), sg.as("sg"))
+          .groupBy("doc_id", "bucket")
+          .agg(sum("sg").as("wt"))
+          .where(col("wt") =!= 0)
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |             FROM documents),
+             | h AS (SELECT doc_id,
+             |              ('0x' || substring(md5('fh:' || w), 1, 8))::BIGINT % 64 AS bucket,
+             |              CASE WHEN ('0x' || substring(md5('sg:' || w), 1, 8))::BIGINT % 2 = 0
+             |                   THEN 1 ELSE -1 END AS sg
+             |       FROM tok)
+             |SELECT doc_id, bucket, sum(sg)::BIGINT AS wt
+             |FROM h GROUP BY 1, 2 HAVING sum(sg) <> 0
+             |ORDER BY doc_id, bucket""".stripMargin))
+  )
+}
