@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.functions.CosineSimilarity
 import graft.plans.AsOfJoin
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -78,6 +79,59 @@ object FeatureOps {
              |SELECT event_id, round((sv - value) / (n - 1), 4) AS loo
              |FROM events JOIN g USING (event_type)
              |WHERE n > 1 ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "emb_knn_accuracy",
+      (s, dir) => {
+        // k-NN LABEL EVALUATION (leave-one-out): predict each vector's
+        // label by majority vote of its 5 nearest neighbors, report
+        // per-class accuracy — the standard embedding-quality probe.
+        // Exact pair scan here (the oracle-able baseline); at 100 TB the
+        // neighbor set comes from the ANN path (sim_ann_lsh / ivf) and
+        // this same vote+score tail runs on candidates. Both argmaxes
+        // (top-5 neighbors, majority label) are WindowGroupLimit-pruned
+        // windows with deterministic tiebreaks.
+        CosineSimilarity.register(s)
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("em"))
+        val sc = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("qa"), col("a.label").as("la"),
+            col("b.vec_id").as("qb"), col("b.label").as("lb"),
+            CosineSimilarity.cosine_sim("a.em", "b.em").as("sim"))
+        val top = sc.withColumn("rn", row_number().over(
+            Window.partitionBy("qa").orderBy(desc("sim"), asc("qb"))))
+          .where(col("rn") <= 5)
+        val vote = top.groupBy("qa", "la", "lb").agg(count(lit(1)).as("c"))
+        val pred = vote.withColumn("rn", row_number().over(
+            Window.partitionBy("qa").orderBy(desc("c"), asc("lb"))))
+          .where(col("rn") === 1)
+        pred.groupBy(col("la").as("lbl"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("lb") === col("la"), 1)).as("correct"))
+          .select(col("lbl"), col("n"), col("correct"),
+            round(col("correct").cast("double") / col("n"), 4).as("acc"))
+          .orderBy("lbl")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS em FROM embeddings),
+             | sc AS (SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS qb,
+             |               b.label AS lb, list_cosine_similarity(a.em, b.em) AS sim
+             |        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             | top AS (SELECT qa, la, lb FROM (
+             |           SELECT qa, la, lb,
+             |                  row_number() OVER (PARTITION BY qa
+             |                                     ORDER BY sim DESC, qb) AS rn
+             |           FROM sc) WHERE rn <= 5),
+             | vote AS (SELECT qa, la, lb, count(*) AS c FROM top GROUP BY 1, 2, 3),
+             | pred AS (SELECT qa, la, lb AS pl FROM (
+             |            SELECT qa, la, lb,
+             |                   row_number() OVER (PARTITION BY qa
+             |                                      ORDER BY c DESC, lb) AS rn
+             |            FROM vote) WHERE rn = 1)
+             |SELECT la AS lbl, count(*)::BIGINT AS n,
+             |       count(*) FILTER (pl = la)::BIGINT AS correct,
+             |       round(count(*) FILTER (pl = la)::DOUBLE / count(*), 4) AS acc
+             |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
       "feat_hashing_trick",
