@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   */
 class LayoutSpec extends SparkSpec {
 
+  test("dynamic partition pruning injects a runtime filter on the partitioned scan") {
+    // DPP: joining a partitioned fact on its partition column with a
+    // FILTERED broadcastable dim must plan a dynamicpruning subquery in
+    // the scan's PartitionFilters — at 100 TB this skips whole
+    // directories based on the dim filter's runtime result, the
+    // partition-level analog of the runtime bloom filter.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    Layout.writePartitioned(ev, dir, Seq("event_type"))
+    val fact = spark.read.parquet(dir)
+    // the dim must be a SCANNED relation with a live Filter — a
+    // LocalRelation constant-folds the predicate away and DPP's
+    // "selective predicate on the build side" precondition fails
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq(("purchase", 1), ("click", 2)).toDF("et", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("grp") === 1)
+    val joined = fact.join(dim, col("event_type") === col("et"))
+      .groupBy("event_type").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruning in PartitionFilters:\n$plan")
+    // and the result is correct: only the surviving partition's rows
+    val expect = ev.where(col("event_type") === "purchase").count()
+    val got = joined.collect()
+    assert(got.length == 1 && got.head.getLong(1) == expect)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val orders = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     val cust = Tables.t(spark, sf, "customer").select("c_custkey", "c_name")
