@@ -134,6 +134,57 @@ object FeatureOps {
              |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "emb_hard_negatives",
+      (s, dir) => {
+        // HARD-NEGATIVE mining for contrastive training: per anchor, the
+        // most-similar vector with a DIFFERENT label (the hardest
+        // negative) next to the most-similar same-label vector (the
+        // hardest positive) and their margin — the pairs a triplet/InfoNCE
+        // objective learns most from. One scored pass feeds both argmaxes
+        // (WindowGroupLimit-pruned); at 100 TB candidates come from the
+        // ANN bucket path and this tail is unchanged.
+        CosineSimilarity.register(s)
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("em"))
+        val sc = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("anchor"), col("a.label").as("la"),
+            col("b.vec_id").as("cand"), col("b.label").as("lb"),
+            CosineSimilarity.cosine_sim("a.em", "b.em").as("sim"))
+        def top1(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy("anchor").orderBy(desc("sim"), asc("cand"))))
+            .where(col("rn") === 1)
+        val hn = top1(sc.where(col("la") =!= col("lb")))
+          .select(col("anchor"), col("cand").as("hard_neg"), col("sim").as("sn"))
+        val hp = top1(sc.where(col("la") === col("lb")))
+          .select(col("anchor").as("anchor2"), col("sim").as("sp"))
+        hn.join(hp, col("anchor") === col("anchor2"))
+          .select(col("anchor"), col("hard_neg"),
+            round(col("sn"), 4).as("sn"), round(col("sp"), 4).as("sp"),
+            round(col("sp") - col("sn"), 4).as("margin"))
+          .orderBy("anchor")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS em FROM embeddings),
+             | sc AS (SELECT a.vec_id AS anchor, a.label AS la, b.vec_id AS cand,
+             |               b.label AS lb, list_cosine_similarity(a.em, b.em) AS sim
+             |        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             | hn AS (SELECT anchor, cand AS hard_neg, sim AS sn FROM (
+             |          SELECT anchor, cand, sim,
+             |                 row_number() OVER (PARTITION BY anchor
+             |                                    ORDER BY sim DESC, cand) AS rn
+             |          FROM sc WHERE la <> lb) WHERE rn = 1),
+             | hp AS (SELECT anchor, sim AS sp FROM (
+             |          SELECT anchor, cand, sim,
+             |                 row_number() OVER (PARTITION BY anchor
+             |                                    ORDER BY sim DESC, cand) AS rn
+             |          FROM sc WHERE la = lb) WHERE rn = 1)
+             |SELECT anchor, hard_neg, round(sn, 4) AS sn, round(sp, 4) AS sp,
+             |       round(sp - sn, 4) AS margin
+             |FROM hn JOIN hp USING (anchor)
+             |ORDER BY anchor""".stripMargin)),
+
+    GQuery(
       "feat_hashing_trick",
       (s, dir) => {
         // FEATURE HASHING (the hashing trick): tokens map to a fixed
