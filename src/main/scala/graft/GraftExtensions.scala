@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // custom whole-operator path: band join logical node → physical plan
+    e.injectPlannerStrategy(_ => graft.plans.BandJoin.BandJoinStrategy)
     // thresholded levenshtein comparisons → bounded banded DP
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
   }

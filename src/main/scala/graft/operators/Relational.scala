@@ -889,6 +889,35 @@ object Relational {
              |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
              |GROUP BY tier ORDER BY tier""".stripMargin)),
 
+    GQuery(
+      "join_band_strategy",
+      (s, dir) => {
+        // The SAME band join through the library's CUSTOM WHOLE-OPERATOR
+        // path (plans/BandJoin: custom LogicalPlan → SparkStrategy →
+        // physical SparkPlan doing broadcast + binary search) instead of
+        // the BroadcastNestedLoopJoin above — O(log bands) per probe row
+        // instead of O(bands). Same oracle as join_range_nonequi: the
+        // hash match proves the custom operator's semantics.
+        import s.implicits._
+        val tiers = Seq(
+          ("bronze", 0.0, 100000.0),
+          ("silver", 100000.0, 300000.0),
+          ("gold", 300000.0, 1000000.0)
+        ).toDF("tier", "lo", "hi")
+        graft.plans.BandJoin.joinByBand(
+            t(s, dir, "orders"), tiers, "o_totalprice", "lo", "hi")
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("tier")
+      },
+      Some("""WITH tiers(tier, lo, hi) AS (VALUES
+             |  ('bronze', 0.0, 100000.0),
+             |  ('silver', 100000.0, 300000.0),
+             |  ('gold', 300000.0, 1000000.0))
+             |SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY tier ORDER BY tier""".stripMargin)),
+
     // ------------------------------------------------------- time windows
     GQuery(
       "time_tumbling",

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftinternal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the `private[sql]` pieces a library-defined logical
+  * operator needs: wrapping a custom LogicalPlan back into a DataFrame
+  * and recovering the catalyst Expression behind a Column. Spark offers
+  * no public API for either — every extension library ships exactly
+  * this shim. Nothing else private is touched.
+  */
+object GraftDataset {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def expr(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
