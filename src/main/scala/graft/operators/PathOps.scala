@@ -93,6 +93,54 @@ object PathOps {
              |ORDER BY l_returnflag, rk, l_orderkey, l_linenumber""".stripMargin)),
 
     GQuery(
+      "set_union_by_name",
+      (s, dir) => {
+        // Schema-evolution union: two relations with DIFFERENT column
+        // sets combine BY NAME (missing columns null-filled) — the
+        // heterogeneous-snapshot append every evolving pipeline needs,
+        // where positional UNION would silently misalign columns.
+        val a = Tables.t(s, dir, "orders")
+          .where(col("o_orderkey") % 100 === 0)
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("amount"),
+            col("o_orderpriority").as("prio"))
+        val b = Tables.t(s, dir, "customer")
+          .where(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("amount"))
+        a.unionByName(b, allowMissingColumns = true)
+          .agg(count(lit(1)).as("n"), count(col("prio")).as("with_prio"),
+            round(sum("amount"), 2).as("total"))
+      },
+      Some("""WITH a AS (SELECT o_custkey AS k, o_totalprice AS amount,
+             |                  o_orderpriority AS prio
+             |           FROM orders WHERE o_orderkey % 100 = 0),
+             | b AS (SELECT c_custkey AS k, c_acctbal AS amount
+             |       FROM customer WHERE c_custkey % 100 = 0),
+             | u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+             |SELECT count(*)::BIGINT AS n, count(prio)::BIGINT AS with_prio,
+             |       round(sum(amount), 2) AS total
+             |FROM u""".stripMargin)),
+
+    GQuery(
+      "scalar_regexp_extract_all",
+      (s, dir) => {
+        // regexp_extract_all: EVERY match per row exploded to rows —
+        // the multi-match extraction the single-match regexp_extract
+        // can't express (mentions, tags, all URLs in a doc). Map-side
+        // explode + one count aggregate.
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"),
+              lit("\\b\\w*(ow|ta)\\w*\\b"), lit(0))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy("w")
+      },
+      Some("""SELECT w, count(*)::BIGINT AS n
+             |FROM (SELECT doc_id,
+             |             unnest(regexp_extract_all(text, '\b\w*(ow|ta)\w*\b')) AS w
+             |      FROM documents)
+             |GROUP BY w ORDER BY w""".stripMargin)),
+
+    GQuery(
       "agg_hierarchy_share",
       (s, dir) => {
         // PERCENT-OF-PARENT: nation revenue as a share of its region —
