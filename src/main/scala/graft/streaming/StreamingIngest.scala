@@ -155,6 +155,72 @@ object StreamingIngest {
       }
   }
 
+  /** Sessionization as a Spark 4 [[StatefulProcessor]] with EVENT-TIME
+    * TIMERS — the transformWithState twin of [[sessionize]]: sessions
+    * close either when a same-user event arrives past the gap (emitted
+    * from handleInputRows) or when the watermark passes last + gap (the
+    * registered timer fires into handleExpiredTimer). Timer bookkeeping
+    * is explicit — each batch moves the per-key close timer to the new
+    * session end — where fMGWS hid it in setTimeoutTimestamp. State is
+    * one SessState per live session; `StreamingSpec` differentially
+    * replays the same corpus through both forms.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState](
+        "sess", org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessEvent],
+        tv: TimerValues): Iterator[SessOut] = {
+      val evs = rows.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[SessOut]
+      var cur = if (st.exists()) Some(st.get()) else None
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s0) if t - s0.last <= gapMs =>
+            cur = Some(SessState(s0.start, math.max(s0.last, t), s0.n + 1, s0.sv + e.value))
+          case Some(s0) =>
+            closed ::= SessOut(uid, new java.sql.Timestamp(s0.start), s0.n, s0.sv)
+            cur = Some(SessState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s0 =>
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        st.update(s0)
+        getHandle.registerTimer(s0.last + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] = {
+      if (st.exists()) {
+        val s0 = st.get()
+        if (info.getExpiryTimeInMs() >= s0.last + gapMs) {
+          st.clear()
+          Iterator.single(SessOut(uid, new java.sql.Timestamp(s0.start), s0.n, s0.sv))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionize]] on the transformWithState API (RocksDB store,
+    * event-time timers).
+    */
+  def sessionizeTws(ds: Dataset[SessEvent], gapMs: Long): Dataset[SessOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
+
   /** Tier 3: snapshot sink — every micro-batch rewrites the output dir
     * with the deduped latest state of THAT batch plus what `latestWins`
     * already folded (callers feed this from `latestWinsUpdates` for a
