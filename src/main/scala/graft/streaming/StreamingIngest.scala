@@ -221,6 +221,78 @@ object StreamingIngest {
         TimeMode.EventTime(), OutputMode.Append)
   }
 
+  /** One event entering the streaming funnel. */
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** One completed funnel conversion. */
+  case class FunnelHit(user_id: Long, t_first: java.sql.Timestamp,
+      t_convert: java.sql.Timestamp)
+
+  /** Streaming FUNNEL state machine on [[StatefulProcessor]] MapState —
+    * the incremental twin of the batch windowed funnel: per user, the
+    * map holds the earliest qualifying timestamp per stage; an event
+    * advances stage i only if it lands within `stepMs` of stage i−1's
+    * time, and completing the final stage emits exactly one conversion.
+    * State is |stages| longs per live user (bounded, TTL-able), not an
+    * event buffer. Equals the batch conditional-min chain whenever each
+    * user's events arrive in event-time order (the replay the test
+    * drives); a production flow adds a lateness buffer in front.
+    */
+  class FunnelProcessor(stages: Seq[String], stepMs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("stages",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    // state carries epoch-MICROS: Timestamp.getTime is millis and would
+    // silently truncate the micro-precision event times (caught by the
+    // batch differential)
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    private def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[FunnelHit] = {
+      val evs = rows.toArray.sortBy(e => micros(e.ts))
+      var hits = List.empty[FunnelHit]
+      evs.foreach { e =>
+        val i = stages.indexOf(e.event_type)
+        if (i >= 0 && !st.containsKey(stages(i))) {
+          val t = micros(e.ts)
+          val ok =
+            if (i == 0) true
+            else st.containsKey(stages(i - 1)) && {
+              val p = st.getValue(stages(i - 1))
+              t > p && t <= p + stepMs * 1000L
+            }
+          if (ok) {
+            st.updateValue(stages(i), t)
+            if (i == stages.length - 1)
+              hits ::= FunnelHit(uid,
+                fromMicros(st.getValue(stages.head)), fromMicros(t))
+          }
+        }
+      }
+      hits.reverseIterator
+    }
+  }
+
+  /** Streaming funnel over the standard view→click→purchase stages. */
+  def funnelUpdates(ds: Dataset[FunnelEvent], stages: Seq[String],
+      stepMs: Long): Dataset[FunnelHit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages, stepMs),
+        TimeMode.None(), OutputMode.Append)
+  }
+
   /** Tier 3: snapshot sink — every micro-batch rewrites the output dir
     * with the deduped latest state of THAT batch plus what `latestWins`
     * already folded (callers feed this from `latestWinsUpdates` for a
