@@ -293,6 +293,60 @@ object StreamingIngest {
         TimeMode.None(), OutputMode.Append)
   }
 
+  /** One match of the streaming sequence pattern. */
+  case class SeqMatch(user_id: Long, match_start: java.sql.Timestamp)
+
+  /** Streaming MATCH_RECOGNIZE-shape detection on [[StatefulProcessor]]
+    * ListState: the per-user state is the last k−1 (type, time) events
+    * — a BOUNDED buffer trimmed on every append, never the history —
+    * and a consecutive view→click→purchase triple emits the match at
+    * the view's timestamp. The incremental twin of the batch lead()
+    * pattern query; `SeqStreamSpec` replays the full events table and
+    * compares match sets exactly.
+    */
+  class SequenceProcessor(pattern: Seq[String])
+      extends StatefulProcessor[Long, FunnelEvent, SeqMatch] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(String, Long)]("tail",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    private def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[SeqMatch] = {
+      val evs = rows.toArray.sortBy(e => micros(e.ts))
+      var tail: Vector[(String, Long)] =
+        if (buf.exists()) buf.get().toVector else Vector.empty
+      var out = List.empty[SeqMatch]
+      evs.foreach { e =>
+        tail = (tail :+ (e.event_type, micros(e.ts))).takeRight(pattern.length)
+        if (tail.length == pattern.length &&
+            tail.map(_._1) == pattern)
+          out ::= SeqMatch(uid, fromMicros(tail.head._2))
+      }
+      buf.put(tail.takeRight(pattern.length - 1).toArray)
+      out.reverseIterator
+    }
+  }
+
+  /** Streaming consecutive-pattern matches for `pattern`. */
+  def sequenceMatches(ds: Dataset[FunnelEvent], pattern: Seq[String]): Dataset[SeqMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SequenceProcessor(pattern),
+        TimeMode.None(), OutputMode.Append)
+  }
+
   /** Tier 3: snapshot sink — every micro-batch rewrites the output dir
     * with the deduped latest state of THAT batch plus what `latestWins`
     * already folded (callers feed this from `latestWinsUpdates` for a
