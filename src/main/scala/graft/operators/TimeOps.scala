@@ -109,6 +109,28 @@ object TimeOps {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     GQuery(
+      "events_autocorr",
+      (s, dir) => {
+        // Lag-1 AUTOCORRELATION of the daily total — the one-number
+        // "is yesterday predictive of today" diagnostic (near zero ⇒
+        // white noise ⇒ forecasting adds nothing over the mean). The
+        // event stream collapses to |days| rows, the lag is one window
+        // step, corr is a co-moment aggregate over ≤ |days| pairs.
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(round(sum("value"), 2).as("tot"))
+        val w = Window.orderBy("d")
+        daily.withColumn("p", lag("tot", 1).over(w))
+          .agg(round(corr("tot", "p"), 4).as("ac1"),
+            count(col("p")).as("n_pairs"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS d, round(sum(value), 2) AS tot
+             |               FROM events GROUP BY 1),
+             | l AS (SELECT d, tot, lag(tot) OVER (ORDER BY d) AS p FROM daily)
+             |SELECT round(corr(tot, p), 4) AS ac1, count(p)::BIGINT AS n_pairs
+             |FROM l""".stripMargin)),
+
+    GQuery(
       "agg_group_by_all",
       (s, dir) => {
         // GROUP BY ALL / ORDER BY ALL — the modern SQL surface that

@@ -122,6 +122,55 @@ object StreamingIngest {
       .transformWithState(new LatestWinsProcessor, TimeMode.None(), OutputMode.Update)
   }
 
+  /** Latest-wins with BOOTSTRAPPED state — the pipeline-migration form:
+    * a new streaming job takes over from an existing batch snapshot
+    * without replaying history. `handleInitialState` seeds each key's
+    * ValueState from the snapshot row before the first batch; the
+    * update semantics are [[LatestWinsProcessor]]'s unchanged, so a
+    * stale delta record older than the snapshot is correctly
+    * suppressed. `InitStateSpec` proves snapshot + delta ≡ full-history
+    * replay.
+    */
+  class LatestWinsWithInitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, KeyedRecord, KeyedRecord, KeyedRecord] {
+    @transient private var latest: ValueState[KeyedRecord] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[KeyedRecord](
+        "latest", org.apache.spark.sql.Encoders.product[KeyedRecord], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, snap: KeyedRecord,
+        tv: TimerValues): Unit =
+      latest.update(snap)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedRecord],
+        tv: TimerValues): Iterator[KeyedRecord] = {
+      val prev = if (latest.exists()) Some(latest.get()) else None
+      val incoming = rows.maxByOption(r => (r.version, r.msg))
+      val best = (incoming.toSeq ++ prev.toSeq).maxByOption(r => (r.version, r.msg))
+      best match {
+        case Some(b) if !prev.exists(_.version >= b.version) =>
+          latest.update(b)
+          Iterator.single(b)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** [[latestWinsUpdatesTws]] resuming FROM a batch snapshot: only the
+    * delta streams; keys the delta never touches stay at their snapshot
+    * value in the store.
+    */
+  def latestWinsResumed(delta: Dataset[KeyedRecord],
+      snapshot: Dataset[KeyedRecord]): Dataset[KeyedRecord] = {
+    import delta.sparkSession.implicits._
+    delta.groupByKey(_.id)
+      .transformWithState(new LatestWinsWithInitProcessor,
+        TimeMode.None(), OutputMode.Update,
+        snapshot.groupByKey(_.id))
+  }
+
   /** One event keyed to a (user, time-bucket) rate-limit cell. */
   case class BucketEvent(user_id: Long, bucket: Long, ts_us: Long, event_id: Long)
 
