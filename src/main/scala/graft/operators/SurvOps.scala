@@ -102,6 +102,69 @@ object SurvOps {
              |ORDER BY node""".stripMargin)),
 
     GQuery(
+      "graph_assortativity",
+      (s, dir) => {
+        // Degree ASSORTATIVITY: correlation of endpoint degrees across
+        // edges — do hubs link to hubs (assortative, social-network
+        // style) or to leaves (disassortative, infrastructure style)?
+        // One degree aggregate joined to both edge endpoints, then a
+        // co-moment corr — the network-science summary number.
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+          .distinct()
+        val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
+        e.join(deg.select(col("s"), col("dg").as("da")), "s")
+          .join(deg.select(col("s").as("d"), col("dg").as("db2")), "d")
+          .agg(round(corr("da", "db2"), 4).as("assort"),
+            count(lit(1)).as("n_edges"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             |           FROM lineitem a JOIN lineitem b
+             |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+             | deg AS (SELECT s, count(*) AS dg FROM e GROUP BY 1)
+             |SELECT round(corr(da.dg, db.dg), 4) AS assort,
+             |       count(*)::BIGINT AS n_edges
+             |FROM e JOIN deg da ON e.s = da.s JOIN deg db ON e.d = db.s""".stripMargin)),
+
+    GQuery(
+      "events_entropy_rate",
+      (s, dir) => {
+        // Markov ENTROPY RATE of the event stream: H = −Σπ(i)·Σ
+        // p(j|i)·ln p(j|i) over the per-user transition counts — how
+        // predictable the next action is given the current one (0 =
+        // deterministic flows, ln|types| = uniform chaos). Transition
+        // counts are one lead() pass + one aggregate; the rate is
+        // arithmetic over ≤ |types|² cells.
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val c = Tables.t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            lead("event_type", 1).over(w).as("nxt"))
+          .where(col("nxt").isNotNull)
+          .groupBy("et", "nxt").agg(count(lit(1)).cast("double").as("n"))
+        val rowt = c.groupBy("et").agg(sum("n").as("rn"))
+        val tot = c.agg(sum("n").as("t0"))
+        c.join(broadcast(rowt), "et").crossJoin(broadcast(tot))
+          .agg(round(-sum((col("rn") / col("t0")) * (col("n") / col("rn")) *
+            log(col("n") / col("rn"))), 4).as("hrate"),
+            count(lit(1)).as("cells"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type AS et,
+             |                  lead(event_type) OVER (PARTITION BY user_id
+             |                                         ORDER BY ts, event_id) AS nxt
+             |           FROM events),
+             | c AS (SELECT et, nxt, count(*)::DOUBLE AS n FROM o
+             |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             | rowt AS (SELECT et, sum(n) AS rn FROM c GROUP BY 1),
+             | tot AS (SELECT sum(n) AS t0 FROM c)
+             |SELECT round(-sum((rowt.rn / tot.t0) * (c.n / rowt.rn) * ln(c.n / rowt.rn)), 4) AS hrate,
+             |       count(*)::BIGINT AS cells
+             |FROM c JOIN rowt USING (et), tot""".stripMargin)),
+
+    GQuery(
       "agg_gini",
       (s, dir) => {
         // GINI coefficient of customer revenue — the inequality metric
