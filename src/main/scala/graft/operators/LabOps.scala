@@ -207,6 +207,58 @@ object LabOps {
              |ORDER BY pa, pb""".stripMargin)),
 
     GQuery(
+      "graph_neighbor_jaccard_capped",
+      (s, dir) => {
+        // The PRODUCTION form of neighbor-Jaccard: each shared
+        // neighbor's POSTING list is capped at k=50 nodes (deterministic
+        // id order — in practice top-k by edge weight) BEFORE the
+        // co-neighbor join. The pair explosion is quadratic in POSTING
+        // size, not out-degree — capping the wrong side barely helps
+        // (measured): this cap bounds every shared neighbor's pair
+        // contribution at C(k,2). Exactly replayed by the oracle — the
+        // same hazard-mitigation stance as dedup_jaccard_prefix.
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+          .distinct()
+        val capped = e.withColumn("rn", row_number().over(
+            Window.partitionBy("d").orderBy("s")))
+          .where(col("rn") <= 50).drop("rn")
+        val deg = capped.groupBy("s").agg(count(lit(1)).as("dg"))
+        val ed = capped.join(deg, "s")
+        val pairs = ed.as("e1").join(ed.as("e2"),
+            col("e1.d") === col("e2.d") && col("e1.s") < col("e2.s"))
+          .groupBy(col("e1.s").as("pa"), col("e2.s").as("pb"),
+            col("e1.dg").as("da"), col("e2.dg").as("db"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .select(col("pa"), col("pb"),
+            (col("common").cast("double") /
+              (col("da") + col("db") - col("common"))).as("nj"))
+          .where(col("nj") >= 0.1)
+          .select(col("pa"), col("pb"), round(col("nj"), 4).as("nj"))
+          .orderBy("pa", "pb")
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             |           FROM lineitem a JOIN lineitem b
+             |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+             | capped AS (SELECT s, d FROM (
+             |              SELECT s, d, row_number() OVER (PARTITION BY d ORDER BY s) AS rn
+             |              FROM e) WHERE rn <= 50),
+             | deg AS (SELECT s, count(*) AS dg FROM capped GROUP BY 1),
+             | co AS (SELECT e1.s AS pa, e2.s AS pb, da.dg AS da, db.dg AS db,
+             |               count(*) AS common
+             |        FROM capped e1 JOIN capped e2 ON e1.d = e2.d AND e1.s < e2.s
+             |        JOIN deg da ON e1.s = da.s JOIN deg db ON e2.s = db.s
+             |        GROUP BY 1, 2, 3, 4)
+             |SELECT pa, pb, round(common::DOUBLE / (da + db - common), 4) AS nj
+             |FROM co WHERE common::DOUBLE / (da + db - common) >= 0.1
+             |ORDER BY pa, pb""".stripMargin)),
+
+    GQuery(
       "text_pmi_bigrams",
       (s, dir) => {
         // PMI COLLOCATIONS: pointwise mutual information of adjacent
