@@ -29,12 +29,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.registry.filter(_.bench)
-    // Warm the JVM/codegen/file-listing/shuffle paths once so the first
-    // timed query doesn't pay one-time session costs: a scan, a shuffle,
-    // and the events nanos-read path.
+    // Warm one-time SESSION costs so the first timed query doesn't pay
+    // them (a fresh cluster pays these once at startup, not per query):
+    // file listings + parquet footers for every table (Tables.t caches
+    // the relations), the events nanos-read path, and the engine's
+    // codegen/JIT paths — window exec, broadcast + sort-merge join,
+    // HOF lambdas, string kernels — on a 100-row synthetic frame. The
+    // timed queries themselves are never planned or executed here.
+    Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
     Tables.t(spark, sfDir, "events").select("event_id").limit(1).count()
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = (1 to 100).map(i => (i.toLong, s"k${i % 7}", i * 1.5)).toDF("id", "k", "v")
+      val dim = Seq(("k1", "a"), ("k2", "b")).toDF("k", "lbl")
+      w.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy(desc("v"))))
+        .where(col("rn") <= 3)
+        .join(broadcast(dim), Seq("k"), "left")
+        .join(w.select(col("k"), col("v").as("v2")), "k")
+        .select(col("k"), upper(col("lbl")), col("v") + col("v2"),
+          aggregate(transform(sequence(lit(1), lit(8)), _.cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     def timeOnce(q: GQuery): Double = {
       val t0 = System.nanoTime()

@@ -57,7 +57,11 @@ object IngestJob {
           .select(lit(0).as("partition"), xxhash64(col("value")).as("offset"), col("value"))
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
-    // reference kafka.limit: cap records scanned (KafkaInputFormat.java:188)
+    // reference kafka.limit: cap records scanned (KafkaInputFormat.java:188).
+    // Dataset.limit takes an Int; a larger --limit would overflow toInt
+    // silently (negative cap) — reject it explicitly instead.
+    require(a.limit <= Int.MaxValue,
+      s"--limit ${a.limit} exceeds the supported cap of ${Int.MaxValue}")
     val capped = if (a.limit > 0) raw.limit(a.limit.toInt) else raw
     val snapshot = Sources.kafkaShapedToSnapshot(capped, scoped = a.scoped)
     Ingest.writeSnapshotJson(snapshot, a.output)

@@ -27,13 +27,35 @@ object Tables {
     * sessions with different confs never share plans.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   /** Load one table. For `events`, adds `ts_ns: Long` and rewrites `ts`
     * as TIMESTAMP_NTZ truncated to microseconds.
+    *
+    * Sessions key the outer map WEAKLY: a closed/discarded session (and
+    * every DataFrame built on it) becomes collectable instead of pinned
+    * forever in a long-lived multi-session process. Call [[invalidate]]
+    * after rewriting the underlying parquet — cached plans hold the file
+    * listing from load time.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val per = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent((dir, name), _ => load(spark, dir, name))
+  }
+
+  /** Drop every cached relation (all sessions) — required after the
+    * underlying parquet files are rewritten, or the cached plans serve
+    * stale file listings.
+    */
+  def invalidate(): Unit = cache.synchronized(cache.clear())
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

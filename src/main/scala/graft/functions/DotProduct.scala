@@ -15,20 +15,31 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * One fused loop, no intermediate zipped-array allocation, inlined into
   * whole-stage codegen. Accumulates in sequential index order so results
   * are bit-identical to the `aggregate(zip_with(...))` HOF form and to
-  * DuckDB's `list_inner_product` on `DOUBLE[]`. Null in → null out.
+  * DuckDB's `list_inner_product` on `DOUBLE[]` of EQUAL length.
+  * Malformed inputs don't silently truncate: mismatched lengths or a
+  * null element yield NULL (Spark's null-propagation convention, and
+  * what the zip_with HOF form computes — DuckDB raises on mismatch, so
+  * no well-formed cross-engine result ever diverges).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -38,12 +49,20 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $dot += $x.getDouble($i) * $y.getDouble($i);
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

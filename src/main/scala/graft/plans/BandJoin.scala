@@ -75,8 +75,12 @@ object BandJoin {
     override protected def doExecute(): RDD[InternalRow] = {
       val loB = BindReferences.bindReference(lo, right.output)
       val hiB = BindReferences.bindReference(hi, right.output)
+      // bands with null/NaN bounds can never match a point and would
+      // spuriously fail the disjointness require (NaN comparisons are
+      // false) — drop them before sorting
       val bands = right.executeCollect()
         .map(r => (num(loB, r), num(hiB, r), r.copy()))
+        .filter(b => !b._1.isNaN && !b._2.isNaN)
         .sortBy(_._1)
       require(bands.sliding(2).forall {
         case Array((_, h1, _), (l2, _, _)) => h1 <= l2
@@ -91,10 +95,15 @@ object BandJoin {
         val joiner = new JoinedRow
         val proj = UnsafeProjection.create(attrs, attrs)
         iter.flatMap { lrow =>
-          val pv = pointB.eval(lrow)
-          if (pv == null) Iterator.empty
+          // mirror `num`: DecimalType evaluates to Spark's Decimal, which
+          // is NOT a java.lang.Number — go through toString for those
+          val p = pointB.eval(lrow) match {
+            case null => Double.NaN
+            case n: java.lang.Number => n.doubleValue()
+            case other => other.toString.toDouble
+          }
+          if (p.isNaN) Iterator.empty
           else {
-            val p = pv.asInstanceOf[java.lang.Number].doubleValue()
             // greatest band with lo <= p
             var loI = 0; var hiI = los.length - 1; var ans = -1
             while (loI <= hiI) {

@@ -65,6 +65,28 @@ object Sources {
         (if (scoped) Seq(col("partition")) else Nil)): _*)
   }
 
+  /** Streaming view of the `events` testdata table: a file-source
+    * `readStream` over the SAME parquet the batch path reads, with the
+    * same nanos→micros `ts` derivation as [[graft.Tables.t]]. This is
+    * how the streaming differential queries ingest without ever
+    * materializing the source on the driver (a `.collect()` +
+    * MemoryStream replay caps out at driver memory; a file stream scales
+    * with the executor count). Schema comes from one batch footer read —
+    * file streams require an explicit schema.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(raw)
+      // glob (not the bare file path): FileStreamSource derives the
+      // partition-inference basePath by stripping glob characters, and a
+      // literal file path would make basePath the file itself (rejected —
+      // "must be a directory")
+      .parquet(s"$dir/events*.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+  }
+
   /** JSON-lines file source with the reference's lenient parse: explicit
     * schema (never inferred — fixed compile-time schema parity,
     * `MyKafkaMessage.java:6-7`), malformed lines dropped, missing fields

@@ -383,7 +383,10 @@ object StreamingIngest {
             tail.map(_._1) == pattern)
           out ::= SeqMatch(uid, fromMicros(tail.head._2))
       }
-      buf.put(tail.takeRight(pattern.length - 1).toArray)
+      // ListState.put rejects empty arrays — for a 1-element pattern the
+      // retained tail is empty, so clear instead
+      val keep = tail.takeRight(pattern.length - 1)
+      if (keep.isEmpty) buf.clear() else buf.put(keep.toArray)
       out.reverseIterator
     }
   }

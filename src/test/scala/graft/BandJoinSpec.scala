@@ -35,6 +35,28 @@ class BandJoinSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("decimal probe column and null-bound bands are handled") {
+    // DecimalType evaluates to Spark's Decimal (not java.lang.Number) —
+    // the probe-side eval must take the same toString path as `num`
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+    val viaDec = BandJoin.joinByBand(orders, tiers, "price_dec", "lo", "hi")
+    val viaDbl = BandJoin.joinByBand(orders, tiers, "o_totalprice", "lo", "hi")
+    assert(viaDec.count() == viaDbl.count())
+    // bands with null bounds can never match and must not trip the
+    // disjointness guard (NaN comparisons are false)
+    val withNull = Seq(
+      (Option("bronze"), Option(0.0), Option(100000.0)),
+      (Option("broken"), Option.empty[Double], Option(50.0)),
+      (Option("silver"), Option(100000.0), Option(300000.0)),
+      (Option("gold"), Option(300000.0), Option(1000000.0))
+    ).toDF("tier", "lo", "hi")
+    val j = BandJoin.joinByBand(Tables.t(spark, sf, "orders"), withNull,
+      "o_totalprice", "lo", "hi")
+    assert(j.count() == viaDbl.count())
+    assert(j.where(col("tier") === "broken").count() == 0)
+  }
+
   test("overlapping bands are rejected") {
     val bad = Seq(("x", 0.0, 10.0), ("y", 5.0, 15.0)).toDF("tier", "lo", "hi")
     val orders = Tables.t(spark, sf, "orders")

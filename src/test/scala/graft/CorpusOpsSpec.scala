@@ -80,7 +80,8 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("approx token quantiles sit within 2 of exact percentiles") {
-    val approx = CorpusOps.all.find(_.name == "docs_token_quantiles").get.run(spark, sf)
+    val approx = CorpusOps.tokenQuantileSketch(
+        Tables.t(spark, sf, "documents"), Seq(0.25, 0.5, 0.75, 0.95))
       .select(col("p"), col("n_tokens_q")).as[(Double, Long)].collect().toMap
     val exact = Tables.t(spark, sf, "documents")
       .select(size(graft.operators.TextOps.tokens(col("text"))).as("n"))

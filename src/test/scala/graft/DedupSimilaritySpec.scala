@@ -86,6 +86,34 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = ivf.intersect(bf).size.toDouble / bf.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
     assert(run() == ivf, "IVF must be deterministic (fixed seeds, fixed tie-breaks)")
+    // centroid update must never materialize a whole cell's member
+    // vectors in one row (collect_list of em = single-row OOM at scale);
+    // the posexplode→(cell,dim)-mean form only collects 64 scalar structs
+    val plan = SimilarityOps.centroidUpdate(
+      emb.withColumn("cell", col("vec_id") % 4)).queryExecution.analyzed.toString
+    assert(!plan.contains("collect_list(em"),
+      "IVF centroid update must not collect whole member vectors per cell")
+    assert(plan.contains("posexplode"), "update should shuffle scalar (cell, dim) rows")
+  }
+
+  test("SRP pair queries: bucketed equi-join plan, recall >= 0.9 vs all-pairs truth") {
+    // the registered pair queries must NOT plan the N² nested-loop join —
+    // the SRP bucket key makes them hash/sort-merge equi-joins
+    for (q <- Seq("sim_pairs_threshold", "dedup_embedding_cosine")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q must candidate via the SRP bucket equi-join, got:\n$plan")
+    }
+    // recall of the bucketed candidates vs the exact all-pairs truth
+    val cands = SimilarityOps.srpCandidatePairs(emb, planes = 3, tables = 16, dims = 64)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    for (thresh <- Seq(0.4, 0.45)) {
+      val truth = SimilarityOps.exactPairsAbove(emb, thresh)
+        .select("va", "vb").as[(Long, Long)].collect().toSet
+      assert(truth.nonEmpty, s"fixture should contain pairs at cosine >= $thresh")
+      val recall = cands.intersect(truth).size.toDouble / truth.size
+      assert(recall >= 0.9, s"SRP recall $recall at $thresh: ${cands.intersect(truth).size}/${truth.size}")
+    }
   }
 
   test("approx_count_distinct within 5% of exact") {

@@ -59,6 +59,24 @@ class FuzzyOpsSpec extends SparkSpec {
     assert(both.where(col("fused") =!= col("hof")).count() == 0)
   }
 
+  test("DotProduct nulls out on length mismatch and null elements (no silent truncation)") {
+    DotProduct.register(spark)
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),          // well-formed → 11.0
+      (2L, Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0)),     // length mismatch → null
+      (3L, Seq(1.0, 2.0), Seq(3.0, 4.0, 9.0))      // length mismatch → null
+    ).toDF("id", "a", "b")
+    val out = rows.select(col("id"), expr("dot_product(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(11.0))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+    // a null ELEMENT also nulls the product (matches the zip_with HOF form)
+    val withNullElem = Seq((4L, Seq(Option(1.0), None), Seq(Option(3.0), Option(4.0))))
+      .toDF("id", "a", "b")
+      .select(expr("dot_product(a, b)").as("d")).collect()
+    assert(withNullElem.head.isNullAt(0))
+  }
+
   test("BFS levels: seeds are level 0, each deeper node touches level-1") {
     val out = q("graph_bfs_levels").cache()
     val li = Tables.t(spark, sf, "lineitem")

@@ -51,5 +51,10 @@ class IngestJobSpec extends SparkSpec {
     val n = IngestJob.run(spark,
       IngestJob.Args(input = in, format = "jsonl", output = out, limit = 4))
     assert(n == 4) // limit caps scanned records (reference kafka.limit)
+    // a limit beyond Int.MaxValue must be rejected, not overflow toInt
+    // into a silent negative cap
+    intercept[IllegalArgumentException](IngestJob.run(spark,
+      IngestJob.Args(input = in, format = "jsonl", output = out,
+        limit = Int.MaxValue + 1L)))
   }
 }

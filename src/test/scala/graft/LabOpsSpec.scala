@@ -45,7 +45,7 @@ class LabOpsSpec extends SparkSpec {
     val out = q("text_pmi_bigrams").cache()
     assert(out.count() > 0)
     // PMI can't exceed ln(N2 / cb) bounds grossly; sanity: finite values
-    assert(out.where(col("pmi").isNull).count() == 0)
+    assert(out.where(col("pmi_e4").isNull).count() == 0)
     // bigram count never exceeds either unigram count → pmi <= min-ratio bound
     assert(out.where(col("cb") <= 0).count() == 0)
   }

@@ -52,4 +52,32 @@ class SeqStreamSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
       s"streamed=${streamed.count()} batch=${batch.count()}")
   }
+
+  test("single-element pattern does not crash on the empty retained tail") {
+    // pattern.length == 1 retains an EMPTY tail between batches;
+    // ListState.put rejects empty arrays, so the processor must clear
+    // instead (regression guard for the buf.put(empty) crash)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+    try {
+      val ms = MemoryStream[FunnelEvent]
+      val q = sequenceMatches(ms.toDS(), Seq("purchase"))
+        .writeStream.format("memory").queryName("seq_stream_one")
+        .outputMode("append").start()
+      try {
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        // two batches for the same user so state round-trips between them
+        ms.addData(FunnelEvent(1L, t0, "view"), FunnelEvent(1L, t0, "purchase"))
+        q.processAllAvailable()
+        ms.addData(FunnelEvent(1L, t0, "purchase"), FunnelEvent(2L, t0, "view"))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table("seq_stream_one").count() == 2)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
