@@ -118,8 +118,19 @@ object SimilarityOps {
     * truth at cosine ≥ 0.4 (1.0 at sf0.01).
     */
   def srpCandidatePairs(e: DataFrame, planes: Int, tables: Int, dims: Int): DataFrame = {
+    val keyed = srpKeyed(e, planes, tables, dims)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+  }
+
+  /** (vec_id, em, bk) with one row per (vector, hash table): the shared
+    * portable-SRP keying of [[srpCandidatePairs]] and [[annTopKPortable]].
+    */
+  def srpKeyed(e: DataFrame, planes: Int, tables: Int, dims: Int): DataFrame = {
     DotProduct.register(e.sparkSession)
-    val keyed = e.select(col("vec_id"), col("em"),
+    e.select(col("vec_id"), col("em"),
       explode(array((0 until tables).map { t =>
         val bits = (0 until planes).map { pp =>
           val sgn = srpSigns(t * planes + pp, dims).map(x => s"${x}D").mkString(",")
@@ -127,10 +138,60 @@ object SimilarityOps {
         }
         concat(lit(s"$t#") +: bits: _*)
       }: _*)).as("bk"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+  }
+
+  /** Portable-SRP ANN top-k: directed bucket candidates (qid, vec_id),
+    * exact cosine rerank, per-qid window top-k. Same bucketing contract
+    * as [[srpCandidatePairs]] — the inlined sign literals replay in the
+    * DuckDB oracle, so unlike the xxhash64 [[annTopK]] this variant is
+    * hash-verified end-to-end, not just recall-gated.
+    */
+  def annTopKPortable(d: DataFrame, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val keyed = srpKeyed(d, planes, tables, dims)
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
       .distinct()
+    val e = d.select(col("vec_id"), col("em"))
+    val scored = cands
+      .join(e.select(col("vec_id").as("qid"), col("em").as("qe")), "qid")
+      .join(e.select(col("vec_id"), col("em").as("ce")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        CosineSimilarity.cosine_sim("qe", "ce").as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
+  /** DuckDB oracle for [[annTopKPortable]]: same sign literals, same
+    * directed candidates, same rerank and tiebreak.
+    */
+  private def srpAnnOracle(planes: Int, tables: Int, k: Int): String = {
+    val vals = (0 until planes * tables).map { p =>
+      s"($p, [${srpSigns(p, 64).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+       | s AS (SELECT * FROM (VALUES $vals) v(p, sv)),
+       | bits AS (SELECT vec_id, p,
+       |            CASE WHEN list_inner_product(em, sv) >= 0
+       |                 THEN '1' ELSE '0' END AS b
+       |          FROM e, s),
+       | keys AS (SELECT vec_id, p // $planes AS tbl,
+       |                 string_agg(b, '' ORDER BY p) AS bk
+       |          FROM bits GROUP BY vec_id, p // $planes),
+       | cands AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
+       |           FROM keys a JOIN keys b
+       |             ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       | scored AS (SELECT qid, c.vec_id,
+       |                   list_cosine_similarity(q.em, t.em) AS score
+       |            FROM cands c JOIN e q ON c.qid = q.vec_id
+       |                         JOIN e t ON c.vec_id = t.vec_id),
+       | r AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY score DESC, vec_id) AS rn
+       |       FROM scored)
+       |SELECT qid, vec_id, round(score, 4) AS score, rn
+       |FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
   /** Exact all-pairs cosine pairs above `thresh` — the O(n²) TRUTH
@@ -289,14 +350,16 @@ object SimilarityOps {
     GQuery(
       "sim_ann_lsh",
       (s, dir) => {
-        // SRP-LSH ANN: bucket join + in-bucket exact rerank. Rows-only
-        // driver check; the ScalaTest suite measures recall vs brute
-        // force.
-        annTopK(emb(s, dir), k = 5, planes = 4, tables = 8, dims = 64)
+        // SRP-LSH ANN: bucket equi-join + in-bucket exact rerank, using
+        // the PORTABLE sign literals so the oracle replays the buckets
+        // and the query is hash-verified (the xxhash64 annTopK form
+        // stays as the zero-literal production variant, recall-gated in
+        // DedupSimilaritySpec).
+        annTopKPortable(emb(s, dir), k = 5, planes = 3, tables = 16, dims = 64)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some(srpAnnOracle(planes = 3, tables = 16, k = 5))),
 
     GQuery(
       "sim_ann_ivf",

@@ -104,6 +104,15 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q must candidate via the SRP bucket equi-join, got:\n$plan")
     }
+    // the portable ANN variant (sim_ann_lsh) must also recall the true
+    // brute-force neighbors, not just hash-match its own oracle
+    val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val annP = SimilarityOps.annTopKPortable(emb, 5, planes = 3, tables = 16, dims = 64)
+      .where(col("qid") < 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val annRecall = annP.intersect(bf).size.toDouble / bf.size
+    assert(annRecall >= 0.7, s"portable ANN recall too low: $annRecall")
     // recall of the bucketed candidates vs the exact all-pairs truth
     val cands = SimilarityOps.srpCandidatePairs(emb, planes = 3, tables = 16, dims = 64)
       .select("va", "vb").as[(Long, Long)].collect().toSet
