@@ -95,6 +95,16 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("Tables cache returns the same relation until invalidated") {
+    val a = Tables.t(spark, sf, "documents")
+    assert(Tables.t(spark, sf, "documents") eq a,
+      "repeat loads must hit the per-session relation cache")
+    Tables.invalidate()
+    val b = Tables.t(spark, sf, "documents")
+    assert(!(b eq a), "invalidate() must drop cached relations")
+    assert(b.count() == a.count())
+  }
+
   test("heavy hitters and tfidf agree on corpus-dominant terms") {
     val hh = CorpusOps.all.find(_.name == "terms_heavy_hitters").get.run(spark, sf)
     val rows = hh.collect()

@@ -99,7 +99,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("SRP pair queries: bucketed equi-join plan, recall >= 0.9 vs all-pairs truth") {
     // the registered pair queries must NOT plan the N² nested-loop join —
     // the SRP bucket key makes them hash/sort-merge equi-joins
-    for (q <- Seq("sim_pairs_threshold", "dedup_embedding_cosine")) {
+    for (q <- Seq("sim_pairs_threshold", "dedup_embedding_cosine", "sim_ann_lsh")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q must candidate via the SRP bucket equi-join, got:\n$plan")
