@@ -125,6 +125,27 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** SRP candidates thresholded INSIDE the join condition: the cosine
+    * evaluates while the pair is still virtual, so only threshold
+    * SURVIVORS ever materialize a joined row (a post-join score column
+    * materializes every candidate WITH both vectors first — measured
+    * 10× slower at sf0.1 — and a pre-score distinct pays the full
+    * candidate-multiset exchange). Survivors are re-scored in the
+    * projection (tiny) and deduped across tables last; duplicate rows
+    * are bit-identical so the late dropDuplicates is deterministic.
+    */
+  def srpPairsAbove(e: DataFrame, planes: Int, tables: Int, dims: Int,
+      thresh: Double): DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    val keyed = srpKeyed(e, planes, tables, dims)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
+          CosineSimilarity.cosine_sim("a.em", "b.em") >= thresh)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+      .dropDuplicates("va", "vb")
+  }
+
   /** (vec_id, em, bk) with one row per (vector, hash table): the shared
     * portable-SRP keying of [[srpCandidatePairs]] and [[annTopKPortable]].
     */
@@ -149,14 +170,20 @@ object SimilarityOps {
   def annTopKPortable(d: DataFrame, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
     CosineSimilarity.register(d.sparkSession)
     val keyed = srpKeyed(d, planes, tables, dims)
+    // project to bare ids IMMEDIATELY: no threshold exists to evaluate
+    // inside the join (top-k), so the join output must stay narrow — a
+    // post-join score column would materialize every candidate with both
+    // 64-dim vectors attached (measured 10× slower at sf0.1). The skinny
+    // deduped candidate set then re-acquires vectors via two broadcast
+    // join-backs for the exact rerank.
     val cands = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
       .distinct()
     val e = d.select(col("vec_id"), col("em"))
     val scored = cands
-      .join(e.select(col("vec_id").as("qid"), col("em").as("qe")), "qid")
-      .join(e.select(col("vec_id"), col("em").as("ce")), "vec_id")
+      .join(broadcast(e.select(col("vec_id").as("qid"), col("em").as("qe"))), "qid")
+      .join(broadcast(e.select(col("vec_id"), col("em").as("ce"))), "vec_id")
       .select(col("qid"), col("vec_id"),
         CosineSimilarity.cosine_sim("qe", "ce").as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
@@ -333,15 +360,10 @@ object SimilarityOps {
         // reranked. The oracle replicates the bucketing with the same
         // inlined sign literals; recall vs the all-pairs truth is gated
         // in ScalaTest (1.0 at sf0.01 with 3 planes × 16 tables).
-        CosineSimilarity.register(s)
         val e = emb(s, dir).select(col("vec_id"), col("em"))
-        srpCandidatePairs(e, planes = 3, tables = 16, dims = 64)
-          .join(e.select(col("vec_id").as("va"), col("em").as("ea")), "va")
-          .join(e.select(col("vec_id").as("vb"), col("em").as("eb")), "vb")
+        srpPairsAbove(e, planes = 3, tables = 16, dims = 64, thresh = 0.4)
           .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-            CosineSimilarity.cosine_sim("ea", "eb").as("score"))
-          .where(col("score") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+            round(col("score"), 4).as("score"))
           .orderBy("vec_a", "vec_b")
       },
       Some(srpPairsOracle(planes = 3, tables = 16, thresh = "0.4",
@@ -380,15 +402,10 @@ object SimilarityOps {
         // canonical. Candidates come from the SRP bucket equi-join with
         // exact rerank — the form that survives 100 TB; the all-pairs
         // truth lives only in the recall test (exactPairsAbove).
-        CosineSimilarity.register(s)
         val e = emb(s, dir).select(col("vec_id"), col("em"))
-        srpCandidatePairs(e, planes = 3, tables = 16, dims = 64)
-          .join(e.select(col("vec_id").as("va"), col("em").as("ea")), "va")
-          .join(e.select(col("vec_id").as("vb"), col("em").as("eb")), "vb")
+        srpPairsAbove(e, planes = 3, tables = 16, dims = 64, thresh = 0.45)
           .select(col("va").as("keeper"), col("vb").as("dup"),
-            CosineSimilarity.cosine_sim("ea", "eb").as("score"))
-          .where(col("score") >= 0.45)
-          .select(col("keeper"), col("dup"), round(col("score"), 4).as("score"))
+            round(col("score"), 4).as("score"))
           .orderBy("keeper", "dup")
       },
       Some(srpPairsOracle(planes = 3, tables = 16, thresh = "0.45",
