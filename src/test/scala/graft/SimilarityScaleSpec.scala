@@ -40,4 +40,42 @@ class SimilarityScaleSpec extends SparkSpec {
     val mean = hitRates.sum / hitRates.size
     assert(mean >= 0.8, s"planted-sibling hit rate $mean over ${ann.size} queries")
   }
+
+  test("portable SRP candidates prune at scale with log-scaled planes") {
+    // 20k-vector corpus of jittered families (cosine to base ~0.999).
+    // At this n the registered small-SF parameters (3 planes) would not
+    // prune; the documented contract is planes ~ log N — with 7 planes
+    // (128 buckets/table) the candidate multiset must be a small
+    // fraction of the N²/2 pair space while the near-identical planted
+    // siblings still collide in some table with near-certainty.
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(37)
+    val corpus = base.flatMap { case (id, v) =>
+      (0 until 40).map { j =>
+        val jv = v.map(x => x + rnd.nextGaussian() * 0.01)
+        (id * 40 + j, jv)
+      }
+    }.toSeq.toDF("vec_id", "em")
+    val n = corpus.count()
+    assert(n == 20000L)
+
+    val cands = SimilarityOps.srpCandidatePairs(corpus,
+      planes = 7, tables = 8, dims = 64)
+    val total = cands.count()
+    val allPairs = n * (n - 1) / 2
+    assert(total < allPairs / 10,
+      s"SRP must prune at scale: $total candidates vs $allPairs pairs")
+
+    // planted siblings of the first 50 families: recall of (i<j) pairs
+    val probe = cands
+      .where(col("va") < 50L * 40 && col("vb") < 50L * 40 &&
+        expr("va div 40") === expr("vb div 40"))
+      .count()
+    val expected = 50L * (40L * 39 / 2)
+    val recall = probe.toDouble / expected
+    assert(recall >= 0.95,
+      s"planted near-identical pairs must collide: recall $recall ($probe/$expected)")
+  }
 }
