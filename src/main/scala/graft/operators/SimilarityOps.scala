@@ -267,36 +267,55 @@ object SimilarityOps {
     *
     * Training is Lloyd's algorithm expressed in DataFrames — assignment
     * is a broadcast-centroid cross join + min-distance argmin (one
-    * narrow pass per iteration), update is a groupBy mean. Seeds are
-    * deterministic (first k vectors by id), so results are replayable.
+    * narrow pass per iteration), update is a groupBy mean over
+    * FIXED-POINT member coordinates. Seeds are deterministic (lowest
+    * vec_ids), so results are replayable — and because the integer sums
+    * are order-independent, the trained quantizer is identical on ANY
+    * partitioning / cluster size AND bit-replayable by the DuckDB
+    * oracle (a double mean depends on partial-aggregation order).
     */
-  /** Lloyd's update = element-wise mean of each cell's members.
-    * posexplode → per-(cell,dim) partial-aggregated mean → ordered
-    * reassembly: the shuffle carries cells×dims SCALAR rows and the
-    * widest row is one centroid, never a whole cell's member list (a
-    * cell at 100 TB holds millions of vectors — `collect_list(em)` of
-    * them is a single-row OOM; plan-asserted in DedupSimilaritySpec).
+  /** Lloyd's update = element-wise mean of each cell's members, summed
+    * in 2^20 fixed point (exact integers — order-independent across
+    * partitionings and engines). posexplode → per-(cell,dim)
+    * partial-aggregated sum/count → ordered reassembly: the shuffle
+    * carries cells×dims SCALAR rows and the widest row is one centroid,
+    * never a whole cell's member list (a cell at 100 TB holds millions
+    * of vectors — `collect_list` of them is a single-row OOM;
+    * plan-asserted in DedupSimilaritySpec). Input rows carry the
+    * quantized coordinates as `qm: array<long>`.
     */
   def centroidUpdate(assigned: DataFrame): DataFrame =
     assigned
-      .select(col("cell"), posexplode(col("em")))
+      .select(col("cell"), posexplode(col("qm")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg(sum(col("col")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("cell"), col("pos"),
+        ((col("sq").cast("double") / col("cnt").cast("double")) / 1048576.0).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("ce"))
 
+  /** 2^20 fixed-point quantization of the (double) embedding — floor
+    * round-half-up, identical IEEE ops in both engines.
+    */
+  def quantize(em: Column): Column =
+    transform(em, x => floor(x * lit(1048576.0) + lit(0.5)))
+
   def ivfTopK(d: DataFrame, k: Int, cells: Int, nprobe: Int, iters: Int): DataFrame = {
     CosineSimilarity.register(d.sparkSession)
-    val corpus = d.select(col("vec_id"), col("em")).localCheckpoint()
+    val corpus = d.select(col("vec_id"), col("em"), quantize(col("em")).as("qm"))
+      .localCheckpoint()
 
-    // ---- train coarse quantizer (deterministic seeds: lowest vec_ids)
+    // ---- train coarse quantizer (deterministic seeds: lowest vec_ids;
+    // the seed CELL ID is the seed's vec_id, and the seed centroid is
+    // its dequantized coordinates — the count=1 case of centroidUpdate)
     var centroids = corpus.orderBy("vec_id").limit(cells)
-      .select(monotonically_increasing_id().as("cell"), col("em").as("ce"))
+      .select(col("vec_id").as("cell"),
+        transform(col("qm"), q => q.cast("double") / 1048576.0).as("ce"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = corpus.join(broadcast(centroids))
-        .select(col("vec_id"), col("em"), col("cell"),
+        .select(col("vec_id"), col("qm"), col("cell"),
           CosineSimilarity.cosine_sim("em", "ce").as("s"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("s"), asc("cell"))))
@@ -328,6 +347,57 @@ object SimilarityOps {
         CosineSimilarity.cosine_sim("qe", "em").as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
+  /** DuckDB oracle for [[ivfTopK]]: Lloyd's unrolled to `iters` CTE
+    * rounds over the same 2^20 fixed-point sums, same seed cells, same
+    * argmax tiebreaks, then the identical probe + rerank. Possible only
+    * because the integer centroid sums are order-independent — the
+    * previous double-mean update was engine-order-specific.
+    */
+  private def ivfOracle(k: Int, cells: Int, nprobe: Int, iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS em,
+       |       list_transform(embedding::DOUBLE[],
+       |                      x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qm
+       |       FROM embeddings)""".stripMargin
+    ctes += s"""c0 AS (SELECT vec_id AS cell,
+       |               list_transform(qm, q -> (q::DOUBLE) / 1048576.0) AS ce
+       |        FROM e ORDER BY vec_id LIMIT $cells)""".stripMargin
+    for (i <- 1 to iters) {
+      ctes += s"""a$i AS (SELECT vec_id, qm, cell FROM (
+         |   SELECT e.vec_id, e.qm, c.cell,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.em, c.ce) DESC, c.cell) AS rn
+         |   FROM e, c${i - 1} c) t WHERE rn = 1)""".stripMargin
+      ctes += s"""x$i AS (SELECT cell,
+         |   unnest([{'pos': j, 'q': qm[j]} for j in range(1, len(qm) + 1)],
+         |          recursive := true)
+         |   FROM a$i)""".stripMargin
+      ctes += s"""c$i AS (SELECT cell, list(m ORDER BY pos) AS ce FROM (
+         |   SELECT cell, pos, (sum(q)::DOUBLE / count(*)::DOUBLE) / 1048576.0 AS m
+         |   FROM x$i GROUP BY cell, pos) t GROUP BY cell)""".stripMargin
+    }
+    ctes += s"""idx AS (SELECT vec_id, em, cell FROM (
+       |   SELECT e.vec_id, e.em, c.cell,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.em, c.ce) DESC, c.cell) AS rn
+       |   FROM e, c$iters c) t WHERE rn = 1)""".stripMargin
+    ctes += s"""pr AS (SELECT qid, qe, cell FROM (
+       |   SELECT e.vec_id AS qid, e.em AS qe, c.cell,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.em, c.ce) DESC, c.cell) AS rn
+       |   FROM e, c$iters c) t WHERE rn <= $nprobe)""".stripMargin
+    ctes += """sc AS (SELECT pr.qid, idx.vec_id,
+       |              list_cosine_similarity(pr.qe, idx.em) AS score
+       |       FROM pr JOIN idx USING (cell) WHERE idx.vec_id <> pr.qid)""".stripMargin
+    ctes += """r AS (SELECT qid, vec_id, score,
+       |             row_number() OVER (PARTITION BY qid
+       |                                ORDER BY score DESC, vec_id) AS rn
+       |      FROM sc)""".stripMargin
+    "WITH " + ctes.result().mkString(",\n ") +
+      s"\nSELECT qid, vec_id, round(score, 4) AS score, rn" +
+      s"\nFROM r WHERE rn <= $k ORDER BY qid, rn"
   }
 
   val all: Seq[GQuery] = Seq(
@@ -387,13 +457,15 @@ object SimilarityOps {
       "sim_ann_ivf",
       (s, dir) => {
         // IVF ANN: 16-cell coarse quantizer, 4-probe search, exact rerank
-        // inside probed cells. Rows-only driver check; recall vs brute
-        // force gated in ScalaTest.
+        // inside probed cells. The fixed-point Lloyd's update makes the
+        // trained quantizer order-independent, so the oracle unrolls the
+        // SAME three iterations and the query is hash-verified; recall
+        // vs brute force additionally gated in ScalaTest.
         ivfTopK(emb(s, dir), k = 5, cells = 16, nprobe = 4, iters = 3)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some(ivfOracle(k = 5, cells = 16, nprobe = 4, iters = 3))),
 
     GQuery(
       "dedup_embedding_cosine",

@@ -87,11 +87,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
     assert(run() == ivf, "IVF must be deterministic (fixed seeds, fixed tie-breaks)")
     // centroid update must never materialize a whole cell's member
-    // vectors in one row (collect_list of em = single-row OOM at scale);
-    // the posexplode→(cell,dim)-mean form only collects 64 scalar structs
+    // vectors in one row (collect_list of a vector column = single-row
+    // OOM at scale); the posexplode→(cell,dim)-sum form only collects
+    // 64 scalar structs per centroid
     val plan = SimilarityOps.centroidUpdate(
-      emb.withColumn("cell", col("vec_id") % 4)).queryExecution.analyzed.toString
-    assert(!plan.contains("collect_list(em"),
+      emb.withColumn("cell", col("vec_id") % 4)
+        .withColumn("qm", SimilarityOps.quantize(col("em"))))
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("collect_list(em") && !plan.contains("collect_list(qm"),
       "IVF centroid update must not collect whole member vectors per cell")
     assert(plan.contains("posexplode"), "update should shuffle scalar (cell, dim) rows")
   }
