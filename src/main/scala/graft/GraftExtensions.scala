@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, RollingHashGrams, WordGramHashes}
+import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, RollingHashGrams, SquaredL2, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
     // custom whole-operator path: band join logical node → physical plan
     e.injectPlannerStrategy(_ => graft.plans.BandJoin.BandJoinStrategy)
     // thresholded levenshtein comparisons → bounded banded DP

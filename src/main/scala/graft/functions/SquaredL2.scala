@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: squared Euclidean distance of two
+  * array<double> columns — the quantization metric of the PQ/IVF
+  * family (codebook assignment and ADC lookup tables score by L2²).
+  *
+  * One fused loop, no intermediate zipped-array allocation, inlined
+  * into whole-stage codegen (the `aggregate(zip_with(...))` HOF form
+  * it replaces is interpreted per row — measured 5× slower across
+  * `sim_ann_pq_adc` at sf0.1). Accumulates `(x[i]-y[i])²` in
+  * sequential index order, so results are bit-identical to that HOF
+  * form and to DuckDB's sequential
+  * `list_sum([(a[i]-b[i])*(a[i]-b[i]) for i ...])` — the expression
+  * the oracles inline. Mismatched lengths or a null element yield
+  * NULL (same contract as [[DotProduct]]).
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $d = $x.getDouble($i) - $y.getDouble($i);
+         |      $acc += $d * $d;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SquaredL2 {
+
+  /** Register `squared_l2` in the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+
+  /** Column API by SQL expression text (call register(spark) first). */
+  def squared_l2(a: String, b: String): Column = expr(s"squared_l2($a, $b)")
+}
