@@ -301,14 +301,21 @@ object SimilarityOps {
   def quantize(em: Column): Column =
     transform(em, x => floor(x * lit(1048576.0) + lit(0.5)))
 
-  def ivfTopK(d: DataFrame, k: Int, cells: Int, nprobe: Int, iters: Int): DataFrame = {
-    CosineSimilarity.register(d.sparkSession)
-    val corpus = d.select(col("vec_id"), col("em"), quantize(col("em")).as("qm"))
+  /** `(vec_id, em, qm)` corpus with 2^20 fixed-point coordinates,
+    * localCheckpointed so the Lloyd's loop doesn't recompute the scan.
+    */
+  def ivfCorpus(d: DataFrame): DataFrame =
+    d.select(col("vec_id"), col("em"), quantize(col("em")).as("qm"))
       .localCheckpoint()
 
-    // ---- train coarse quantizer (deterministic seeds: lowest vec_ids;
-    // the seed CELL ID is the seed's vec_id, and the seed centroid is
-    // its dequantized coordinates — the count=1 case of centroidUpdate)
+  /** Train the IVF coarse quantizer: deterministic seeds (lowest
+    * vec_ids; the seed CELL ID is the seed's vec_id, and the seed
+    * centroid is its dequantized coordinates — the count=1 case of
+    * centroidUpdate), then `iters` Lloyd's rounds of broadcast-argmax
+    * assignment + fixed-point centroid update. Returns `(cell, ce)`.
+    */
+  def ivfTrain(corpus: DataFrame, cells: Int, iters: Int): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
     var centroids = corpus.orderBy("vec_id").limit(cells)
       .select(col("vec_id").as("cell"),
         transform(col("qm"), q => q.cast("double") / 1048576.0).as("ce"))
@@ -322,24 +329,33 @@ object SimilarityOps {
         .where(col("rn") === 1)
       centroids = centroidUpdate(assigned).localCheckpoint()
     }
+    centroids
+  }
 
-    // ---- index: assign every vector to its cell
-    val indexed = corpus.join(broadcast(centroids))
+  /** Assign each vector its `n` nearest cells (argmax cosine, cell-id
+    * tiebreak): `(vec_id, em, cell)` — n=1 is the index assignment,
+    * n=nprobe the query probe set.
+    */
+  def ivfNearestCells(corpus: DataFrame, centroids: DataFrame, n: Int): DataFrame =
+    corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("em"), col("cell"),
         CosineSimilarity.cosine_sim("em", "ce").as("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("s"), asc("cell"))))
-      .where(col("rn") === 1)
+      .where(col("rn") <= n)
       .select(col("vec_id"), col("em"), col("cell"))
 
+  def ivfTopK(d: DataFrame, k: Int, cells: Int, nprobe: Int, iters: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val corpus = ivfCorpus(d)
+    val centroids = ivfTrain(corpus, cells, iters)
+
+    // ---- index: assign every vector to its cell
+    val indexed = ivfNearestCells(corpus, centroids, 1)
+
     // ---- search: each vector probes its nprobe closest cells
-    val probes = corpus.join(broadcast(centroids))
-      .select(col("vec_id").as("qid"), col("em").as("qe"), col("cell"),
-        CosineSimilarity.cosine_sim("em", "ce").as("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("s"), asc("cell"))))
-      .where(col("rn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cell"))
+    val probes = ivfNearestCells(corpus, centroids, nprobe)
+      .select(col("vec_id").as("qid"), col("em").as("qe"), col("cell"))
 
     val scored = probes.join(indexed, "cell")
       .where(col("vec_id") =!= col("qid"))
@@ -355,7 +371,11 @@ object SimilarityOps {
     * because the integer centroid sums are order-independent — the
     * previous double-mean update was engine-order-specific.
     */
-  private def ivfOracle(k: Int, cells: Int, nprobe: Int, iters: Int): String = {
+  /** Shared CTE prefix for the IVF oracles: `e` (with fixed-point
+    * `qm`), seed cells `c0`, and `iters` unrolled Lloyd's rounds
+    * ending at centroid table `c<iters>`.
+    */
+  private def ivfTrainCtes(cells: Int, iters: Int): Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS em,
        |       list_transform(embedding::DOUBLE[],
@@ -378,6 +398,12 @@ object SimilarityOps {
          |   SELECT cell, pos, (sum(q)::DOUBLE / count(*)::DOUBLE) / 1048576.0 AS m
          |   FROM x$i GROUP BY cell, pos) t GROUP BY cell)""".stripMargin
     }
+    ctes.result()
+  }
+
+  private def ivfOracle(k: Int, cells: Int, nprobe: Int, iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes ++= ivfTrainCtes(cells, iters)
     ctes += s"""idx AS (SELECT vec_id, em, cell FROM (
        |   SELECT e.vec_id, e.em, c.cell,
        |          row_number() OVER (PARTITION BY e.vec_id
@@ -430,11 +456,14 @@ object SimilarityOps {
     * corpus of i.i.d. unit vectors — near-uniform pairwise distances
     * are PQ's worst case; real embedding clusters quantize far better).
     */
-  def pqAdcTopK(d: DataFrame, k: Int, shortlist: Int, subspaces: Int,
-      subDim: Int, nCentroids: Int): DataFrame = {
-    CosineSimilarity.register(d.sparkSession)
-    graft.functions.SquaredL2.register(d.sparkSession)
-    val e = d.select(col("vec_id"), col("em"))
+  /** Per-(vector, subspace, centroid) squared distances against the
+    * seeds-of-lowest-vec_ids codebook: `(vec_id, ss, c, sid, d2)` —
+    * the shared substrate of PQ code assignment (argmin over c) and
+    * the per-query ADC lookup tables (all rows, fixed-point floored).
+    */
+  def pqScored(e: DataFrame, subspaces: Int, subDim: Int,
+      nCentroids: Int): DataFrame = {
+    graft.functions.SquaredL2.register(e.sparkSession)
     val sub = e.select(col("vec_id"), posexplode(
         array((0 until subspaces).map(j => slice(col("em"), j * subDim + 1, subDim)): _*)))
       .select(col("vec_id"), col("pos").as("ss"), col("col").as("sv"))
@@ -449,33 +478,52 @@ object SimilarityOps {
     // sequential zip_with HOF form and the oracle's list_sum — the
     // interpreted HOF measured 5× slower over the 1.3M scored rows)
     val d2: Column = graft.functions.SquaredL2.squared_l2("sv", "cv")
-    // ONE broadcast join scores every (vector, subspace, centroid):
-    // argmin over c yields the code digits; the full table, fixed-point
-    // floored, IS the per-query ADC lookup table
-    val scored = sub.join(broadcast(cb), col("ss") === col("css"))
+    // ONE broadcast join scores every (vector, subspace, centroid)
+    sub.join(broadcast(cb), col("ss") === col("css"))
       .select(col("vec_id"), col("ss"), col("c"), col("sid"), d2.as("d2"))
-    val codes = scored
+  }
+
+  /** PQ code digits per vector: `(vec_id, code: array<int>)`. */
+  def pqCodes(scored: DataFrame): DataFrame =
+    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "ss").orderBy(asc("d2"), asc("sid"))))
       .where(col("rn") === 1)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("ss"), col("c")))).as("cs"))
       .select(col("vec_id"), transform(col("cs"), x => x.getField("c")).as("code"))
-    val lut = scored
+
+  /** Flat per-query ADC lookup table, slot = ss·nCentroids + c:
+    * `(qid, lut: array<long>)` in 2^20 fixed point.
+    */
+  def pqLut(scored: DataFrame, nCentroids: Int): DataFrame =
+    scored
       .select(col("vec_id").as("qid"),
         (col("ss") * nCentroids + col("c")).as("slot"),
         floor(col("d2") * lit(1048576.0) + lit(0.5)).cast("long").as("pd"))
       .groupBy("qid")
       .agg(array_sort(collect_list(struct(col("slot"), col("pd")))).as("ps"))
       .select(col("qid"), transform(col("ps"), x => x.getField("pd")).as("lut"))
-    // static unrolled 8-term sum of codegen element_at lookups — this
-    // projection runs once per (query, code) pair, the hot path of the
-    // whole scan; the aggregate-over-sequence HOF form is interpreted
-    // and measured 25M interpreted folds ≈ 10 s at sf0.1
-    val adc: Column = (0 until subspaces).map { ss =>
+
+  /** Statically unrolled ADC sum of codegen element_at lookups — this
+    * projection runs once per (query, code) pair, the hot path of the
+    * whole scan; the aggregate-over-sequence HOF form is interpreted
+    * and measured 25M interpreted folds ≈ 10 s at sf0.1.
+    */
+  def adcSum(subspaces: Int, nCentroids: Int): Column =
+    (0 until subspaces).map { ss =>
       element_at(col("lut"),
         element_at(col("code"), ss + 1) + lit(ss * nCentroids + 1))
     }.reduce(_ + _)
+
+  def pqAdcTopK(d: DataFrame, k: Int, shortlist: Int, subspaces: Int,
+      subDim: Int, nCentroids: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val e = d.select(col("vec_id"), col("em"))
+    val scored = pqScored(e, subspaces, subDim, nCentroids)
+    val codes = pqCodes(scored)
+    val lut = pqLut(scored, nCentroids)
+    val adc: Column = adcSum(subspaces, nCentroids)
     // stream the QUERY (lut) side and broadcast the codes: a query's
     // whole candidate set is then colocated in one partition, so the
     // partial WindowGroupLimit reduces it to `shortlist` rows BEFORE
@@ -504,56 +552,158 @@ object SimilarityOps {
       .where(col("rn") <= k)
   }
 
-  /** DuckDB oracle for [[pqAdcTopK]]: same seeds, same argmin
-    * tiebreaks, same fixed-point LUT, same flat slot arithmetic, same
-    * shortlist + rerank.
+  /** Shared CTEs for the PQ oracles (assume a CTE `e(vec_id, em)`
+    * already exists): codebook `cb`, code digits `codes`, per-query
+    * fixed-point lookup tables `lut`.
     */
+  private def pqCtes(subspaces: Int, subDim: Int, nCentroids: Int): Seq[String] = {
+    val n = nCentroids
+    Seq(
+      s"""sub AS (SELECT vec_id,
+         |           unnest([{'ss': j, 'sv': em[j*$subDim+1:j*$subDim+$subDim]}
+         |                   for j in range(0, $subspaces)], recursive := true)
+         |         FROM e)""".stripMargin,
+      s"""seeds AS (SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS c FROM (
+         |             SELECT vec_id AS sid FROM e ORDER BY vec_id LIMIT $n))""".stripMargin,
+      s"""cb AS (SELECT sd.sid, sd.c, s.ss AS css, s.sv AS cv
+         |        FROM sub s JOIN seeds sd ON s.vec_id = sd.sid)""".stripMargin,
+      s"""pqsc AS (SELECT sub.vec_id, sub.ss, cb.c, cb.sid,
+         |              list_sum([(sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])
+         |                        for i in range(1, len(sub.sv) + 1)]) AS d2
+         |            FROM sub JOIN cb ON sub.ss = cb.css)""".stripMargin,
+      s"""best AS (SELECT vec_id, ss, c FROM (
+         |            SELECT vec_id, ss, c,
+         |                   row_number() OVER (PARTITION BY vec_id, ss
+         |                                      ORDER BY d2, sid) AS rn
+         |            FROM pqsc) WHERE rn = 1)""".stripMargin,
+      s"""codes AS (SELECT vec_id, list(c ORDER BY ss) AS code
+         |           FROM best GROUP BY vec_id)""".stripMargin,
+      s"""lut AS (SELECT vec_id AS qid,
+         |                list(CAST(floor(d2 * 1048576.0 + 0.5) AS BIGINT)
+         |                     ORDER BY ss * $n + c) AS lut
+         |         FROM pqsc GROUP BY vec_id)""".stripMargin)
+  }
+
+  /** ADC shortlist + exact-rerank tail shared by the PQ oracles:
+    * `scanSrc` supplies the candidate (qid, vec_id, code, lut) rows.
+    */
+  private def pqTailCtes(k: Int, shortlist: Int, subspaces: Int,
+      nCentroids: Int, scanFrom: String): Seq[String] = {
+    val n = nCentroids
+    Seq(
+      s"""scan AS (SELECT qid, vec_id,
+         |            list_sum([lut[ss * $n + code[ss + 1] + 1]
+         |                      for ss in range(0, $subspaces)]) AS adc
+         |          FROM ($scanFrom) cl)""".stripMargin,
+      s"""short AS (SELECT qid, vec_id FROM (
+         |             SELECT qid, vec_id,
+         |                    row_number() OVER (PARTITION BY qid
+         |                                       ORDER BY adc, vec_id) AS srn
+         |             FROM scan) WHERE srn <= $shortlist)""".stripMargin,
+      s"""rer AS (SELECT s.qid, s.vec_id,
+         |                list_cosine_similarity(q.em, t.em) AS score
+         |         FROM short s JOIN e q ON s.qid = q.vec_id
+         |                      JOIN e t ON s.vec_id = t.vec_id)""".stripMargin,
+      s"""r AS (SELECT qid, vec_id, score,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY score DESC, vec_id) AS rn
+         |       FROM rer)""".stripMargin)
+  }
+
   private def pqAdcOracle(k: Int, shortlist: Int, subspaces: Int,
       subDim: Int, nCentroids: Int): String = {
-    val n = nCentroids
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
-       | sub AS (SELECT vec_id,
-       |           unnest([{'ss': j, 'sv': em[j*$subDim+1:j*$subDim+$subDim]}
-       |                   for j in range(0, $subspaces)], recursive := true)
-       |         FROM e),
-       | seeds AS (SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS c FROM (
-       |             SELECT vec_id AS sid FROM e ORDER BY vec_id LIMIT $n)),
-       | cb AS (SELECT sd.sid, sd.c, s.ss AS css, s.sv AS cv
-       |        FROM sub s JOIN seeds sd ON s.vec_id = sd.sid),
-       | scored AS (SELECT sub.vec_id, sub.ss, cb.c, cb.sid,
-       |              list_sum([(sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])
-       |                        for i in range(1, len(sub.sv) + 1)]) AS d2
-       |            FROM sub JOIN cb ON sub.ss = cb.css),
-       | best AS (SELECT vec_id, ss, c FROM (
-       |            SELECT vec_id, ss, c,
-       |                   row_number() OVER (PARTITION BY vec_id, ss
-       |                                      ORDER BY d2, sid) AS rn
-       |            FROM scored) WHERE rn = 1),
-       | codes AS (SELECT vec_id, list(c ORDER BY ss) AS code
-       |           FROM best GROUP BY vec_id),
-       | lut AS (SELECT vec_id AS qid,
-       |                list(CAST(floor(d2 * 1048576.0 + 0.5) AS BIGINT)
-       |                     ORDER BY ss * $n + c) AS lut
-       |         FROM scored GROUP BY vec_id),
-       | scan AS (SELECT q.qid, cd.vec_id,
-       |            list_sum([q.lut[ss * $n + cd.code[ss + 1] + 1]
-       |                      for ss in range(0, $subspaces)]) AS adc
-       |          FROM codes cd, lut q WHERE cd.vec_id <> q.qid),
-       | short AS (SELECT qid, vec_id FROM (
-       |             SELECT qid, vec_id,
-       |                    row_number() OVER (PARTITION BY qid
-       |                                       ORDER BY adc, vec_id) AS srn
-       |             FROM scan) WHERE srn <= $shortlist),
-       | rer AS (SELECT s.qid, s.vec_id,
-       |                list_cosine_similarity(q.em, t.em) AS score
-       |         FROM short s JOIN e q ON s.qid = q.vec_id
-       |                      JOIN e t ON s.vec_id = t.vec_id),
-       | r AS (SELECT qid, vec_id, score,
-       |              row_number() OVER (PARTITION BY qid
-       |                                 ORDER BY score DESC, vec_id) AS rn
-       |       FROM rer)
-       |SELECT qid, vec_id, round(score, 4) AS score, rn
-       |FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+    val ctes = Seq.newBuilder[String]
+    ctes += "e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)"
+    ctes ++= pqCtes(subspaces, subDim, nCentroids)
+    ctes ++= pqTailCtes(k, shortlist, subspaces, nCentroids,
+      """SELECT q.qid, cd.vec_id, cd.code, q.lut
+        |           FROM codes cd, lut q WHERE cd.vec_id <> q.qid""".stripMargin)
+    "WITH " + ctes.result().mkString(",\n ") +
+      s"\nSELECT qid, vec_id, round(score, 4) AS score, rn" +
+      s"\nFROM r WHERE rn <= $k ORDER BY qid, rn"
+  }
+
+  /** IVF-PQ: the composed billion-scale ANN index (Jégou et al. 2011,
+    * the FAISS `IVFx,PQy` layout). The IVF coarse quantizer restricts
+    * each query to its `nprobe` probed cells; INSIDE those cells the
+    * scan runs on PQ codes against the query's ADC lookup table —
+    * never on raw vectors; the ADC shortlist then exact-reranks.
+    *
+    * Scale story: the candidate join is a cell EQUI-join (hash
+    * partitionable on any cluster), each query touches `nprobe/cells`
+    * of the corpus, and what it touches is the 32×-compressed codes
+    * column. Raw vectors appear only in the final shortlist rerank.
+    * A (qid, vec_id) pair occurs in at most one cell (a vector's index
+    * cell is unique), so no candidate dedup is needed.
+    *
+    * Everything is oracle-replayable: fixed-point Lloyd's training
+    * (order-independent integer sums), fixed-point ADC scores, argmax/
+    * argmin tiebreaks, and the bit-identical cosine rerank kernel.
+    */
+  def ivfPqTopK(d: DataFrame, k: Int, shortlist: Int, cells: Int,
+      nprobe: Int, iters: Int, subspaces: Int, subDim: Int,
+      nCentroids: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val e = d.select(col("vec_id"), col("em"))
+    val corpus = ivfCorpus(d)
+    val centroids = ivfTrain(corpus, cells, iters)
+    val scored = pqScored(e, subspaces, subDim, nCentroids)
+    // index side: IVF cell + PQ code per vector (no raw vectors)
+    val index = ivfNearestCells(corpus, centroids, 1)
+      .select(col("vec_id"), col("cell"))
+      .join(pqCodes(scored), "vec_id")
+    // probe side: nprobe cells + ADC lookup table per query
+    val probes = ivfNearestCells(corpus, centroids, nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+      .join(pqLut(scored, nCentroids), "qid")
+    // cell-restricted ADC scan: equi-join on cell, LUT lookups in the
+    // projection — candidates never materialize vectors
+    val scanned = probes.join(index, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcSum(subspaces, nCentroids).as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val short = scanned.withColumn("srn", row_number().over(wAdc))
+      .where(col("srn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    val rer = short
+      .join(broadcast(e.select(col("vec_id").as("qid"), col("em").as("qe"))), "qid")
+      .join(broadcast(e.select(col("vec_id"), col("em").as("ce"))), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        CosineSimilarity.cosine_sim("qe", "ce").as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    rer.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]]: the IVF training unroll feeding
+    * the PQ scan restricted to probed cells — the union of the two
+    * component oracles with the candidate source swapped.
+    */
+  private def ivfPqOracle(k: Int, shortlist: Int, cells: Int, nprobe: Int,
+      iters: Int, subspaces: Int, subDim: Int, nCentroids: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes ++= ivfTrainCtes(cells, iters)
+    ctes += s"""idx AS (SELECT vec_id, cell FROM (
+       |   SELECT e.vec_id, c.cell,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.em, c.ce) DESC, c.cell) AS rn
+       |   FROM e, c$iters c) t WHERE rn = 1)""".stripMargin
+    ctes += s"""pr AS (SELECT qid, cell FROM (
+       |   SELECT e.vec_id AS qid, c.cell,
+       |          row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.em, c.ce) DESC, c.cell) AS rn
+       |   FROM e, c$iters c) t WHERE rn <= $nprobe)""".stripMargin
+    ctes ++= pqCtes(subspaces, subDim, nCentroids)
+    ctes ++= pqTailCtes(k, shortlist, subspaces, nCentroids,
+      """SELECT pr.qid, idx.vec_id, codes.code, lut.lut
+        |           FROM pr JOIN idx USING (cell)
+        |                JOIN codes ON idx.vec_id = codes.vec_id
+        |                JOIN lut ON pr.qid = lut.qid
+        |           WHERE idx.vec_id <> pr.qid""".stripMargin)
+    "WITH " + ctes.result().mkString(",\n ") +
+      s"\nSELECT qid, vec_id, round(score, 4) AS score, rn" +
+      s"\nFROM r WHERE rn <= $k ORDER BY qid, rn"
   }
 
   val all: Seq[GQuery] = Seq(
@@ -638,6 +788,23 @@ object SimilarityOps {
       },
       Some(pqAdcOracle(k = 5, shortlist = 100,
         subspaces = 8, subDim = 8, nCentroids = 32))),
+
+    GQuery(
+      "sim_ann_ivfpq",
+      (s, dir) => {
+        // IVF-PQ composed index: 16-cell coarse quantizer (3 Lloyd's
+        // rounds) restricts each query to 4 probed cells; the in-cell
+        // scan runs on PQ codes vs the query's ADC LUT (never raw
+        // vectors); 50-candidate shortlist, exact cosine rerank to
+        // top-5. Hash-verified end-to-end — training, codes, ADC and
+        // rerank all replay in DuckDB.
+        ivfPqTopK(emb(s, dir), k = 5, shortlist = 50, cells = 16,
+            nprobe = 4, iters = 3, subspaces = 8, subDim = 8, nCentroids = 32)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some(ivfPqOracle(k = 5, shortlist = 50, cells = 16, nprobe = 4,
+        iters = 3, subspaces = 8, subDim = 8, nCentroids = 32))),
 
     GQuery(
       "dedup_embedding_cosine",

@@ -119,6 +119,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("element_at"), "scan should score via the LUT, not vectors")
   }
 
+  test("IVF-PQ composed index recall >= 0.6 vs brute-force top-5, deterministic") {
+    val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = SimilarityOps.ivfPqTopK(emb, k = 5, shortlist = 50, cells = 16,
+        nprobe = 4, iters = 2, subspaces = 8, subDim = 8, nCentroids = 32)
+      .where(col("qid") < 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val res = run()
+    // measured 0.77 at sf0.001 / 0.80 at sf0.01 on the qid<20 slice —
+    // bounded above by the IVF cell restriction, not the PQ shortlist
+    val recall = res.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
+    assert(run() == res, "IVF-PQ must be deterministic (fixed seeds, fixed tie-breaks)")
+  }
+
   test("SRP pair queries: bucketed equi-join plan, recall >= 0.9 vs all-pairs truth") {
     // the registered pair queries must NOT plan the N² nested-loop join —
     // the SRP bucket key makes them hash/sort-merge equi-joins
