@@ -41,6 +41,43 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(mean >= 0.8, s"planted-sibling hit rate $mean over ${ann.size} queries")
   }
 
+  test("IVF-PQ concentrates planted jitter-families in a 20k-vector corpus") {
+    // 500 families × 40 jitters, ids INTERLEAVED (vec_id = j*500 + base)
+    // so the deterministic seed windows (lowest 32 ids for the PQ
+    // codebook, lowest 64 for the IVF cells) span DISTINCT families —
+    // the id layout is the caller's seeding lever; contiguous family
+    // blocks would hand both quantizers 32 near-identical seeds and
+    // collapse the codebook.
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(41)
+    val corpus = base.flatMap { case (id, v) =>
+      (0 until 40).map { j =>
+        val jv = v.map(x => x + rnd.nextGaussian() * 0.01)
+        (j * 500L + id, jv)
+      }
+    }.toSeq.toDF("vec_id", "em")
+    assert(corpus.count() == 20000L)
+
+    // 64 cells, 4 probes, 50-candidate ADC shortlist — a query scans
+    // ~6% of the corpus and only its codes; brute force here would be
+    // 400M pair-scores
+    val got = SimilarityOps.ivfPqTopK(corpus, k = 5, shortlist = 50,
+        cells = 64, nprobe = 4, iters = 2,
+        subspaces = 8, subDim = 8, nCentroids = 32)
+      .where(col("qid") < 50)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(got.size >= 40, s"expected ~50 probed queries, got ${got.size}")
+    val hitRates = got.map { case (qid, ids) =>
+      ids.count(v => v % 500 == qid % 500).toDouble / ids.size.max(1)
+    }
+    val mean = hitRates.sum / hitRates.size
+    assert(mean >= 0.8, s"planted-family hit rate $mean over ${got.size} queries")
+  }
+
   test("portable SRP candidates prune at scale with log-scaled planes") {
     // 20k-vector corpus of jittered families (cosine to base ~0.999).
     // At this n the registered small-SF parameters (3 planes) would not
