@@ -125,9 +125,10 @@ object SignalOps {
             e.orderBy("vec_id").limit(4).select(col("vec_id").as("sid")),
             col("vec_id") === col("sid"))
           .select(col("sid"), col("ss").as("css"), col("sv").as("cv"))
-        val d2: Column = aggregate(
-          zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
+        // codegen L2² kernel — bit-identical to the sequential zip_with
+        // HOF form and the oracle's list_sum (see SquaredL2)
+        graft.functions.SquaredL2.register(s)
+        val d2: Column = graft.functions.SquaredL2.squared_l2("sv", "cv")
         val assigned = sub.join(broadcast(seeds), col("ss") === col("css"))
           .select(col("vec_id"), col("ss"), col("sid"), d2.as("d2"))
           .withColumn("rn", row_number().over(

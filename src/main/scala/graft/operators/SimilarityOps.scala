@@ -807,6 +807,46 @@ object SimilarityOps {
         iters = 3, subspaces = 8, subDim = 8, nCentroids = 32))),
 
     GQuery(
+      "decontaminate_semantic",
+      (s, dir) => {
+        // SEMANTIC decontamination: the embedding-space sibling of
+        // decontaminate_ngrams — flag training vectors whose nearest
+        // EVAL-set vector (vec_id % 20 == 0 stands in for the
+        // benchmark) exceeds cosine 0.3, reporting the culprit. Eval
+        // sets are small by nature → broadcast; the training corpus
+        // streams through one narrow pass (|train|·|eval| codegen
+        // cosines, no shuffle of vectors) and only flagged rows
+        // survive. At 100 TB with a LARGE eval set you'd route the
+        // candidate step through the SRP buckets (srpKeyed) instead —
+        // same rerank, same output contract.
+        CosineSimilarity.register(s)
+        val e = emb(s, dir).select(col("vec_id"), col("em"))
+        val ev = e.where(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("em").as("ee"))
+        e.where(col("vec_id") % 20 =!= 0)
+          .join(broadcast(ev))
+          .select(col("vec_id"), col("eval_id"),
+            CosineSimilarity.cosine_sim("em", "ee").as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(desc("sim"), asc("eval_id"))))
+          .where(col("rn") === 1 && col("sim") >= 0.3)
+          .select(col("vec_id"), col("eval_id").as("nearest_eval"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             | ev AS (SELECT vec_id AS eval_id, em AS ee FROM e WHERE vec_id % 20 = 0),
+             | best AS (SELECT vec_id, eval_id, s FROM (
+             |    SELECT t.vec_id, ev.eval_id,
+             |           list_cosine_similarity(t.em, ev.ee) AS s,
+             |           row_number() OVER (PARTITION BY t.vec_id
+             |              ORDER BY list_cosine_similarity(t.em, ev.ee) DESC,
+             |                       ev.eval_id) AS rn
+             |    FROM e t, ev WHERE t.vec_id % 20 <> 0) WHERE rn = 1)
+             |SELECT vec_id, eval_id AS nearest_eval, round(s, 4) AS sim
+             |FROM best WHERE s >= 0.3 ORDER BY vec_id""".stripMargin)),
+
+    GQuery(
       "dedup_embedding_cosine",
       (s, dir) => {
         // Embedding-cosine near-dup: pairs above 0.45, keep lower id as
