@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, RollingHashGrams, SquaredL2, WordGramHashes}
+import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, Md5GramHashes, RollingHashGrams, SquaredL2, WindowMin, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_gram_hashes"),
       new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
       (exprs: Seq[Expression]) => WordGramHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("window_min"),
+      new ExpressionInfo(classOf[WindowMin].getName, "window_min"),
+      (exprs: Seq[Expression]) => WindowMin(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("md5_gram_hashes"),
+      new ExpressionInfo(classOf[Md5GramHashes].getName, "md5_gram_hashes"),
+      (exprs: Seq[Expression]) => Md5GramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier("z_interleave"),

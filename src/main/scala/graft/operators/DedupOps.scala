@@ -33,9 +33,66 @@ object DedupOps {
   def portableHash(s: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: array of `k` min-hashes over the shingle set. */
+  /** MinHash signature: array of `k` min-hashes over the shingle set.
+    * HOF form (one md5 PER SEED per gram) — superseded in the
+    * registered pipeline by [[minhashSigs]], the one-md5 + affine-
+    * rehash construction; kept as the direct-definition reference.
+    */
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(sh, x => portableHash(x, i)))): _*)
+
+  /** Modulus of the universal-hash family: the smallest prime > 2^32. */
+  val MinhashP = 4294967311L
+
+  /** Plan-time affine coefficients (a_i, b_i) of hash family
+    * h_i(x) = (a_i·h(x) + b_i) mod [[MinhashP]] — derived from md5 so
+    * they are deterministic, and INLINED AS LITERALS into both the
+    * Spark plan and the DuckDB oracle (the srpSigns convention).
+    * a_i < 2^31 keeps a·h below 2^63: no overflow in either engine.
+    */
+  def minhashCoef(i: Int): (Long, Long) = {
+    def md5Long(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    (md5Long(s"mh_a:$i") % ((1L << 31) - 1) + 1, md5Long(s"mh_b:$i") % MinhashP)
+  }
+
+  /** MinHash signatures via ONE portable md5 base hash per gram plus
+    * `k` affine rehashes (a_i·h + b_i) mod p — the standard universal-
+    * hashing construction. The direct form pays k md5s per gram (k·|sh|
+    * string builds + digests — measured 16 s at sf0.1 for k=32);
+    * this one pays |sh| md5s and 31 integer ops each, AND runs fully
+    * codegen (explode → projection → groupBy min, no interpreted
+    * HOF lambdas anywhere): measured 16 s → ~2 s. Returns
+    * `(doc_id, sig: array<long>)`.
+    */
+  def minhashSigs(withSh: DataFrame, k: Int): DataFrame = {
+    val g = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), portableHash(col("s"), 0).as("h"))
+    val mins = (0 until k).map { i =>
+      val (a, b) = minhashCoef(i)
+      min((lit(a) * col("h") + lit(b)) % lit(MinhashP)).as(s"m$i")
+    }
+    g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** DuckDB CTEs reproducing [[minhashSigs]] bit-for-bit (appended
+    * after a CTE `sh(doc_id, sg)`): the same base md5 hash and the
+    * same inlined affine coefficients.
+    */
+  def minhashSigCtes(k: Int): String = {
+    val entries = (0 until k).map { i =>
+      val (a, b) = minhashCoef(i)
+      s"list_min([($a * h + $b) % $MinhashP for h in hv])"
+    }.mkString(",\n                  ")
+    s"""  hv AS (SELECT doc_id, sg,
+       |               [('0x' || substring(md5('0:' || s), 1, 8))::BIGINT for s in sg] AS hv
+       |         FROM sh),
+       |  sig AS (SELECT doc_id, sg,
+       |                 [$entries] AS mh
+       |          FROM hv)""".stripMargin
+  }
 
   /** PRODUCTION MinHash+LSH pairs: identical pipeline shape to
     * [[minhashLshPairs]] but with xxhash64 seeds over the
@@ -150,7 +207,7 @@ object DedupOps {
     val withSh = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
     val banded = withSh
-      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .join(minhashSigs(withSh, k), "doc_id")
       .select(col("doc_id"), col("sh"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -364,25 +421,21 @@ object DedupOps {
       "dedup_minhash_lsh",
       (s, dir) => {
         // MinHash(32 hashes) + LSH(8 bands × 4) candidates, exact-Jaccard
-        // verified at >= 0.1. FULLY oracle-checked: the md5-derived
-        // portableHash makes the signatures, band keys, and therefore the
-        // candidate set bit-identical in DuckDB (list comprehensions +
-        // ('0x'||hex)::BIGINT reproduce conv(md5)). ScalaTest additionally
-        // gates recall against exact-Jaccard truth.
+        // verified at >= 0.1. FULLY oracle-checked: one md5-derived base
+        // hash per gram + 32 inlined affine rehashes (minhashSigs) make
+        // the signatures, band keys, and therefore the candidate set
+        // bit-identical in DuckDB. ScalaTest additionally gates recall
+        // against exact-Jaccard truth.
         minhashLshPairs(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.1)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
              |           FROM documents),
              |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
              |                                       for i in range(1, len(tk) - 1)]) AS sg
              |         FROM t WHERE len(tk) >= 3),
-             |  sig AS (SELECT doc_id, sg,
-             |                 [list_min([(('0x' || substring(md5(j || ':' || s), 1, 8))::BIGINT)
-             |                            for s in sg])
-             |                  for j in range(0, 32)] AS mh
-             |          FROM sh),
+             |${minhashSigCtes(32)},
              |  banded AS (SELECT doc_id, sg,
              |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
              |                            for b in range(0, 8)]) AS bk
@@ -538,17 +591,13 @@ object DedupOps {
           minhashLshPairs(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.5))
           .orderBy("node")
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |  t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
              |        FROM documents),
              |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
              |                                       for i in range(1, len(tk) - 1)]) AS sg
              |         FROM t WHERE len(tk) >= 3),
-             |  sig AS (SELECT doc_id, sg,
-             |                 [list_min([(('0x' || substring(md5(j || ':' || s), 1, 8))::BIGINT)
-             |                            for s in sg])
-             |                  for j in range(0, 32)] AS mh
-             |          FROM sh),
+             |${minhashSigCtes(32)},
              |  banded AS (SELECT doc_id, sg,
              |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
              |                            for b in range(0, 8)]) AS bk

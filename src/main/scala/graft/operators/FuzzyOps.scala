@@ -45,13 +45,17 @@ object FuzzyOps {
         JaroWinkler.register(s)
         val p = Tables.t(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        // threshold INSIDE the join condition (the srpPairsAbove
+        // pattern): the scorer runs once per candidate pair while the
+        // pair is still virtual; only the ~0.02% of survivors re-score
+        // in the projection. A post-join filter gets pushed back under
+        // the project and evaluates the O(len²) scorer twice per pair.
         p.as("a").join(p.as("b"),
             col("a.p_brand") === col("b.p_brand") &&
-              col("a.p_partkey") < col("b.p_partkey"))
+              col("a.p_partkey") < col("b.p_partkey") &&
+              JaroWinkler.jaro_winkler("a.p_name", "b.p_name") >= 0.9)
           .select(col("a.p_partkey").as("p1"), col("b.p_partkey").as("p2"),
-            JaroWinkler.jaro_winkler("a.p_name", "b.p_name").as("raw"))
-          .where(col("raw") >= 0.9)
-          .select(col("p1"), col("p2"), round(col("raw"), 4).as("jw"))
+            round(JaroWinkler.jaro_winkler("a.p_name", "b.p_name"), 4).as("jw"))
           .orderBy("p1", "p2")
       },
       Some("""SELECT a.p_partkey AS p1, b.p_partkey AS p2,

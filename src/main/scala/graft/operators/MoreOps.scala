@@ -405,17 +405,23 @@ object MoreOps {
         // ship day, and the range predicate becomes an EQUI-join on the
         // day key — the transformation that turns an O(N·M) range join
         // into a shuffle-hash join at 100 TB (the oracle states the same
-        // query as a plain BETWEEN range join). Each lineitem matches an
-        // order at most once: the window's exploded days are distinct.
+        // query as a plain BETWEEN range join). Because the measure is a
+        // pure per-day COUNT, the lineitem side pre-aggregates to one
+        // row per day BEFORE the join (the day-count table is tiny →
+        // broadcast) and the per-order count becomes a sum of day
+        // counts — the raw day equi-join materializes |orders|·4·
+        // (lineitems/day) rows (~150M at sf0.1, measured 42 s) for the
+        // identical answer this form gets from 600k.
         val o = Tables.t(s, dir, "orders")
           .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"))
           .select(col("o_orderkey"),
             explode(sequence(col("d0"), date_add(col("d0"), 3))).as("day"))
-        val l = Tables.t(s, dir, "lineitem")
+        val lc = Tables.t(s, dir, "lineitem")
           .select(to_date(col("l_shipdate")).as("day"))
-        o.join(l, "day")
+          .groupBy("day").agg(count(lit(1)).as("c"))
+        o.join(broadcast(lc), "day")
           .groupBy("o_orderkey")
-          .agg(count(lit(1)).as("n_shipped"))
+          .agg(sum(col("c")).as("n_shipped"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, count(*) AS n_shipped

@@ -262,16 +262,21 @@ object TextOps {
         // reproduces them bit-for-bit; a production deployment would
         // swap in a true O(n) Rabin-Karp rolling recurrence as a custom
         // Expression (same selected positions, cheaper per char).
+        graft.functions.WindowMin.register(s)
+        graft.functions.Md5GramHashes.register(s)
         docs(s, dir)
           .where(length(col("text")) >= 11)
-          .select(col("doc_id"), expr(
-            """transform(sequence(1, length(text) - 7),
-              |  i -> cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 8),
-              |                 16, 10) as bigint))""".stripMargin).as("hs"))
-          .select(col("doc_id"), expr(
-            """array_sort(array_distinct(
-              |  transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))))""".stripMargin)
-            .as("fp"))
+          // per-gram md5 via the fused kernel — bit-identical to the
+          // conv(substring(md5(...))) HOF form the oracle replays,
+          // without per-element hex strings or interpreted lambdas
+          .select(col("doc_id"),
+            graft.functions.Md5GramHashes.md5_gram_hashes("text", 8).as("hs"))
+          // window-min selection via the O(n) monotonic-deque codegen
+          // expression — the minima are value-identical to the per-
+          // position array_min(slice) HOF, so the oracle is unaffected
+          .select(col("doc_id"),
+            array_sort(array_distinct(
+              graft.functions.WindowMin.window_min("hs", 4))).as("fp"))
           .select(col("doc_id"),
             size(col("fp")).cast("long").as("n_fp"),
             md5(concat_ws(",", expr("transform(fp, x -> cast(x as string))")).cast("binary"))
@@ -300,14 +305,14 @@ object TextOps {
         // are engine-specific → rows-only driver check; the expression
         // itself is equivalence-tested against a brute-force reference.
         graft.functions.RollingHashGrams.register(s)
+        graft.functions.WindowMin.register(s)
         docs(s, dir)
           .where(length(col("text")) >= 11)
           .select(col("doc_id"),
             graft.functions.RollingHashGrams.rolling_hash_grams("text", 8).as("hs"))
-          .select(col("doc_id"), expr(
-            """array_sort(array_distinct(
-              |  transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))))""".stripMargin)
-            .as("fp"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(
+              graft.functions.WindowMin.window_min("hs", 4))).as("fp"))
           .select(col("doc_id"),
             size(col("fp")).cast("long").as("n_fp"),
             md5(concat_ws(",", expr("transform(fp, x -> cast(x as string))")).cast("binary"))

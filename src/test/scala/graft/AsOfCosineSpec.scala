@@ -80,6 +80,41 @@ class AsOfCosineSpec extends SparkSpec {
     }
   }
 
+  test("window_min: monotonic deque == per-position array_min(slice) HOF") {
+    graft.functions.WindowMin.register(spark)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Seq.empty[Long], Seq(5L), Seq(3L, 1L, 2L), Seq(1L, 1L, 1L, 1L),
+      Seq(9L, 8L, 7L, 6L, 5L), Seq(Long.MinValue, 0L, Long.MaxValue)) ++
+      Seq.fill(5)(Seq.fill(20 + rnd.nextInt(40))(rnd.nextLong()))
+    for (a <- cases; w <- Seq(1, 3, 4, 7)) {
+      val got = Seq(a).toDF("a")
+        .select(graft.functions.WindowMin.window_min("a", w).as("m"))
+        .as[Seq[Long]].head()
+      val want = if (a.length < w) Seq.empty[Long]
+        else a.sliding(w).map(_.min).toSeq
+      assert(got == want, s"mismatch for n=${a.length} w=$w")
+    }
+  }
+
+  test("md5_gram_hashes: fused kernel == conv(substring(md5)) HOF form") {
+    graft.functions.Md5GramHashes.register(spark)
+    val rnd = new scala.util.Random(11)
+    val cases = Seq("", "short", "exactly8", "the quick brown fox jumps") ++
+      Seq.fill(5)(rnd.alphanumeric.take(20 + rnd.nextInt(60)).mkString)
+    for (str <- cases; k <- Seq(1, 4, 8)) {
+      val df = Seq(str).toDF("t")
+      val got = df.select(graft.functions.Md5GramHashes.md5_gram_hashes("t", k).as("g"))
+        .as[Seq[Long]].head()
+      val want = df.select(expr(
+        s"""transform(sequence(1, greatest(length(t) - ${k - 1}, 0)),
+           |  i -> cast(conv(substring(md5(cast(substring(t, i, $k) as binary)), 1, 8),
+           |                 16, 10) as bigint))""".stripMargin).as("g"))
+        .as[Seq[Long]].head()
+      assert(got == want.filter(_ => str.length >= k), s"mismatch for str=$str k=$k")
+    }
+  }
+
   test("cosine_sim handles zero vectors and SQL registration") {
     CosineSimilarity.register(spark)
     val r = spark.sql(
