@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, Md5GramHashes, RollingHashGrams, SquaredL2, WindowMin, WordGramHashes}
+import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, Md5GramHashes, RollingHashGrams, SimHash32, SquaredL2, WindowMin, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5GramHashes].getName, "md5_gram_hashes"),
       (exprs: Seq[Expression]) => Md5GramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs(0))))
     e.injectFunction((
       FunctionIdentifier("z_interleave"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "z_interleave"),

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 32-bit SimHash of an array<string>: hash every element to the
+  * PORTABLE 32-bit seed-0 hash — md5 of "0:" ++ element, first 32
+  * bits, bit-identical to `DedupOps.portableHash(x, 0)` and DuckDB
+  * `('0x'||substring(md5('0:'||x),1,8))::BIGINT` — then take, per bit
+  * position, the majority vote across elements — ties (2·ones == n)
+  * vote 0, matching `2·ones > n` in the SQL fold and the oracle.
+  *
+  * Fuses what the HOF form spells as a per-token md5 `transform` plus
+  * a 32-round `aggregate`/`filter` fold — ~4k interpreted lambda
+  * evaluations per document (measured most of `dedup_simhash`'s 5.3 s
+  * at sf0.1); here one compiled pass with 32 int counters.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash32.eval(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash32.eval($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash32 {
+
+  private val Seed0 = "0:".getBytes("UTF-8")
+
+  /** Shared kernel (also called from generated code). */
+  def eval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val cnt = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    var nn = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(Seed0)
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        var b = 0
+        while (b < 32) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        nn += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (2 * cnt(b) > nn) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  /** Register `simhash32(arr)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs(0)), "built-in")
+
+  def simhash32(arrCol: String): Column = expr(s"simhash32($arrCol)")
+}

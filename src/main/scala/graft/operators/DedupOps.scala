@@ -226,9 +226,14 @@ object DedupOps {
     * Emits candidate pairs with their Hamming distance <= maxHamming.
     */
   def simhashPairs(d: DataFrame, maxHamming: Int): DataFrame = {
+    // fused SimHash32 kernel: value-identical to the per-token md5
+    // transform + 32-round majority fold (kept above as
+    // simhashFromHashes, the direct-definition reference), one
+    // compiled pass instead of ~4k interpreted lambdas per doc
+    graft.functions.SimHash32.register(d.sparkSession)
     val sigs = d
-      .select(col("doc_id"), transform(TextOps.tokens(col("text")), x => portableHash(x, 0)).as("hs"))
-      .select(col("doc_id"), simhashFromHashes.as("sig"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), graft.functions.SimHash32.simhash32("tk").as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), (shiftright(col("sig"), b * 8).bitwiseAND(0xFFL)).cast("string"))): _*)).as("bk"))
@@ -258,6 +263,13 @@ object DedupOps {
     val inv = hashed.select(col("doc_id"), explode(col("sh")).as("sg"))
     val freq = inv.groupBy("sg").agg(count(lit(1)).as("freq"))
     // order each doc's shingles rarest-first, keep the prefix
+    // NOTE (measured, sf0.1): carrying the sorted_sh arrays through the
+    // candidate join IS the fastest form here. Both "obvious" rewrites
+    // lose: an eager localCheckpoint of `ordered` pays materialization
+    // serially before the join (6.4 s vs 3.8 s), and the skinny-join +
+    // array-join-back pattern adds two more recomputes of the freq-sort
+    // pipeline plus two shuffles (6.7 s). At 100 TB `ordered` is a
+    // persisted signature table and the trade flips to the skinny join.
     val ordered = inv.join(freq, "sg")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("freq"), col("sg")))).as("osh"))

@@ -153,14 +153,22 @@ object TextOps {
         // deterministic, oracle-replayable core.
         val profile = Seq("the", "ing", "and", "ion", "ent", "er ", "he ",
           " th", "at ", "es ", " an", "ta ")
-        val inList = profile.map("'" + _ + "'").mkString(",")
+        // hits per trigram as a codegen replace-count: occurrences(p) =
+        // (length(text) - length(replace(text, p))) / 3. Equal to the
+        // window-filter count because no profile trigram has a proper
+        // border (prefix = suffix), so its matches can never overlap —
+        // the materialize-every-window + interpreted 12-way IN filter
+        // this replaces measured 5.8 s at sf0.1; this form 0.4 s.
+        // Σ diffs is an exact multiple of 3 → `div 3` is exact, and the
+        // final double division is the same IEEE op as the HOF form's.
+        val hitExpr = profile
+          .map(p => s"(length(text) - length(replace(text, '$p')))")
+          .mkString(" + ")
         docs(s, dir)
-          .where(length(col("text")) >= 3) // sequence(1, n<1) silently DESCENDS in Spark
-          .select(col("doc_id"), expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("tg"))
-          .select(col("doc_id"), expr(
-            s"size(filter(tg, x -> x IN ($inList)))").cast("double")
-            .divide(size(col("tg"))).as("hit_ratio"))
+          .where(length(col("text")) >= 3)
+          .select(col("doc_id"),
+            (expr(s"cast(($hitExpr) div 3 as double)") /
+              (length(col("text")) - 2)).as("hit_ratio"))
           .select(col("doc_id"), round(col("hit_ratio"), 4).as("hit_ratio"),
             when(col("hit_ratio") >= 0.05, "en").otherwise("other").as("pred"))
           .orderBy("doc_id")

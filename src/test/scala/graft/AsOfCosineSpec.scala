@@ -115,6 +115,22 @@ class AsOfCosineSpec extends SparkSpec {
     }
   }
 
+  test("simhash32: fused kernel == md5-transform + majority-fold HOF form") {
+    graft.functions.SimHash32.register(spark)
+    val docs = Seq(
+      "", "one", "the quick brown fox jumps over the lazy dog",
+      "a a a a b", "x y z x y z x y z w",
+      (1 to 200).map(i => s"tok$i").mkString(" "))
+      .toDF("text")
+    val both = docs
+      .select(graft.operators.TextOps.tokens(col("text")).as("tk"))
+      .select(graft.functions.SimHash32.simhash32("tk").as("fused"),
+        expr("transform(tk, x -> " +
+          "cast(conv(substring(md5(cast(concat('0:', x) as binary)), 1, 8), 16, 10) as bigint))").as("hs"))
+      .select(col("fused"), graft.operators.DedupOps.simhashFromHashes.as("hof"))
+    assert(both.where(col("fused") =!= col("hof")).count() == 0)
+  }
+
   test("cosine_sim handles zero vectors and SQL registration") {
     CosineSimilarity.register(spark)
     val r = spark.sql(
