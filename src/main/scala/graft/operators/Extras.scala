@@ -516,6 +516,74 @@ object Extras {
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
     GQuery(
+      "streaming_neardup_dedup",
+      (s, dir) => {
+        // STREAMING near-dup dedup — online MinHash-LSH over a document
+        // file-stream: per-doc signature + band keys computed row-local
+        // (no shuffle before the stateful stage), then the per-bucket
+        // flatMapGroupsWithState filter flags each doc whose bucket
+        // already holds a smaller-id member agreeing on >= 50% of the 32
+        // portable signature positions. The final reduce picks the
+        // smallest flagged dup_of across buckets. Invariant under any
+        // id-monotonic batch cut (the ingestion contract — see
+        // nearDupHits; StreamingSpec proves it on scrambled 3-batch
+        // replays), so the batch SQL oracle (same affine signature
+        // literals, same band md5s, same agreement fraction) replays it
+        // exactly. est_sim values are k/32 — exact binary doubles,
+        // round()-safe cross-engine.
+        import s.implicits._
+        val sh = DedupOps.shingles(col("text"), 3)
+        val sig = array((0 until 32).map { i =>
+          val (a, b) = DedupOps.minhashCoef(i)
+          array_min(transform(col("hs"),
+            h => (lit(a) * h + lit(b)) % lit(DedupOps.MinhashP)))
+        }: _*)
+        val src = Sources.docsStream(s, dir)
+          .select(col("doc_id"), sh.as("sh"))
+          .where(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            transform(col("sh"), x => DedupOps.portableHash(x, 0)).as("hs"))
+          .select(col("doc_id"), sig.as("mh"))
+          .select(col("doc_id"), col("mh"),
+            explode(DedupOps.lshBandKeys(col("mh"), 8, 4)).as("bk"))
+          .select(col("bk"), col("doc_id"), col("mh"))
+          .as[StreamingIngest.BandedDoc]
+        s.catalog.dropTempView("neardup_sink")
+        val q = StreamingIngest.nearDupHits(src, minAgree = 0.5)
+          .writeStream.format("memory").queryName("neardup_sink")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("neardup_sink")
+          .groupBy("doc_id")
+          .agg(min(struct(col("dup_of"), col("agree"))).as("m"))
+          .select(col("doc_id"), col("m.dup_of").as("dup_of"),
+            round(col("m.agree"), 4).as("est_sim"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                       for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |${DedupOps.minhashSigCtes(32)},
+             |  banded AS (SELECT doc_id, mh,
+             |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
+             |                            for b in range(0, 8)]) AS bk
+             |             FROM sig),
+             |  pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             |                   a.mh AS ma, b.mh AS mb
+             |            FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+             |  scored AS (SELECT da, db,
+             |                    len(list_filter([ma[i] = mb[i] for i in range(1, 33)],
+             |                                    x -> x)) / 32.0 AS agree
+             |             FROM pairs),
+             |  flagged AS (SELECT db AS doc_id, min(da) AS dup_of
+             |              FROM scored WHERE agree >= 0.5 GROUP BY db)
+             |SELECT f.doc_id, f.dup_of, round(s.agree, 4) AS est_sim
+             |FROM flagged f JOIN scored s ON s.db = f.doc_id AND s.da = f.dup_of
+             |ORDER BY f.doc_id""".stripMargin)),
+
+    GQuery(
       "streaming_stream_join",
       (s, dir) => {
         // Differential check of STREAM-STREAM JOIN: replay views and

@@ -87,6 +87,15 @@ object Sources {
       .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
   }
 
+  /** File-source stream over the documents table (same glob rationale
+    * as [[eventsStream]]) — executors read the parquet directly, the
+    * driver materializes nothing.
+    */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(raw).parquet(s"$dir/documents*.parquet")
+  }
+
   /** JSON-lines file source with the reference's lenient parse: explicit
     * schema (never inferred — fixed compile-time schema parity,
     * `MyKafkaMessage.java:6-7`), malformed lines dropped, missing fields

@@ -80,6 +80,73 @@ object StreamingIngest {
       }
   }
 
+  /** One (band-bucket, document) event of the streaming near-dup
+    * filter: the LSH band key, the doc id, and the 32-hash portable
+    * MinHash signature.
+    */
+  case class BandedDoc(bk: String, doc_id: Long, mh: Seq[Long])
+
+  /** Per-bucket state of the streaming near-dup filter: every doc seen
+    * in this band bucket (parallel id/signature seqs — flat encoders).
+    */
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  case class DupHit(doc_id: Long, dup_of: Long, agree: Double)
+
+  /** STREAMING near-duplicate detection — the online form of
+    * MinHash-LSH dedup for incremental corpus ingestion: state is the
+    * per-band-bucket membership, and each arriving document is checked
+    * only against its own buckets' members (never the corpus). A doc
+    * is flagged when a smaller-id bucket-mate agrees on >= `minAgree`
+    * of the 32 signature positions; the flag names the SMALLEST such
+    * id. Events are id-sorted within each group invocation and state
+    * retains all members, so the result is arrival-order-independent
+    * WITHIN a batch and invariant under any id-monotonic batch cut —
+    * the ingestion contract (doc ids are assigned monotonically at
+    * ingestion, so later batches only carry larger ids). Under that
+    * contract a batch SQL oracle replays the stream exactly; a
+    * smaller-id partner arriving in a LATER batch would not retro-flag
+    * the already-emitted doc (append sinks can't retract).
+    *
+    * Scale: state per bucket is O(bucket occupancy) signatures (32
+    * longs each, never the documents); at 100 TB you bound it with a
+    * state TTL (forget buckets idle past the dedup horizon) or switch
+    * the store to RocksDB — both are configuration, not redesign.
+    */
+  def nearDupHits(ds: Dataset[BandedDoc], minAgree: Double): Dataset[DupHit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.bk)
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, recs: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Vector.empty, Vector.empty))
+          var ids = st.ids.toVector
+          var sigs = st.sigs.toVector
+          val out = Vector.newBuilder[DupHit]
+          for (e <- recs.toSeq.sortBy(_.doc_id)) {
+            var bestId = -1L
+            var bestAgree = 0.0
+            var i = 0
+            while (i < ids.length) {
+              if (ids(i) < e.doc_id && (bestId < 0 || ids(i) < bestId)) {
+                val s = sigs(i)
+                var k = 0
+                var eq = 0
+                while (k < 32) { if (s(k) == e.mh(k)) eq += 1; k += 1 }
+                val a = eq / 32.0
+                if (a >= minAgree) { bestId = ids(i); bestAgree = a }
+              }
+              i += 1
+            }
+            if (bestId >= 0) out += DupHit(e.doc_id, bestId, bestAgree)
+            ids = ids :+ e.doc_id
+            sigs = sigs :+ e.mh
+          }
+          state.update(BucketState(ids, sigs))
+          out.result().iterator
+      }
+  }
+
   /** Latest-wins as a Spark 4 [[StatefulProcessor]] — the
     * `transformWithState` successor API to flatMapGroupsWithState:
     * explicit named state variables (typed ValueState here; List/Map

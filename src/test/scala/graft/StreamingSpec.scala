@@ -13,6 +13,53 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
   implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("nearDupHits: invariant under id-monotonic batch cuts and intra-batch order") {
+    import graft.operators.DedupOps
+    import graft.streaming.StreamingIngest.{BandedDoc, DupHit}
+    // band the corpus in BATCH mode with the registered query's exact
+    // expressions, then replay the same rows through the stateful
+    // operator under different cuts
+    val sig = array((0 until 32).map { i =>
+      val (a, b) = DedupOps.minhashCoef(i)
+      array_min(transform(col("hs"),
+        h => (lit(a) * h + lit(b)) % lit(DedupOps.MinhashP)))
+    }: _*)
+    val banded = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), x => DedupOps.portableHash(x, 0)).as("hs"))
+      .select(col("doc_id"), sig.as("mh"))
+      .select(col("doc_id"), col("mh"),
+        explode(DedupOps.lshBandKeys(col("mh"), 8, 4)).as("bk"))
+      .select(col("bk"), col("doc_id"), col("mh"))
+      .as[BandedDoc].collect().toSeq
+
+    def run(batches: Seq[Seq[BandedDoc]], name: String): Seq[DupHit] = {
+      val ms = MemoryStream[BandedDoc]
+      spark.catalog.dropTempView(name)
+      val q = StreamingIngest.nearDupHits(ms.toDS(), minAgree = 0.5)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[DupHit].collect().toSeq
+        .sortBy(h => (h.doc_id, h.dup_of))
+    }
+
+    val one = run(Seq(banded), "nd_one")
+    assert(one.nonEmpty, "fixture should contain near-dup docs")
+    // 3 id-monotonic cuts, each batch internally shuffled
+    val ids = banded.map(_.doc_id).distinct.sorted
+    val cut = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val rnd = new scala.util.Random(13)
+    val chunks = Seq(
+      banded.filter(_.doc_id <= cut(0)),
+      banded.filter(b => b.doc_id > cut(0) && b.doc_id <= cut(1)),
+      banded.filter(_.doc_id > cut(1))).map(c => rnd.shuffle(c))
+    assert(run(chunks, "nd_three") == one,
+      "3-batch id-monotonic scrambled replay must equal the single-batch result")
+  }
+
   test("latestWinsUpdates: cross-batch upsert emits only strictly newer versions") {
     val ms = MemoryStream[KeyedRecord]
     val q = StreamingIngest.latestWinsUpdates(ms.toDS())
