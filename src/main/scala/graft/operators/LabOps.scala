@@ -179,6 +179,15 @@ object LabOps {
           .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
           .distinct()
         val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
+        // NOTE (measured, sf0.1): recomputing the edge pipeline for
+        // both co-join sides IS the fastest form (26-33 s warm band).
+        // localCheckpoint of the 1.8M-row edge list: 38-47 s (breaks
+        // codegen fusion into the SMJ sorts and serializes the
+        // materialization); + shuffle_hash on the co-join: 34-36 s
+        // (the pair-explosion build side doesn't fit the hash-join
+        // sweet spot the way dedup_ngram_jaccard's index does). The
+        // real mitigation is capping — graph_neighbor_jaccard_capped
+        // (6 s), the registered production variant.
         val ed = e.join(deg, "s")
         val pairs = ed.as("e1").join(ed.as("e2"),
             col("e1.d") === col("e2.d") && col("e1.s") < col("e2.s"))
