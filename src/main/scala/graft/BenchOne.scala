@@ -26,7 +26,10 @@ object BenchOne {
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
-    args.foreach { name =>
+    // no args → sweep the ENTIRE registry (the round-5 outlier hunt);
+    // pipe through `sort -k3` on the warm_min column to rank
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.registry.map(_.name)
+    names.foreach { name =>
       val q = byName.getOrElse(name, sys.error(s"unknown query: $name"))
       def once(): Double = {
         val t0 = System.nanoTime()
