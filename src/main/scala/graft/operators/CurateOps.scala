@@ -19,6 +19,76 @@ object CurateOps {
   val all: Seq[GQuery] = Seq(
 
     GQuery(
+      "dedup_url_canonical",
+      (s, dir) => {
+        // URL-CANONICALIZATION dedup — the web-corpus curation step that
+        // collapses crawl variants of one logical page: lowercase the
+        // host, strip trailing path slashes, drop the fragment, remove
+        // tracking parameters (utm_*/fbclid/gclid), and SORT the
+        // surviving query params; then first-crawled-wins per canonical
+        // URL. Crawl noise is constructed deterministically from part
+        // attributes (host case, param order, tracking params, fragment
+        // all vary by p_partkey residues; the logical page id is
+        // p_partkey % 100), so every noisy variant must collapse — the
+        // oracle re-derives host/path/query with regexes, making this a
+        // genuine differential on the canonicalizer, not string
+        // round-tripping. Per-row projection + one hash aggregate: the
+        // 100 TB plan is the scan plus the groupBy the semantics
+        // require.
+        val pk = col("p_partkey")
+        val url = concat(
+          lit("https://"),
+          when(pk % 3 === 0, lit("Shop.Example.COM"))
+            .otherwise(lit("shop.example.com")),
+          lit("/catalog/item"),
+          when(pk % 6 === 0, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(pk % 2 === 0,
+            concat(lit("id="), (pk % 100).cast("string"),
+              lit("&lang=en&utm_source=feed"), (pk % 7).cast("string")))
+            .otherwise(concat(lit("lang=en&id="), (pk % 100).cast("string"),
+              when(pk % 5 === 0,
+                concat(lit("&fbclid=x"), (pk % 11).cast("string")))
+                .otherwise(lit("")))),
+          when(pk % 4 === 0, concat(lit("#sec"), col("p_size").cast("string")))
+            .otherwise(lit("")))
+        Tables.t(s, dir, "part")
+          .select(pk, url.as("url"))
+          .select(pk,
+            concat(lit("https://"),
+              lower(expr("parse_url(url, 'HOST')")),
+              regexp_replace(expr("parse_url(url, 'PATH')"), "/+$", ""),
+              lit("?"),
+              array_join(array_sort(filter(
+                split(expr("parse_url(url, 'QUERY')"), "&"),
+                p => !p.rlike("^(utm_[^=]*|fbclid|gclid)="))), "&")).as("canon_url"))
+          .groupBy("canon_url")
+          .agg(min(pk).as("keeper"), count(lit(1)).as("n_variants"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (SELECT p_partkey,
+             |    'https://' ||
+             |    CASE WHEN p_partkey % 3 = 0 THEN 'Shop.Example.COM' ELSE 'shop.example.com' END ||
+             |    '/catalog/item' || CASE WHEN p_partkey % 6 = 0 THEN '/' ELSE '' END ||
+             |    '?' ||
+             |    CASE WHEN p_partkey % 2 = 0
+             |         THEN 'id=' || (p_partkey % 100) || '&lang=en&utm_source=feed' || (p_partkey % 7)
+             |         ELSE 'lang=en&id=' || (p_partkey % 100) ||
+             |              CASE WHEN p_partkey % 5 = 0 THEN '&fbclid=x' || (p_partkey % 11) ELSE '' END
+             |    END ||
+             |    CASE WHEN p_partkey % 4 = 0 THEN '#sec' || p_size ELSE '' END AS url
+             |  FROM part),
+             | c AS (SELECT p_partkey,
+             |          'https://' || lower(regexp_extract(url, '^https://([^/?#]+)', 1)) ||
+             |          regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1), '/+$', '') ||
+             |          '?' || array_to_string(list_sort(list_filter(
+             |                   string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |                   p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS canon_url
+             |       FROM u)
+             |SELECT canon_url, min(p_partkey) AS keeper, count(*) AS n_variants
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "text_prefix_dedup",
       (s, dir) => {
         // PREFIX dedup (RefinedWeb-style): documents that share their
