@@ -43,6 +43,35 @@ object CorpusOps {
         col("n_tokens_q").cast("long").as("n_tokens_q"))
       .orderBy("p")
 
+  /** Count-Min-Sketch bigram frequency estimates (term, est_cnt): the
+    * sketch IS a DataFrame — d×w counter cells built by one hash
+    * aggregate over (row, bucket) keys, probed by min-over-rows. The
+    * sketch stays 4×256 cells regardless of corpus size: this is the
+    * production path when the vocabulary itself doesn't fit. Estimates
+    * are one-sided (est >= true count, by construction). Spark's
+    * built-in count_min_sketch agg packs the same structure into an
+    * opaque binary; the relational form keeps it mergeable/probe-able
+    * with plain joins. `terms_cms_topk` registers the agreement
+    * harness; CorpusOpsSpec gates the overcount bound.
+    */
+  def cmsBigramEstimates(d: DataFrame): DataFrame = {
+    val dRows = 4
+    val w = 256
+    def cells(term: org.apache.spark.sql.Column) =
+      explode(array((0 until dRows).map(i => struct(lit(i).as("r"),
+        pmod(xxhash64(term, lit(i)), lit(w)).as("b"))): _*)).as("rb")
+    val toks = d
+      .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+    val sketch = toks.select(cells(col("term")))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = toks.distinct()
+      .select(col("term"), cells(col("term")))
+      .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(sketch, Seq("r", "b"))
+      .groupBy("term").agg(min("c").as("est_cnt"))
+  }
+
   /** Exact-substring span removal over `d` (doc_id, text): tokens
     * covered by any word-`n`-gram occurring in >= 2 distinct docs are
     * deleted; returns (doc_id, n_kept, clean_text) for EVERY input doc
@@ -630,35 +659,34 @@ object CorpusOps {
     GQuery(
       "terms_cms_topk",
       (s, dir) => {
-        // Count-Min-Sketch heavy hitters: the sketch IS a DataFrame —
-        // d×w counter cells built by one hash aggregate over (row,
-        // bucket) keys, probed by min-over-rows. The sketch stays 4×256
-        // cells regardless of corpus size (vs terms_heavy_hitters whose
-        // exchange is bounded by |vocab|): this is the path when the
-        // vocabulary itself doesn't fit — estimates are one-sided
-        // (est >= true, spec-gated). Engine-specific hash → rows-only
-        // driver check. (Spark's built-in count_min_sketch agg packs the
-        // same structure into an opaque binary; the relational form keeps
-        // it mergeable/probe-able with plain joins.)
-        val d = 4
-        val w = 256
-        def cells(term: org.apache.spark.sql.Column) =
-          explode(array((0 until d).map(i => struct(lit(i).as("r"),
-            pmod(xxhash64(term, lit(i)), lit(w)).as("b"))): _*)).as("rb")
-        val toks = docs(s, dir)
+        // Count-Min-Sketch heavy hitters, registered as the AGREEMENT
+        // query: the CMS estimates ([[cmsBigramEstimates]] — the
+        // sketch is engine-specific xxhash64) join the exact top-25
+        // bigram counts, and the driver hash-verifies the exact counts
+        // plus the CMS one-sidedness invariant est >= exact (a HARD
+        // guarantee of the structure — any undercount is a bug, and
+        // the oracle expects the flag true on every row).
+        // CorpusOpsSpec additionally gates the mean overcount against
+        // the N/w collision-mass bound. Production probes
+        // cmsBigramEstimates alone: the sketch stays 4×256 cells
+        // regardless of corpus size, the path when |vocab| itself
+        // doesn't fit (vs terms_heavy_hitters' vocab-bounded exchange).
+        val exact = docs(s, dir)
           .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
-        val sketch = toks.select(cells(col("term")))
-          .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-          .agg(count(lit(1)).as("c"))
-        val probes = toks.distinct()
-          .select(col("term"), cells(col("term")))
-          .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
-        probes.join(sketch, Seq("r", "b"))
-          .groupBy("term").agg(min("c").as("est_cnt"))
-          .orderBy(desc("est_cnt"), asc("term"))
+          .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(desc("exact_cnt"), asc("term"))
           .limit(25)
+        exact.join(cmsBigramEstimates(docs(s, dir)), Seq("term"))
+          .select(col("term"), col("exact_cnt"),
+            (col("est_cnt") >= col("exact_cnt")).as("est_ge_exact"))
+          .orderBy(desc("exact_cnt"), asc("term"))
       },
-      None),
+      Some("""WITH t AS (SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS term
+             |           FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |                 FROM documents))
+             |SELECT term, count(*) AS exact_cnt, true AS est_ge_exact
+             |FROM t GROUP BY term
+             |ORDER BY exact_cnt DESC, term ASC LIMIT 25""".stripMargin)),
 
     GQuery(
       "docs_token_quantiles",

@@ -418,16 +418,48 @@ object DedupOps {
         // The PRODUCTION MinHash+LSH path (xxhash64 signatures over the
         // WordGramHashes kernel — no gram strings, no md5): the variant
         // a 100 TB corpus actually runs, ~10× faster than the portable
-        // md5 form registered as dedup_minhash_lsh (which exists to be
-        // bit-reproducible in the DuckDB oracle). Rows-only for the
-        // driver (xxhash64 has no DuckDB twin); correctness is gated by
-        // DedupScaleSpec's planted-near-dup recall bound and the exact-
-        // Jaccard verify stage built into the pipeline itself.
-        minhashLshPairsFast(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.1)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        // md5 form registered as dedup_minhash_lsh. xxhash64 has no
+        // DuckDB twin, so the registered form is the AGREEMENT query:
+        // the fast pairs full-outer-join their portable siblings and
+        // the driver hash-verifies that both hash families surface the
+        // same exact-Jaccard-confirmed pair set (oracle = the portable
+        // pair list expecting in_fast AND in_portable everywhere; any
+        // one-sided pair changes the row set and fails the gate).
+        // DedupScaleSpec additionally gates planted-near-dup recall on
+        // a 40× synthesized corpus. Production calls
+        // minhashLshPairsFast alone.
+        val fast = minhashLshPairsFast(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.1)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("j_f"))
+        val portable = minhashLshPairs(docs(s, dir), n = 3, k = 32, bands = 8, minJ = 0.1)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("j_p"))
+        fast.join(portable, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("j_p"), col("j_f")).as("jaccard"),
+            col("j_f").isNotNull.as("in_fast"),
+            col("j_p").isNotNull.as("in_portable"))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                       for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |${minhashSigCtes(32)},
+             |  banded AS (SELECT doc_id, sg,
+             |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
+             |                            for b in range(0, 8)]) AS bk
+             |             FROM sig),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.sg AS sa, b.sg AS sb
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |       round(len(list_intersect(sa, sb)) * 1.0 /
+             |             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard,
+             |       true AS in_fast, true AS in_portable
+             |FROM cand
+             |WHERE len(list_intersect(sa, sb)) * 1.0 /
+             |      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.1
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(
       "dedup_minhash_lsh",

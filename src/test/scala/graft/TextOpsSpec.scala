@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixture contracts the byte-windowing text kernels depend on.
+  *
+  * Md5GramHashes and RollingHashGrams window over UTF-8 BYTES while
+  * their DuckDB oracles substring by CODEPOINT — the two agree only for
+  * ASCII text. This suite pins that assumption to the fixtures so a
+  * future non-ASCII documents table fails HERE with a clear message
+  * instead of hash-diverging in the driver's oracle compare
+  * (ADVICE r5: "add a cheap ASCII assertion on the documents fixture").
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("documents fixture is pure ASCII (byte-window kernels == codepoint oracles)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val nonAscii = docs
+      .where(octet_length(col("text")) =!= length(col("text")) ||
+        octet_length(col("source")) =!= length(col("source")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text: Md5GramHashes/" +
+        "RollingHashGrams window over UTF-8 bytes but their DuckDB " +
+        "oracles substring by codepoint — gram hashes would silently " +
+        "diverge. Either keep fixtures ASCII or switch the kernels to " +
+        "codepoint iteration.")
+  }
+
+  test("rolling-hash oracle constants replay the kernel's Long-wrap powers") {
+    // The inlined B-power constants in rollingHashOracle must equal the
+    // kernel's bPow chain (same Long overflow semantics); drift here
+    // would silently desynchronize the oracle from the Expression.
+    val sql = graft.operators.TextOps.rollingHashOracle(k = 8, win = 4)
+    val B = 1000003L
+    val expected = (0 until 8).map(j =>
+      java.lang.Long.toUnsignedString(
+        (0 until (7 - j)).foldLeft(1L)((acc, _) => acc * B)))
+    expected.foreach(c => assert(sql.contains(s"$c::HUGEINT"),
+      s"oracle SQL missing B-power constant $c"))
+    assert(sql.contains("% 18446744073709551616::HUGEINT"))
+  }
+}
