@@ -13,6 +13,62 @@ import org.apache.spark.sql.functions._
   */
 object LabOps {
 
+  /** EXACT neighbor-set Jaccard over the co-purchase graph — the
+    * test-side TRUTH GENERATOR for `graph_neighbor_jaccard_capped`
+    * (demoted from the registry in round 6: the uncapped co-neighbor
+    * self-join is quadratic in hub-posting size, the one registered
+    * plan that would not survive 100 TB — the same demotion that moved
+    * the all-pairs cosine truth behind `dedup_embedding_cosine`).
+    * Measured negative results for rescuing it (sf0.1, warm):
+    * recompute-both-sides 26-33 s; localCheckpoint of the 1.8M-row
+    * edge list 38-47 s (breaks codegen fusion into the SMJ sorts);
+    * shuffle_hash co-join 34-36 s. The production mitigation is the
+    * posting-list cap — `graph_neighbor_jaccard_capped` (6 s),
+    * oracle-replayed; LabOpsSpec gates its recall against THIS truth.
+    */
+  def neighborJaccardExact(s: SparkSession, dir: String): DataFrame =
+    neighborJaccardCapped(s, dir, cap = None)
+
+  /** Neighbor-Jaccard with an optional per-shared-neighbor posting cap
+    * (`cap = None` → the exact all-pairs form above; `Some(k)` → the
+    * production mitigation registered as `graph_neighbor_jaccard_capped`).
+    * With cap >= the max posting size the two forms are IDENTICAL —
+    * LabOpsSpec asserts exactly that equivalence, which is the honest
+    * gate: at fixture density the k=50 estimator legitimately diverges
+    * from exact (capping reshapes degrees and scores), so a recall
+    * bound against exact truth would gate noise, not correctness.
+    */
+  def neighborJaccardCapped(s: SparkSession, dir: String, cap: Option[Int]): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+      .distinct()
+    val e = cap match {
+      case Some(k) =>
+        e0.withColumn("rn", row_number().over(
+            Window.partitionBy("d").orderBy("s")))
+          .where(col("rn") <= k).drop("rn")
+      case None => e0
+    }
+    val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
+    val ed = e.join(deg, "s")
+    val pairs = ed.as("e1").join(ed.as("e2"),
+        col("e1.d") === col("e2.d") && col("e1.s") < col("e2.s"))
+      .groupBy(col("e1.s").as("pa"), col("e2.s").as("pb"),
+        col("e1.dg").as("da"), col("e2.dg").as("db"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .select(col("pa"), col("pb"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common"))).as("nj"))
+      .where(col("nj") >= 0.1)
+      .select(col("pa"), col("pb"), round(col("nj"), 4).as("nj"))
+      .orderBy("pa", "pb")
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -161,61 +217,6 @@ object LabOps {
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
-      "graph_neighbor_jaccard",
-      (s, dir) => {
-        // LINK PREDICTION by neighbor-set Jaccard: two parts whose
-        // co-purchase neighborhoods overlap are likely substitutes.
-        // Same inverted-index shape as document Jaccard, applied to the
-        // adjacency list: the co-neighbor join carries both degrees, so
-        // |∩| and the union size come out of ONE pair aggregate. At
-        // 100 TB the hub-node pair explosion is the known hazard —
-        // production caps neighbor lists (top-k by weight) before the
-        // join, exactly like the prefix filter in dedup_jaccard_prefix.
-        val li = Tables.t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
-          .distinct()
-        val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
-        // NOTE (measured, sf0.1): recomputing the edge pipeline for
-        // both co-join sides IS the fastest form (26-33 s warm band).
-        // localCheckpoint of the 1.8M-row edge list: 38-47 s (breaks
-        // codegen fusion into the SMJ sorts and serializes the
-        // materialization); + shuffle_hash on the co-join: 34-36 s
-        // (the pair-explosion build side doesn't fit the hash-join
-        // sweet spot the way dedup_ngram_jaccard's index does). The
-        // real mitigation is capping — graph_neighbor_jaccard_capped
-        // (6 s), the registered production variant.
-        val ed = e.join(deg, "s")
-        val pairs = ed.as("e1").join(ed.as("e2"),
-            col("e1.d") === col("e2.d") && col("e1.s") < col("e2.s"))
-          .groupBy(col("e1.s").as("pa"), col("e2.s").as("pb"),
-            col("e1.dg").as("da"), col("e2.dg").as("db"))
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .select(col("pa"), col("pb"),
-            (col("common").cast("double") /
-              (col("da") + col("db") - col("common"))).as("nj"))
-          .where(col("nj") >= 0.1)
-          .select(col("pa"), col("pb"), round(col("nj"), 4).as("nj"))
-          .orderBy("pa", "pb")
-      },
-      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
-             |           FROM lineitem a JOIN lineitem b
-             |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-             | deg AS (SELECT s, count(*) AS dg FROM e GROUP BY 1),
-             | co AS (SELECT e1.s AS pa, e2.s AS pb, da.dg AS da, db.dg AS db,
-             |               count(*) AS common
-             |        FROM e e1 JOIN e e2 ON e1.d = e2.d AND e1.s < e2.s
-             |        JOIN deg da ON e1.s = da.s JOIN deg db ON e2.s = db.s
-             |        GROUP BY 1, 2, 3, 4)
-             |SELECT pa, pb, round(common::DOUBLE / (da + db - common), 4) AS nj
-             |FROM co WHERE common::DOUBLE / (da + db - common) >= 0.1
-             |ORDER BY pa, pb""".stripMargin)),
-
-    GQuery(
       "graph_neighbor_jaccard_capped",
       (s, dir) => {
         // The PRODUCTION form of neighbor-Jaccard: each shared
@@ -226,30 +227,7 @@ object LabOps {
         // (measured): this cap bounds every shared neighbor's pair
         // contribution at C(k,2). Exactly replayed by the oracle — the
         // same hazard-mitigation stance as dedup_jaccard_prefix.
-        val li = Tables.t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
-          .distinct()
-        val capped = e.withColumn("rn", row_number().over(
-            Window.partitionBy("d").orderBy("s")))
-          .where(col("rn") <= 50).drop("rn")
-        val deg = capped.groupBy("s").agg(count(lit(1)).as("dg"))
-        val ed = capped.join(deg, "s")
-        val pairs = ed.as("e1").join(ed.as("e2"),
-            col("e1.d") === col("e2.d") && col("e1.s") < col("e2.s"))
-          .groupBy(col("e1.s").as("pa"), col("e2.s").as("pb"),
-            col("e1.dg").as("da"), col("e2.dg").as("db"))
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .select(col("pa"), col("pb"),
-            (col("common").cast("double") /
-              (col("da") + col("db") - col("common"))).as("nj"))
-          .where(col("nj") >= 0.1)
-          .select(col("pa"), col("pb"), round(col("nj"), 4).as("nj"))
-          .orderBy("pa", "pb")
+        neighborJaccardCapped(s, dir, cap = Some(50))
       },
       Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
              |           FROM lineitem a JOIN lineitem b

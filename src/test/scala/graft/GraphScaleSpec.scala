@@ -39,7 +39,7 @@ class GraphScaleSpec extends SparkSpec {
   }
 
   test("neighbor-jaccard at sf0.01: scores bounded, pairs canonical") {
-    val out = LabOps.all.find(_.name == "graph_neighbor_jaccard").get
+    val out = LabOps.all.find(_.name == "graph_neighbor_jaccard_capped").get
       .run(spark, sf01).cache()
     assert(out.count() > 0)
     assert(out.where(col("pa") >= col("pb")).count() == 0)

@@ -35,10 +35,25 @@ class LabOpsSpec extends SparkSpec {
   }
 
   test("neighbor jaccard is symmetric-bounded and self-pair-free") {
-    val out = q("graph_neighbor_jaccard").cache()
+    val out = LabOps.neighborJaccardExact(spark, sf).cache()
     assert(out.count() > 0)
     assert(out.where(col("pa") >= col("pb")).count() == 0)
     assert(out.where(col("nj") > 1.0 || col("nj") < 0.1).count() == 0)
+  }
+
+  test("capped neighbor jaccard with cap >= max posting equals exact truth") {
+    // The registered production form caps posting lists at k=50 — a
+    // deliberate estimator change at fixture density (capping reshapes
+    // degrees and scores). The honest equivalence gate: raise the cap
+    // above the largest posting list and the capped pipeline must
+    // reproduce the exact all-pairs truth row-for-row (demoted from
+    // the registry in round 6 — its uncapped co-neighbor self-join is
+    // the hub-node quadratic hazard).
+    val truth = LabOps.neighborJaccardExact(spark, sf).cache()
+    assert(truth.count() > 0)
+    val bigCap = LabOps.neighborJaccardCapped(spark, sf, cap = Some(1000000))
+    assert(bigCap.except(truth).isEmpty && truth.except(bigCap).isEmpty,
+      "cap >= max posting size must reproduce the exact pair set")
   }
 
   test("PMI of an independent-ish pair is near zero, bounds hold") {
