@@ -20,10 +20,6 @@ object Extras {
   /** Typed row for the Dataset[T]-surface query. */
   case class TypedEvent(user_id: Long, event_type: String, value: Double)
 
-  /** One event entering the stream-stream attribution join. */
-  case class AttrEvent(ts: java.sql.Timestamp, user_id: Long,
-      event_type: String, value: Double)
-
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -435,29 +431,34 @@ object Extras {
     GQuery(
       "streaming_sessionize",
       (s, dir) => {
-        // Differential check of CUSTOM STATEFUL sessionization: replay
-        // the events table in event-time order through 4 micro-batches
-        // of the flatMapGroupsWithState sessionizer, force the tail
-        // sessions closed by advancing the watermark with a sentinel
-        // user, and compare against the SAME gaps-and-islands oracle as
-        // the batch time_session query — incremental and batch must
-        // agree exactly.
+        // Differential check of CUSTOM STATEFUL sessionization: stream
+        // the events table through the flatMapGroupsWithState
+        // sessionizer from the FILE SOURCE (executors read the parquet;
+        // the bulk rows never transit the driver — round 6, replacing
+        // the collect()+MemoryStream replay), force the tail sessions
+        // closed by advancing the watermark with sentinel rows from a
+        // tiny unioned MemoryStream (union of streaming sources), and
+        // compare against the SAME gaps-and-islands oracle as the batch
+        // time_session query — incremental and batch must agree
+        // exactly. The sessionizer sorts within each invocation, so
+        // file-order delivery needs no driver-side pre-sort; batch-cut
+        // invariance itself is proven in StreamingSpec's scrambled
+        // multi-batch replays.
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs = Tables.t(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("value"))
-          .as[StreamingIngest.SessEvent].collect().sortBy(_.ts.getTime)
-        val maxTs = evs.last.ts.getTime
+        // one scalar aggregate for the sentinel clock — not a bulk collect
+        val maxTs = Tables.t(s, dir, "events")
+          .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
+        val bulk = Sources.eventsStream(s, dir)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
         val ms = MemoryStream[StreamingIngest.SessEvent]
+        val src = bulk.union(ms.toDF()).as[StreamingIngest.SessEvent]
         s.catalog.dropTempView("sessionize_sink")
-        val q = StreamingIngest.sessionize(ms.toDS(), gapMs = 30L * 60 * 1000)
+        val q = StreamingIngest.sessionize(src, gapMs = 30L * 60 * 1000)
           .writeStream.format("memory").queryName("sessionize_sink")
           .outputMode("append").start()
         try {
-          evs.grouped(evs.length / 4 + 1).foreach { chunk =>
-            ms.addData(chunk.toIndexedSeq)
-            q.processAllAvailable()
-          }
+          q.processAllAvailable() // the file-source bulk batch
           // sentinel batches: first advances the watermark past every
           // live timeout, second lets the timeouts fire
           (1 to 2).foreach { i =>
@@ -491,32 +492,30 @@ object Extras {
     GQuery(
       "streaming_windowed_counts",
       (s, dir) => {
-        // Differential check of STREAMING EVENT-TIME WINDOWS: replay the
-        // events table in event-time order through 4 micro-batches of
-        // the watermarked tumbling-window aggregate (append mode emits a
-        // window only when the watermark closes it), force the tail
-        // windows closed with watermark-advancing sentinel rows, and
-        // compare against the SAME date_trunc oracle as the batch
-        // time_tumbling query — incremental emission must reconstruct
-        // the batch answer exactly.
+        // Differential check of STREAMING EVENT-TIME WINDOWS: stream the
+        // events table through the watermarked tumbling-window aggregate
+        // from the FILE SOURCE (append mode emits a window only when the
+        // watermark closes it; bulk rows never transit the driver —
+        // round 6, replacing the collect()+MemoryStream replay), force
+        // the tail windows closed with watermark-advancing sentinel rows
+        // from a tiny unioned MemoryStream, and compare against the SAME
+        // date_trunc oracle as the batch time_tumbling query —
+        // incremental emission must reconstruct the batch answer exactly.
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs = Tables.t(s, dir, "events")
-          .select(col("ts"), col("event_type"), col("value"))
-          .as[(java.sql.Timestamp, String, Double)].collect().sortBy(_._1.getTime)
-        val maxTs = evs.last._1.getTime
+        val maxTs = Tables.t(s, dir, "events")
+          .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
+        val bulk = Sources.eventsStream(s, dir)
+          .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
         val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+        val src = bulk.union(ms.toDF().toDF("ts", "event_type", "value"))
         s.catalog.dropTempView("swc_sink")
-        val q = StreamingIngest.windowedCounts(
-            ms.toDF().toDF("ts", "event_type", "value"),
+        val q = StreamingIngest.windowedCounts(src,
             eventTimeCol = "ts", delay = "10 minutes", window0 = "1 hour")
           .writeStream.format("memory").queryName("swc_sink")
           .outputMode("append").start()
         try {
-          evs.grouped(evs.length / 4 + 1).foreach { chunk =>
-            ms.addData(chunk.toIndexedSeq)
-            q.processAllAvailable()
-          }
+          q.processAllAvailable() // the file-source bulk batch
           (1 to 2).foreach { i =>
             ms.addData((new java.sql.Timestamp(maxTs + i * 7200000L), "___wm", 0.0))
             q.processAllAvailable()
@@ -603,26 +602,23 @@ object Extras {
     GQuery(
       "streaming_stream_join",
       (s, dir) => {
-        // Differential check of STREAM-STREAM JOIN: replay views and
-        // purchases as two watermarked streams in 4 event-time-ordered
-        // rounds (BOTH streams cut at the same global time boundaries, so
-        // neither side's state is ever evicted before its match window
-        // closes), inner-join purchases to same-user views within 1 hour,
-        // then reduce the append log per user — must equal the batch
-        // range-join oracle exactly: incremental and batch agree.
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val evs = Tables.t(s, dir, "events")
-          .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-          .as[AttrEvent].collect().sortBy(_.ts.getTime)
-        val bounds = Seq(1, 2, 3).map(q => evs(evs.length * q / 4).ts.getTime) :+ Long.MaxValue
-        val views = evs.filter(_.event_type == "view")
-        val buys = evs.filter(_.event_type == "purchase")
-        val msV = MemoryStream[AttrEvent]
-        val msB = MemoryStream[AttrEvent]
-        val v = msV.toDS().select(col("ts").as("vts"), col("user_id"))
+        // Differential check of STREAM-STREAM JOIN: views and purchases
+        // are two independent watermarked FILE-SOURCE streams over the
+        // same events parquet (round 6 — executors read both sides;
+        // nothing transits the driver). Inner-join purchases to
+        // same-user views within 1 hour, then reduce the append log per
+        // user — must equal the batch range-join oracle exactly. Inner
+        // stream-stream joins emit matches as they form (the watermark
+        // only governs state eviction), so no sentinel rows are needed;
+        // eviction-safety under staggered batch cuts is covered by
+        // StreamingSpec's multi-batch stream-stream join tests.
+        val v = Sources.eventsStream(s, dir)
+          .where(col("event_type") === "view")
+          .select(col("ts").cast("timestamp").as("vts"), col("user_id"))
           .withWatermark("vts", "1 hour")
-        val b = msB.toDS().select(col("ts").as("bts"),
+        val b = Sources.eventsStream(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("ts").cast("timestamp").as("bts"),
             col("user_id").as("buser"), col("value"))
           .withWatermark("bts", "1 hour")
         val joined = v.join(b,
@@ -632,15 +628,7 @@ object Extras {
         s.catalog.dropTempView("ssj_sink")
         val q = joined.writeStream.format("memory").queryName("ssj_sink")
           .outputMode("append").start()
-        try {
-          var lo = Long.MinValue
-          bounds.foreach { hi =>
-            msV.addData(views.filter(e => e.ts.getTime > lo && e.ts.getTime <= hi).toIndexedSeq)
-            msB.addData(buys.filter(e => e.ts.getTime > lo && e.ts.getTime <= hi).toIndexedSeq)
-            q.processAllAvailable()
-            lo = hi
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         s.table("ssj_sink")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_attr"), round(sum("value"), 2).as("sv"))

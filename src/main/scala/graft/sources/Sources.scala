@@ -73,6 +73,16 @@ object Sources {
     * MemoryStream replay caps out at driver memory; a file stream scales
     * with the executor count). Schema comes from one batch footer read —
     * file streams require an explicit schema.
+    *
+    * SENTINEL-UNION PATTERN (round 6 — no registered query collects a
+    * source table anymore): differentials that must force watermark
+    * advancement (append-mode windows, event-time timeouts) union this
+    * bulk file stream with a TINY driver-side MemoryStream that carries
+    * only the watermark-advancing sentinel rows — Spark supports
+    * unioning streaming sources, each keeping its own offsets. The bulk
+    * data rides the file source through the executors; the driver
+    * contributes exactly the 1-2 sentinel rows the closing protocol
+    * needs (see `streaming_sessionize` / `streaming_windowed_counts`).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
