@@ -27,20 +27,28 @@ object Tables {
     * sessions with different confs never share plans.
     */
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   /** Load one table. For `events`, adds `ts_ns: Long` and rewrites `ts`
     * as TIMESTAMP_NTZ truncated to microseconds.
     *
-    * Sessions key the outer map WEAKLY: a closed/discarded session (and
-    * every DataFrame built on it) becomes collectable instead of pinned
-    * forever in a long-lived multi-session process. Call [[invalidate]]
-    * after rewriting the underlying parquet — cached plans hold the file
-    * listing from load time.
+    * Eviction is EXPLICIT, not GC-driven: a cached DataFrame strongly
+    * references its SparkSession (Dataset → QueryExecution → session),
+    * so weak keying could never collect an entry (a WeakHashMap whose
+    * value references its key pins it forever). Instead each access
+    * drops every session whose SparkContext has stopped — the test
+    * suites stop their context per suite, so stale sessions and their
+    * plans become collectable at the next table load. Call
+    * [[invalidate]] after rewriting the underlying parquet — cached
+    * plans hold the file listing from load time.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val per = cache.synchronized {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
       var m = cache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()

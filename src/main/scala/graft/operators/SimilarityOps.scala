@@ -193,9 +193,10 @@ object SimilarityOps {
   /** DuckDB oracle for [[annTopKPortable]]: same sign literals, same
     * directed candidates, same rerank and tiebreak.
     */
-  private def srpAnnOracle(planes: Int, tables: Int, k: Int): String = {
+  private def srpAnnOracle(planes: Int, tables: Int, k: Int,
+      dims: Int): String = {
     val vals = (0 until planes * tables).map { p =>
-      s"($p, [${srpSigns(p, 64).mkString(", ")}]::DOUBLE[])"
+      s"($p, [${srpSigns(p, dims).mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
        | s AS (SELECT * FROM (VALUES $vals) v(p, sv)),
@@ -236,9 +237,9 @@ object SimilarityOps {
     * bucketing with the SAME inlined sign literals, then exact-reranks.
     */
   private def srpPairsOracle(planes: Int, tables: Int, thresh: String,
-      aName: String, bName: String): String = {
+      aName: String, bName: String, dims: Int): String = {
     val vals = (0 until planes * tables).map { p =>
-      s"($p, [${srpSigns(p, 64).mkString(", ")}]::DOUBLE[])"
+      s"($p, [${srpSigns(p, dims).mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
        | s AS (SELECT * FROM (VALUES $vals) v(p, sv)),
@@ -743,7 +744,7 @@ object SimilarityOps {
           .orderBy("vec_a", "vec_b")
       },
       Some(srpPairsOracle(planes = 3, tables = 16, thresh = "0.4",
-        aName = "vec_a", bName = "vec_b"))),
+        aName = "vec_a", bName = "vec_b", dims = 64))),
 
     GQuery(
       "sim_ann_lsh",
@@ -757,7 +758,7 @@ object SimilarityOps {
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
-      Some(srpAnnOracle(planes = 3, tables = 16, k = 5))),
+      Some(srpAnnOracle(planes = 3, tables = 16, k = 5, dims = 64))),
 
     GQuery(
       "sim_ann_ivf",
@@ -860,7 +861,7 @@ object SimilarityOps {
           .orderBy("keeper", "dup")
       },
       Some(srpPairsOracle(planes = 3, tables = 16, thresh = "0.45",
-        aName = "keeper", bName = "dup"))),
+        aName = "keeper", bName = "dup", dims = 64))),
 
     GQuery(
       "dedup_semantic",

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Ingest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming form of the reference job (SURVEY.md §7 step 3,
   * BASELINE.json north star: "Structured Streaming Kafka source + HDFS
@@ -145,6 +145,78 @@ object StreamingIngest {
           state.update(BucketState(ids, sigs))
           out.result().iterator
       }
+  }
+
+  /** One stored member of a near-dup band bucket (flat encoder — the
+    * element type of the TTL-able ListState below).
+    */
+  case class BucketMember(doc_id: Long, mh: Seq[Long])
+
+  /** [[nearDupHits]] as a Spark 4 [[StatefulProcessor]] with per-member
+    * state TTL — the bounded-retention form SCALE.md promises for
+    * 100 TB: each bucket member ages out `ttl` after it was written, so
+    * an idle bucket's state drains to zero instead of growing with
+    * corpus lifetime. Matching semantics are IDENTICAL to the fMGWS
+    * form (same sorted scan, same smallest-qualifying-id flag) when no
+    * member has expired; with a TTL, a doc whose only near-partner
+    * aged out is NOT flagged — that is the dedup-horizon contract
+    * (`NearDupTtlSpec` proves both properties).
+    */
+  class NearDupProcessor(minAgree: Double, ttl: TTLConfig)
+      extends StatefulProcessor[String, BandedDoc, DupHit] {
+    @transient private var members: ListState[BucketMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BucketMember](
+        "members", org.apache.spark.sql.Encoders.product[BucketMember], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+        tv: TimerValues): Iterator[DupHit] = {
+      var ids = Vector.empty[Long]
+      var sigs = Vector.empty[Seq[Long]]
+      members.get().foreach { m => ids = ids :+ m.doc_id; sigs = sigs :+ m.mh }
+      val out = Vector.newBuilder[DupHit]
+      val fresh = Vector.newBuilder[BucketMember]
+      for (e <- rows.toSeq.sortBy(_.doc_id)) {
+        var bestId = -1L
+        var bestAgree = 0.0
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) < e.doc_id && (bestId < 0 || ids(i) < bestId)) {
+            val s = sigs(i)
+            var k = 0
+            var eq = 0
+            while (k < 32) { if (s(k) == e.mh(k)) eq += 1; k += 1 }
+            val a = eq / 32.0
+            if (a >= minAgree) { bestId = ids(i); bestAgree = a }
+          }
+          i += 1
+        }
+        if (bestId >= 0) out += DupHit(e.doc_id, bestId, bestAgree)
+        ids = ids :+ e.doc_id
+        sigs = sigs :+ e.mh
+        fresh += BucketMember(e.doc_id, e.mh)
+      }
+      // append-only state write: existing members keep their original
+      // TTL clock (a put() would refresh every member's expiry on each
+      // touched batch, silently unbounding the horizon for hot buckets)
+      members.appendList(fresh.result().toArray)
+      out.result().iterator
+    }
+  }
+
+  /** [[nearDupHits]] through `transformWithState`. `ttl = TTLConfig.NONE`
+    * reproduces the fMGWS form exactly; a finite TTL bounds state to the
+    * dedup horizon (members written more than `ttl` ago stop matching).
+    * TTL requires processing-time mode; without one the processor runs
+    * in TimeMode.None.
+    */
+  def nearDupHitsTws(ds: Dataset[BandedDoc], minAgree: Double,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[DupHit] = {
+    import ds.sparkSession.implicits._
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    ds.groupByKey(_.bk)
+      .transformWithState(new NearDupProcessor(minAgree, ttl), mode, OutputMode.Append)
   }
 
   /** Latest-wins as a Spark 4 [[StatefulProcessor]] — the

@@ -100,7 +100,11 @@ class AsOfCosineSpec extends SparkSpec {
   test("md5_gram_hashes: fused kernel == conv(substring(md5)) HOF form") {
     graft.functions.Md5GramHashes.register(spark)
     val rnd = new scala.util.Random(11)
-    val cases = Seq("", "short", "exactly8", "the quick brown fox jumps") ++
+    val cases = Seq("", "short", "exactly8", "the quick brown fox jumps",
+      // non-ASCII: kernel must window by CODEPOINT boundaries like the
+      // SQL substring (2-byte, 3-byte and 4-byte UTF-8 sequences)
+      "héllo wörld", "日本語のテキスト", "mixed ascii καί ελληνικά",
+      "emoji 🎉 in 🚀 the 🌊 middle") ++
       Seq.fill(5)(rnd.alphanumeric.take(20 + rnd.nextInt(60)).mkString)
     for (str <- cases; k <- Seq(1, 4, 8)) {
       val df = Seq(str).toDF("t")
@@ -111,7 +115,8 @@ class AsOfCosineSpec extends SparkSpec {
            |  i -> cast(conv(substring(md5(cast(substring(t, i, $k) as binary)), 1, 8),
            |                 16, 10) as bigint))""".stripMargin).as("g"))
         .as[Seq[Long]].head()
-      assert(got == want.filter(_ => str.length >= k), s"mismatch for str=$str k=$k")
+      val nCp = str.codePointCount(0, str.length)
+      assert(got == want.filter(_ => nCp >= k), s"mismatch for str=$str k=$k")
     }
   }
 

@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Fixture contracts the byte-windowing text kernels depend on.
   *
-  * Md5GramHashes and RollingHashGrams window over UTF-8 BYTES while
-  * their DuckDB oracles substring by CODEPOINT — the two agree only for
-  * ASCII text. This suite pins that assumption to the fixtures so a
-  * future non-ASCII documents table fails HERE with a clear message
-  * instead of hash-diverging in the driver's oracle compare
-  * (ADVICE r5: "add a cheap ASCII assertion on the documents fixture").
+  * RollingHashGrams windows over UTF-8 BYTES while its DuckDB oracle
+  * substrings by CODEPOINT — the two agree only for ASCII text
+  * (Md5GramHashes was switched to codepoint iteration in round 6 and
+  * no longer depends on this). This suite pins that assumption to the
+  * fixtures so a future non-ASCII documents table fails HERE with a
+  * clear message instead of hash-diverging in the driver's oracle
+  * compare (ADVICE r5: "add a cheap ASCII assertion on the fixture").
   */
 class TextOpsSpec extends SparkSpec {
 
@@ -20,11 +21,11 @@ class TextOpsSpec extends SparkSpec {
         octet_length(col("source")) =!= length(col("source")))
       .count()
     assert(nonAscii == 0,
-      s"$nonAscii documents contain non-ASCII text: Md5GramHashes/" +
-        "RollingHashGrams window over UTF-8 bytes but their DuckDB " +
-        "oracles substring by codepoint — gram hashes would silently " +
-        "diverge. Either keep fixtures ASCII or switch the kernels to " +
-        "codepoint iteration.")
+      s"$nonAscii documents contain non-ASCII text: RollingHashGrams " +
+        "windows over UTF-8 bytes but its DuckDB oracle substrings by " +
+        "codepoint — gram hashes would silently diverge. Either keep " +
+        "fixtures ASCII or switch the kernel to codepoint iteration " +
+        "(as Md5GramHashes does).")
   }
 
   test("rolling-hash oracle constants replay the kernel's Long-wrap powers") {
