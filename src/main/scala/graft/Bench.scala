@@ -32,15 +32,26 @@ object Bench {
     // Warm one-time SESSION costs so the first timed query doesn't pay
     // them (a fresh cluster pays these once at startup, not per query):
     // file listings + parquet footers for every table (Tables.t caches
-    // the relations), the events nanos-read path, and the engine's
+    // the relations), the events read path, and the engine's
     // codegen/JIT paths — window exec, broadcast + sort-merge join,
     // HOF lambdas, string kernels — on a 100-row synthetic frame. The
     // timed queries themselves are never planned or executed here.
-    Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema)
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().count()
-    Tables.t(spark, sfDir, "events").select("event_id").limit(1).count()
-    locally {
+    //
+    // Every warmup step is individually guarded: a warmup throw must
+    // NEVER kill the artifact (an unguarded events load here ate the
+    // entire r6 AND r7 bench output). Errors are reported in-band as
+    // "warmup_errors" so the JSON line always prints.
+    val warmupErrors = scala.collection.mutable.ListBuffer.empty[String]
+    def warm(step: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        warmupErrors += s"$step: ${e.toString.takeWhile(_ != '\n').take(200)}"
+      }
+    warm("table_footers")(Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema))
+    warm("scan_agg")(spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count())
+    warm("events_read")(
+      Tables.t(spark, sfDir, "events").select("event_id").limit(1).count())
+    warm("codegen_paths") {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -65,12 +76,15 @@ object Bench {
     // cold pass (includes per-query plan+codegen compile — the contract
     // number) and a warm pass (execution-dominated, reported alongside)
     val cold = headline.map(q => q.name -> timeOnce(q))
-    val warm = headline.map(q => q.name -> timeOnce(q))
+    val warm2 = headline.map(q => q.name -> timeOnce(q))
     def fmt(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
-    val totalWarm = warm.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
+    val totalWarm = warm2.map(_._2).sum
+    val werr = warmupErrors
+      .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warm2)},"warmup_errors":$werr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

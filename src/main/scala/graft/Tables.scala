@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
-  * All tables are plain parquet. One quirk: `events.ts` is written as
-  * parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]); we read it as a long (nanos since epoch) via
-  * `spark.sql.legacy.parquet.nanosAsLong` and expose both the raw `ts_ns`
-  * and a truncated-to-micros TIMESTAMP_NTZ `ts` (matching what DuckDB's
-  * `ts::TIMESTAMP` cast produces, so oracle comparison is exact).
+  * All tables are plain parquet. One quirk: `events.ts` has shipped in
+  * TWO encodings across testdata generations — parquet INT64
+  * TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as a
+  * raw long via `spark.sql.legacy.parquet.nanosAsLong`) and plain
+  * `timestamp[us]` (read as TIMESTAMP_NTZ). [[normalizeEvents]] branches
+  * on the type the reader actually resolved and exposes the SAME
+  * canonical shape either way: `ts` as TIMESTAMP_NTZ truncated to
+  * microseconds (matching DuckDB's `ts::TIMESTAMP`, so oracle comparison
+  * is exact) plus `ts_ns: Long` (nanos since epoch). Hard-coding either
+  * encoding is how round 6/7 lost the entire events surface — always
+  * branch on the footer schema, never assume.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -67,14 +72,42 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      // Harmless when ts is already timestamp-typed; required to read the
+      // INT64 TIMESTAMP(NANOS) generation of the testdata at all.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+      val df = normalizeEvents(spark.read.parquet(s"$dir/events.parquet"))
+      logged.computeIfAbsent((dir, name), _ => {
+        System.err.println(s"[tables] events ts resolved as " +
+          s"${df.schema("ts").dataType.simpleString}/ts_ns=" +
+          s"${df.schema("ts_ns").dataType.simpleString} from $dir")
+        java.lang.Boolean.TRUE
+      })
+      df
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  private val logged =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
+  /** Normalize EITHER events encoding to the canonical shape: `ts`
+    * TIMESTAMP_NTZ (micros precision) in its original column position,
+    * `ts_ns: Long` (nanos since epoch) appended. Session TZ is pinned
+    * UTC by Verify/Bench/specs, so the NTZ↔timestamp casts are lossless.
+    * The micros branch derives `ts_ns = unix_micros * 1000` — every
+    * direct `ts_ns` consumer uses `ts_ns div 1000` (micros), which both
+    * branches preserve bit-for-bit.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ, micros-encoded
+        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+          .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
 
   /** Register every table as a temp view so spark.sql queries (grouping
     * sets, SQL-surface parity) can run against the same data.

@@ -18,15 +18,42 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // COVERAGE GATE (round 8): a query that throws must still leave an
+    // artifact on disk — a 1-row parquet whose `__error` column names the
+    // failure — so the driver's compare reports an explicit FAIL row
+    // instead of silently dropping the query from the report. Round 7
+    // shipped "176/176 pass" while 69 broken queries had simply fallen
+    // out of the report; this makes that failure mode impossible.
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    ran.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        failed += name -> msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq((name, msg.take(500))).toDF("__query", "__error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-artifact write failed: $e2")
+        }
       }
     }
+    // Registry self-check: every query attempted must have produced an
+    // output directory. A mismatch here means a silent drop — fail loudly.
+    val dumped = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    val missing = ran.keySet.diff(dumped)
+    System.err.println(s"[verify] attempted=${ran.size} dumped=${dumped.size} " +
+      s"errored=${failed.size} missing=${missing.size}" +
+      (if (missing.nonEmpty) s" MISSING=${missing.toSeq.sorted.mkString(",")}" else ""))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] errored queries: " +
+        failed.map(_._1).sorted.mkString(","))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -67,7 +67,8 @@ object Sources {
 
   /** Streaming view of the `events` testdata table: a file-source
     * `readStream` over the SAME parquet the batch path reads, with the
-    * same nanos→micros `ts` derivation as [[graft.Tables.t]]. This is
+    * same schema-adaptive `ts`/`ts_ns` normalization as [[graft.Tables.t]]
+    * ([[graft.Tables.normalizeEvents]]). This is
     * how the streaming differential queries ingest without ever
     * materializing the source on the driver (a `.collect()` +
     * MemoryStream replay caps out at driver memory; a file stream scales
@@ -87,14 +88,13 @@ object Sources {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(raw)
-      // glob (not the bare file path): FileStreamSource derives the
-      // partition-inference basePath by stripping glob characters, and a
-      // literal file path would make basePath the file itself (rejected —
-      // "must be a directory")
-      .parquet(s"$dir/events*.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(raw)
+        // glob (not the bare file path): FileStreamSource derives the
+        // partition-inference basePath by stripping glob characters, and a
+        // literal file path would make basePath the file itself (rejected —
+        // "must be a directory")
+        .parquet(s"$dir/events*.parquet"))
   }
 
   /** File-source stream over the documents table (same glob rationale
