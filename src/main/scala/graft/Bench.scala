@@ -67,10 +67,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Per-query failures are caught AND surfaced in the JSON artifact
+    // (not just stderr) — a failed query otherwise reads as a ~0s time,
+    // i.e. a silent improvement.
+    val queryErrors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(q: GQuery): Double = {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
+      catch { case e: Throwable =>
+        queryErrors += q.name
+        System.err.println(s"[bench] ${q.name}: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // cold pass (includes per-query plan+codegen compile — the contract
@@ -81,10 +88,10 @@ object Bench {
       m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warm2.map(_._2).sum
-    val werr = warmupErrors
+    def strArr(xs: Iterable[String]) = xs
       .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warm2)},"warmup_errors":$werr,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warm2)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One schema line per table: when the driver regenerates testdata
+    // with a different encoding (it has — events.ts, twice), this log is
+    // the first diagnostic to read.
+    Tables.names.foreach { n =>
+      try System.err.println(s"[verify] schema $n: " +
+        Tables.t(spark, sfDir, n).schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(","))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] schema $n: UNREADABLE ${e.getMessage}")
+      }
+    }
     // COVERAGE GATE (round 8): a query that throws must still leave an
     // artifact on disk — a 1-row parquet whose `__error` column names the
     // failure — so the driver's compare reports an explicit FAIL row
