@@ -23,7 +23,11 @@ object LabOps {
     * recompute-both-sides 26-33 s; localCheckpoint of the 1.8M-row
     * edge list 38-47 s (breaks codegen fusion into the SMJ sorts);
     * shuffle_hash co-join 34-36 s. The production mitigation is the
-    * posting-list cap — `graph_neighbor_jaccard_capped` (6 s),
+    * posting-list cap — `graph_neighbor_jaccard_capped` (6-11 s warm,
+    * high single-JVM variance: the cap bounds the pair stage at
+    * ~cap²/2 rows per shared neighbor, tens of millions of generated
+    * pairs feeding one partial+final count, which is GC-heavy at
+    * local[32] but linear-in-data and shardable on a real cluster),
     * oracle-replayed; LabOpsSpec gates its recall against THIS truth.
     */
   def neighborJaccardExact(s: SparkSession, dir: String): DataFrame =
