@@ -86,9 +86,15 @@ object GraphOps {
         // Triangle census + global clustering coefficient over the
         // co-purchase graph. Edges are ORIENTED low-id → high-id, so the
         // two-hop join x→y→z closed by the check edge x→z counts each
-        // triangle exactly once (the compact-forward algorithm; at 100 TB
-        // the orientation key becomes (degree, id), which bounds every
-        // join fan-out by the max CORE number, not the max degree).
+        // triangle exactly once (the compact-forward algorithm).
+        // Measured negative (round 8, sf0.1 local[32]): re-orienting by
+        // (degree, id) — the textbook O(m^1.5) refinement that bounds
+        // wedge fan-out by forward degree — ran warm_min 10.7s vs 7.4s
+        // for this form. TPC-H part degrees are near-uniform (no hubs),
+        // so orientation saves nothing while the degree attach adds two
+        // joins and a checkpoint. On a skewed real-world graph the
+        // (degree, id) orientation IS the 100 TB form; with uniform
+        // degrees the id order already bounds fan-out at ~d/2.
         // Wedges (open two-paths) come from bidirected degrees:
         // Σ d·(d−1)/2; global CC = 3·triangles / wedges.
         val li = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
