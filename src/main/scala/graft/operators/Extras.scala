@@ -335,10 +335,12 @@ object Extras {
             col("event_id").as("version"))
           .as[KeyedRecord]
         s.catalog.dropTempView("latest_upsert_sink")
-        val q = StreamingIngest.latestWinsUpdates(src)
-          .writeStream.format("memory").queryName("latest_upsert_sink")
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.latestWinsUpdates(src)
+            .writeStream.format("memory").queryName("latest_upsert_sink")
+            .outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         Ingest.latestWins(s.table("latest_upsert_sink"),
             keys = Seq("id"), version = Seq("version"))
           .select(col("id"), col("msg"), col("version"))
@@ -369,10 +371,12 @@ object Extras {
               col("event_id").as("version"))
             .as[KeyedRecord]
           s.catalog.dropTempView("tws_upsert_sink")
-          val q = StreamingIngest.latestWinsUpdatesTws(src)
-            .writeStream.format("memory").queryName("tws_upsert_sink")
-            .outputMode("update").start()
-          try q.processAllAvailable() finally q.stop()
+          StreamingIngest.withStateShards(s, 8) {
+            val q = StreamingIngest.latestWinsUpdatesTws(src)
+              .writeStream.format("memory").queryName("tws_upsert_sink")
+              .outputMode("update").start()
+            try q.processAllAvailable() finally q.stop()
+          }
           Ingest.latestWins(s.table("tws_upsert_sink"),
               keys = Seq("id"), version = Seq("version"))
             .select(col("id"), col("msg"), col("version"))
@@ -407,10 +411,12 @@ object Extras {
             expr("ts_ns div 1000").as("ts_us"), col("event_id"))
           .as[StreamingIngest.BucketEvent]
         s.catalog.dropTempView("srl_sink")
-        val q = StreamingIngest.earliestWinsUpdates(src)
-          .writeStream.format("memory").queryName("srl_sink")
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.earliestWinsUpdates(src)
+            .writeStream.format("memory").queryName("srl_sink")
+            .outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("srl_sink")
           .groupBy("user_id", "bucket")
           .agg(min_by(col("event_id"), struct(col("ts_us"), col("event_id")))
@@ -454,19 +460,21 @@ object Extras {
         val ms = MemoryStream[StreamingIngest.SessEvent]
         val src = bulk.union(ms.toDF()).as[StreamingIngest.SessEvent]
         s.catalog.dropTempView("sessionize_sink")
-        val q = StreamingIngest.sessionize(src, gapMs = 30L * 60 * 1000)
-          .writeStream.format("memory").queryName("sessionize_sink")
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable() // the file-source bulk batch
-          // sentinel batches: first advances the watermark past every
-          // live timeout, second lets the timeouts fire
-          (1 to 2).foreach { i =>
-            ms.addData(StreamingIngest.SessEvent(-1L,
-              new java.sql.Timestamp(maxTs + i * 36000000L), 0.0))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.sessionize(src, gapMs = 30L * 60 * 1000)
+            .writeStream.format("memory").queryName("sessionize_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // the file-source bulk batch
+            // sentinel batches: first advances the watermark past every
+            // live timeout, second lets the timeouts fire
+            (1 to 2).foreach { i =>
+              ms.addData(StreamingIngest.SessEvent(-1L,
+                new java.sql.Timestamp(maxTs + i * 36000000L), 0.0))
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
         s.table("sessionize_sink")
           .where(col("user_id") =!= -1L)
           .select(col("user_id"),
@@ -510,17 +518,19 @@ object Extras {
         val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
         val src = bulk.union(ms.toDF().toDF("ts", "event_type", "value"))
         s.catalog.dropTempView("swc_sink")
-        val q = StreamingIngest.windowedCounts(src,
-            eventTimeCol = "ts", delay = "10 minutes", window0 = "1 hour")
-          .writeStream.format("memory").queryName("swc_sink")
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable() // the file-source bulk batch
-          (1 to 2).foreach { i =>
-            ms.addData((new java.sql.Timestamp(maxTs + i * 7200000L), "___wm", 0.0))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.windowedCounts(src,
+              eventTimeCol = "ts", delay = "10 minutes", window0 = "1 hour")
+            .writeStream.format("memory").queryName("swc_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // the file-source bulk batch
+            (1 to 2).foreach { i =>
+              ms.addData((new java.sql.Timestamp(maxTs + i * 7200000L), "___wm", 0.0))
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
         s.table("swc_sink")
           .where(col("event_type") =!= "___wm")
           .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
@@ -565,10 +575,12 @@ object Extras {
           .select(col("bk"), col("doc_id"), col("mh"))
           .as[StreamingIngest.BandedDoc]
         s.catalog.dropTempView("neardup_sink")
-        val q = StreamingIngest.nearDupHits(src, minAgree = 0.5)
-          .writeStream.format("memory").queryName("neardup_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.nearDupHits(src, minAgree = 0.5)
+            .writeStream.format("memory").queryName("neardup_sink")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("neardup_sink")
           .groupBy("doc_id")
           .agg(min(struct(col("dup_of"), col("agree"))).as("m"))
@@ -626,9 +638,11 @@ object Extras {
             col("bts") >= col("vts") &&
             col("bts") <= col("vts") + expr("INTERVAL 1 HOUR"))
         s.catalog.dropTempView("ssj_sink")
-        val q = joined.writeStream.format("memory").queryName("ssj_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        StreamingIngest.withStateShards(s, 8) {
+          val q = joined.writeStream.format("memory").queryName("ssj_sink")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table("ssj_sink")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_attr"), round(sum("value"), 2).as("sv"))

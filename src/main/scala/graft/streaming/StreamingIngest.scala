@@ -30,6 +30,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
   */
 object StreamingIngest {
 
+  /** Run `body` (which starts and drains a streaming query) with
+    * `spark.sql.shuffle.partitions` capped at `n`, restoring the prior
+    * value after. Streaming state sharding is fixed at the FIRST batch
+    * by this conf (it persists in the checkpoint), so it is a deliberate
+    * sizing decision, not something to inherit from the batch session:
+    * each state partition pays a store open/commit per micro-batch, and
+    * a job whose live-key cardinality is thousands gains nothing from
+    * hundreds of shards. On a production cluster you'd size it to
+    * key-cardinality / executor count; the differential queries here cap
+    * it so local[32] doesn't pay 32 store commits per 1-row sentinel
+    * batch. Restores BEFORE the returned batch DataFrame executes, so
+    * only the stream is affected.
+    */
+  def withStateShards[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val capped = math.min(prev.toInt, n)
+    s.conf.set(key, capped.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** One keyed record in flight: payload + version (the Kafka offset in
     * the reference, `KafkaMessageWithOffset.java:11-13`).
     */
