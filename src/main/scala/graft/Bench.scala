@@ -44,7 +44,7 @@ object Bench {
     val warmupErrors = scala.collection.mutable.ListBuffer.empty[String]
     def warm(step: String)(body: => Unit): Unit =
       try body catch { case e: Throwable =>
-        warmupErrors += s"$step: ${e.toString.takeWhile(_ != '\n').take(200)}"
+        warmupErrors += s"$step: ${e.toString.take(200)}"
       }
     warm("table_footers")(Tables.names.foreach(n => Tables.t(spark, sfDir, n).schema))
     warm("scan_agg")(spark.read.parquet(s"$sfDir/region.parquet")
@@ -80,18 +80,52 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // cold pass (includes per-query plan+codegen compile — the contract
-    // number) and a warm pass (execution-dominated, reported alongside)
+    // Cold pass (includes per-query plan+codegen compile — the contract
+    // number, single rep by design), then WARM_REPS full warm passes.
+    // Warm times are reported as per-query MIN and MEDIAN across reps:
+    // this machine is shared with the driver's own jobs, and a single-rep
+    // warm pass under contention once overstated warm times 3.5× (the
+    // r8 artifact read 21.4s warm while an idle-machine re-run measured
+    // 6.1s). Min filters transient load; median shows the typical rep;
+    // the raw per-rep values are kept in-band so any residual skew is
+    // visible in the artifact itself rather than needing a re-run.
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val cold = headline.map(q => q.name -> timeOnce(q))
-    val warm2 = headline.map(q => q.name -> timeOnce(q))
+    val warmRuns: Seq[Seq[(String, Double)]] =
+      (1 to warmReps).map(_ => headline.map(q => q.name -> timeOnce(q)))
+    val byQuery: Seq[(String, Seq[Double])] =
+      headline.map(_.name).zipWithIndex.map { case (n, i) =>
+        n -> warmRuns.map(_(i)._2)
+      }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val warmMin = byQuery.map { case (n, xs) => n -> xs.min }
+    val warmMed = byQuery.map { case (n, xs) => n -> median(xs) }
     def fmt(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    def fmtReps(m: Seq[(String, Seq[Double])]) =
+      m.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
-    val totalWarm = warm2.map(_._2).sum
-    def strArr(xs: Iterable[String]) = xs
-      .map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warm2)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"sf":"$sfDir"}""")
+    val totalWarm = warmMin.map(_._2).sum
+    // JSON string escape shared with Verify's rule: backslash, quote, and
+    // ALL control chars <0x20 — an exception message carrying a raw tab
+    // or CR would otherwise make the artifact unparseable, the exact
+    // failure mode the in-band error arrays exist to prevent.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def strArr(xs: Iterable[String]) = xs.map(jstr).mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

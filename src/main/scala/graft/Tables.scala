@@ -68,7 +68,13 @@ object Tables {
     * underlying parquet files are rewritten, or the cached plans serve
     * stale file listings.
     */
-  def invalidate(): Unit = cache.synchronized(cache.clear())
+  def invalidate(): Unit = cache.synchronized {
+    cache.clear()
+    // Re-arm the per-(dir,table) encoding log too: after a testdata
+    // regeneration at the SAME path, the resolved-encoding line is the
+    // diagnostic that matters most — it must print again.
+    logged.clear()
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

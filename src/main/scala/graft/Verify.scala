@@ -80,6 +80,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest: the AUTHORITATIVE list of attempted queries, written as a
+    // flat file (not a dir, so dir-globbing compares skip it). The local
+    // gate (tools/check.py) compares against this instead of trusting the
+    // set of output dirs it happens to find — a query whose __error
+    // artifact write ALSO failed would otherwise still vanish silently.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      ran.keySet.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
+    // The coverage gate's teeth: a silent drop (attempted but no artifact
+    // on disk, not even the __error row) must fail the PROCESS, not just
+    // print to stderr — automation that only checks the exit code would
+    // otherwise read a dropped query as success. Errored-but-artifacted
+    // queries deliberately do NOT flip the exit code: their __error rows
+    // surface as per-query FAILs in the driver's compare, which is the
+    // designed reporting path.
+    if (missing.nonEmpty) sys.exit(3)
   }
 }

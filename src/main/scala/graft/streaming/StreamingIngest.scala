@@ -42,13 +42,22 @@ object StreamingIngest {
     * it so local[32] doesn't pay 32 store commits per 1-row sentinel
     * batch. Restores BEFORE the returned batch DataFrame executes, so
     * only the stream is affected.
+    *
+    * Not reentrant across threads: the cap is a read-modify-write of the
+    * SESSION-shared conf, so two concurrent `withStateShards` on one
+    * session could restore the wrong value. Calls are serialized on the
+    * session; queries from OTHER threads reading the conf mid-body still
+    * see the capped value (Verify/Bench/specs run the registry
+    * single-threaded, so this never bites in practice).
     */
-  def withStateShards[T](s: SparkSession, n: Int)(body: => T): T = {
+  def withStateShards[T](s: SparkSession, n: Int)(body: => T): T = s.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    val capped = math.min(prev.toInt, n)
-    s.conf.set(key, capped.toString)
-    try body finally s.conf.set(key, prev)
+    // A non-numeric conf (possible via user override) must degrade to
+    // no-op, not throw before the query even starts.
+    val capped = prev.toIntOption.map(p => math.min(p, n))
+    capped.foreach(c => s.conf.set(key, c.toString))
+    try body finally if (capped.isDefined) s.conf.set(key, prev)
   }
 
   /** One keyed record in flight: payload + version (the Kafka offset in

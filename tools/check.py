@@ -20,7 +20,24 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-names = sorted(d.split("/")[-1] for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
+dumped = sorted(d.split("/")[-1] for d in glob.glob(f"{OUT}/*") if os.path.isdir(d))
+# The query list is NOT just whatever dirs exist: the manifest Verify
+# writes (the attempted registry) is authoritative, so a query whose
+# output dir — even the __error artifact — never materialized shows up as
+# an explicit FAIL instead of silently dropping out of the report.
+# oracle_sql.json always carries ALL oracle keys (even on a restricted
+# `Verify <sf> <out> <names...>` run), so only union it in when the
+# manifest says this was a full-registry run — otherwise a local
+# single-query iteration would "fail" every query it didn't run.
+try:
+    manifest = set(json.load(open(f"{OUT}/manifest.json")))
+except FileNotFoundError:
+    manifest = None
+    print("WARN: no manifest.json in output dir (old Verify?)", file=sys.stderr)
+expected = set(dumped) | (manifest or set())
+if manifest is None or len(manifest) >= len(oracle):
+    expected |= set(oracle)
+names = sorted(expected)
 
 def canon(df):
     df = df[sorted(df.columns)]
@@ -33,6 +50,12 @@ for name in names:
     if not files:
         fails.append((name, "no spark output"));  continue
     got = pq.ParquetDataset(f"{OUT}/{name}").read().to_pandas()
+    # An __error artifact is Verify reporting the query THREW — always a
+    # FAIL, even for rows-only queries (it would otherwise count as a
+    # passing 1-row result).
+    if "__error" in got.columns:
+        msg = got["__error"].iloc[0] if len(got) else "?"
+        fails.append((name, f"query threw: {msg}"));  continue
     if name not in oracle:
         rows_only.append((name, len(got)));  continue
     try:
