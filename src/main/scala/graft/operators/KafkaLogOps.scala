@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.sources.kafkalog.KafkaLog
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.KeyedRecord
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential queries driven through the `kafkalog` DataSource V2
+  * source ([[graft.sources.kafkalog.KafkaLogSourceProvider]]) — the
+  * offline stand-in for the reference's Kafka record reader
+  * (`KafkaInputFormat.java:111-201`, `KafkaContext.java:124-156`).
+  *
+  * These re-run EXISTING streaming differentials (same oracle SQL as
+  * `streaming_latest_upsert` / `streaming_tws_upsert`) with the input
+  * entering through Spark's real source machinery — per-trigger offset
+  * tracking, `maxOffsetsPerTrigger` admission (sized so every scale
+  * factor replays in ≥4 micro-batches), checkpointed offsets — instead
+  * of a file-stream or MemoryStream. A matching batch-leg query covers
+  * the reference's per-partition-scoped dedup
+  * (`KafkaContext.java:103`) over the same log.
+  *
+  * The log fixture derives from the `events` table: partition
+  * `event_id % 4` (NOT a function of the dedup key, so scoped and
+  * global dedup genuinely differ), offset `event_id` (unique → strictly
+  * increasing within each partition), value the reference's JSON
+  * message shape `{"id","msg"}`. Built once per (testdata dir) per JVM.
+  */
+object KafkaLogOps {
+
+  /** Memoized fixture build: kafkalog dir + record count per testdata
+    * dir. The count sizes the admission cap; the build is a distributed
+    * write (see [[KafkaLog.write]]), re-done once per JVM per dir.
+    */
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  def eventsLog(s: SparkSession, dir: String): (String, Long) =
+    built.computeIfAbsent(dir, _ => {
+      val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events"
+      KafkaLog.fs(out).delete(new Path(out), true)
+      val ev = Tables.t(s, dir, "events")
+      KafkaLog.write(ev.select(
+        (col("event_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        to_json(struct(col("user_id").as("id"), col("event_type").as("msg")))
+          .as("value")), out)
+      (out, ev.count())
+    })
+
+  /** readStream through the source with a cap forcing ≥4 micro-batches
+    * at any scale factor — the admission-control path is part of every
+    * run of these differentials, not just of the spec.
+    */
+  private def stream(s: SparkSession, dir: String): DataFrame = {
+    val (path, n) = eventsLog(s, dir)
+    s.readStream.format("kafkalog")
+      .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
+      .load(path)
+  }
+
+  private def drainToSink(s: SparkSession, src: org.apache.spark.sql.Dataset[KeyedRecord],
+      sink: String, tws: Boolean): DataFrame = {
+    s.catalog.dropTempView(sink)
+    StreamingIngest.withStateShards(s, 8) {
+      val updates =
+        if (tws) StreamingIngest.latestWinsUpdatesTws(src)
+        else StreamingIngest.latestWinsUpdates(src)
+      val q = updates.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Ingest.latestWins(s.table(sink), keys = Seq("id"), version = Seq("version"))
+      .select(col("id"), col("msg"), col("version"))
+      .orderBy("id")
+  }
+
+  private val upsertOracle =
+    """SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
+      |       max(event_id) AS version
+      |FROM events GROUP BY user_id ORDER BY id""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "streaming_kafkalog_upsert",
+      (s, dir) => {
+        // The streaming_latest_upsert differential with ingest through
+        // the kafkalog SOURCE: Spark plans each micro-batch from the
+        // source's own latestOffset(start, limit) admission decisions
+        // and offset serde, then the flatMapGroupsWithState upsert runs
+        // unchanged. Same oracle, so any drift introduced by the source
+        // machinery (lost/duplicated offset spans, broken per-partition
+        // order) fails the hash compare.
+        import s.implicits._
+        val src = StreamingIngest.parseKafkaShaped(stream(s, dir)).as[KeyedRecord]
+        drainToSink(s, src, "kafkalog_upsert_sink", tws = false)
+      },
+      Some(upsertOracle)),
+
+    GQuery(
+      "streaming_kafkalog_tws_upsert",
+      (s, dir) => {
+        // Same replay through the transformWithState + RocksDB form —
+        // the modern state API certified against the identical batch
+        // oracle with the real source in front of it.
+        import s.implicits._
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = StreamingIngest.parseKafkaShaped(stream(s, dir)).as[KeyedRecord]
+          drainToSink(s, src, "kafkalog_tws_upsert_sink", tws = true)
+            .localCheckpoint()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      },
+      Some(upsertOracle)),
+
+    GQuery(
+      "kafkalog_batch_scan",
+      (s, dir) => {
+        // Batch leg of the same source feeding the reference's EXACT
+        // per-partition-scoped dedup (`KafkaContext.java:103`): because
+        // the log partitions by event_id, one user's records land in
+        // several partitions and the scoped snapshot keeps one row per
+        // (partition, user) — a different answer from the global dedup,
+        // which is the point of covering both.
+        val (path, _) = eventsLog(s, dir)
+        val frame = s.read.format("kafkalog").load(path)
+        graft.sources.Sources.kafkaShapedToSnapshot(frame, scoped = true)
+          .select(col("partition"), col("id"), col("msg"))
+          .orderBy("partition", "id")
+      },
+      Some("""SELECT (event_id % 4)::INT AS partition, user_id AS id,
+             |       arg_max(event_type, event_id) AS msg
+             |FROM events GROUP BY 1, 2 ORDER BY partition, id""".stripMargin)))
+}

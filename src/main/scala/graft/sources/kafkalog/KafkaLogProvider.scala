@@ -1,0 +1,240 @@
+package graft.sources.kafkalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 provider for the [[KafkaLog]] format
+  * (`format("kafkalog")`, batch and micro-batch streaming).
+  *
+  * This is the piece that makes Spark's OWN streaming machinery — offset
+  * log, admission control, checkpoint recovery — run against engine code:
+  * `initialOffset`/`latestOffset` reproduce the reference consumer's
+  * seek-to-beginning + end-offsets protocol
+  * (`KafkaContext.java:57-66`), `maxOffsetsPerTrigger` is the principled
+  * form of its `kafka.limit` record cap (`KafkaInputFormat.java:131`),
+  * and one input partition per log partition mirrors its
+  * one-split-per-partition layout (`KafkaInputFormat.java:40-44`).
+  *
+  * Supported options: `path` (the log dir), `maxOffsetsPerTrigger`
+  * (per-micro-batch admission cap in offset units, distributed across
+  * partitions proportionally to lag — Kafka's policy). Streams always
+  * start from the earliest retained offset, exactly like the reference's
+  * whole-topic re-read.
+  */
+class KafkaLogSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = KafkaLog.SHORT_NAME
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KafkaLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KafkaLogTable(properties.asScala.toMap)
+}
+
+class KafkaLogTable(properties: Map[String, String]) extends Table with SupportsRead {
+  private def dir: String = properties.get("path").orElse(properties.get("PATH"))
+    .getOrElse(throw new IllegalArgumentException(
+      "kafkalog: 'path' option (the log directory) is required"))
+  override def name(): String = s"kafkalog(`$dir`)"
+  override def schema(): StructType = KafkaLog.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asScala.toMap
+    new ScanBuilder {
+      override def build(): Scan = new KafkaLogScan(
+        opts.getOrElse("path", dir),
+        opts.get("maxoffsetspertrigger").map(_.toLong))
+    }
+  }
+}
+
+class KafkaLogScan(dir: String, maxOffsetsPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = KafkaLog.schema
+  override def description(): String = s"kafkalog $dir"
+  override def toBatch: Batch = new KafkaLogBatch(dir)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaLogMicroBatchStream(dir, maxOffsetsPerTrigger)
+}
+
+/** Map of partition → next-offset-to-read, the stream's position. JSON is
+  * the checkpoint representation (`{"0":12,"3":45}`), hand-built and
+  * hand-parsed so offset serde has zero library surface to drift.
+  */
+case class KafkaLogOffset(next: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    next.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object KafkaLogOffset {
+  def fromJson(s: String): KafkaLogOffset = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) KafkaLogOffset(Map.empty)
+    else KafkaLogOffset(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap)
+  }
+}
+
+/** One task = one log partition's offset span, with its segment files
+  * resolved at plan time so executors never list directories.
+  */
+case class KafkaLogInputPartition(partition: Int, start: Long, end: Long,
+    segments: Seq[String]) extends InputPartition
+
+class KafkaLogBatch(dir: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    KafkaLog.listPartitions(dir).map { case (p, segs) =>
+      KafkaLogInputPartition(p, Long.MinValue, Long.MaxValue, segs): InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory = KafkaLogReaderFactory
+}
+
+class KafkaLogMicroBatchStream(dir: String, maxOffsetsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // Per-trigger discovery (listing + head/tail reads, never a full scan),
+  // so records appended between triggers are picked up — the log behaves
+  // like a live topic, not a frozen snapshot.
+  private def discover(): Seq[(Int, Seq[String], Long, Long)] =
+    KafkaLog.listPartitions(dir).map { case (p, segs) =>
+      (p, segs, KafkaLog.headOffset(segs), KafkaLog.endOffset(segs))
+    }
+
+  override def initialOffset(): Offset =
+    KafkaLogOffset(discover().map { case (p, _, head, _) => p -> head }.toMap)
+
+  override def deserializeOffset(json: String): Offset = KafkaLogOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  // Plain latestOffset is never called once SupportsAdmissionControl is
+  // implemented (same contract as the Kafka source).
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "kafkalog uses latestOffset(start, limit) — admission-controlled")
+
+  /** Advance each partition toward its end offset, capped by the read
+    * limit. The cap is distributed across partitions proportionally to
+    * lag (floor), remainder round-robined to still-lagging partitions —
+    * guarantees progress whenever cap ≥ 1 and lag > 0.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[KafkaLogOffset].next
+    val state = discover()
+    val lags = state.map { case (p, _, head, end) =>
+      val from = cur.getOrElse(p, head)
+      p -> math.max(0L, end - from)
+    }
+    val total = lags.map(_._2).sum
+    val cap = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => Long.MaxValue
+    }
+    val alloc: Map[Int, Long] =
+      if (total <= cap) lags.toMap
+      else {
+        val base = scala.collection.mutable.Map(
+          lags.map { case (p, lag) => p -> cap * lag / total }: _*)
+        var rem = cap - base.values.sum
+        val order = lags.map(_._1)
+        var i = 0
+        while (rem > 0 && order.nonEmpty) {
+          val p = order(i % order.size)
+          if (base(p) < lags.toMap.apply(p)) { base(p) += 1; rem -= 1 }
+          i += 1
+        }
+        base.toMap
+      }
+    KafkaLogOffset(state.map { case (p, _, head, _) =>
+      val from = cur.getOrElse(p, head)
+      p -> (from + alloc.getOrElse(p, 0L))
+    }.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaLogOffset].next
+    val e = end.asInstanceOf[KafkaLogOffset].next
+    val segsByPart = KafkaLog.listPartitions(dir).toMap
+    e.toSeq.sortBy(_._1).flatMap { case (p, until) =>
+      val from = s.getOrElse(p, segsByPart.get(p).map(KafkaLog.headOffset).getOrElse(0L))
+      if (until > from)
+        segsByPart.get(p).map(segs =>
+          KafkaLogInputPartition(p, from, until, segs): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = KafkaLogReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object KafkaLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KafkaLogPartitionReader(partition.asInstanceOf[KafkaLogInputPartition])
+}
+
+/** Streams one partition's segments in order, skipping to `start` and
+  * early-exiting at `end` — the offsets-sorted invariant makes a range
+  * read one contiguous span. Monotonicity is verified as it reads; a
+  * corrupt (out-of-order) log fails the task rather than silently
+  * misordering the partition (the per-partition-order guarantee is the
+  * whole point of the format).
+  */
+class KafkaLogPartitionReader(part: KafkaLogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val segments = part.segments.iterator
+  private var reader: java.io.BufferedReader = _
+  private var row: InternalRow = _
+  private var lastOffset = Long.MinValue
+
+  private def nextReader(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (!segments.hasNext) return false
+    val path = segments.next()
+    val in = KafkaLog.fs(path).open(new org.apache.hadoop.fs.Path(path))
+    reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !nextReader()) return false
+      val line = reader.readLine()
+      if (line == null) {
+        reader.close(); reader = null
+      } else if (line.nonEmpty) {
+        val off = KafkaLog.parseOffset(line, part.segments.mkString(","))
+        if (off <= lastOffset)
+          throw new IllegalStateException(
+            s"kafkalog: offsets out of order in p=${part.partition} ($off after $lastOffset)")
+        lastOffset = off
+        if (off >= part.end) { reader.close(); reader = null; return false }
+        if (off >= part.start) {
+          row = new GenericInternalRow(Array[Any](
+            part.partition, off, UTF8String.fromString(KafkaLog.decodeValue(line))))
+          return true
+        }
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (reader != null) reader.close()
+}
