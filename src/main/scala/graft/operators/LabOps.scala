@@ -58,12 +58,25 @@ object LabOps {
       case None => e0
     }
     val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
-    val ed = e.join(deg, "s")
-    val pairs = ed.as("e1").join(ed.as("e2"),
+    // Pair stage carries ONLY (pa, pb): the co-neighbor explosion is the
+    // dominant volume (C(cap,2) rows per shared neighbor), so the
+    // per-node degrees — a parts-sized table — are broadcast-joined onto
+    // the AGGREGATED pair counts instead of riding every exploded row
+    // through the shuffle and widening the groupBy key from 2 longs to 4
+    // (measured sf0.1 local[32]: warm-min 6.5 s → 5.8 s). The remaining
+    // cost and its rep-to-rep variance are the 24.5M generated pairs
+    // feeding an 18.5M-group count (sf0.1) — inherent volume, already
+    // skew-bounded by the cap (every hub contributes ≤ C(50,2) pairs,
+    // so salting the hub key has nothing to level), GC-noisy in one JVM
+    // and linearly shardable across executors. Measured no-win (round
+    // 6, exact form): recompute-both-sides / localCheckpoint /
+    // shuffle_hash all slower — see neighborJaccardExact's scaladoc.
+    val pairs = e.as("e1").join(e.as("e2"),
         col("e1.d") === col("e2.d") && col("e1.s") < col("e2.s"))
-      .groupBy(col("e1.s").as("pa"), col("e2.s").as("pb"),
-        col("e1.dg").as("da"), col("e2.dg").as("db"))
+      .groupBy(col("e1.s").as("pa"), col("e2.s").as("pb"))
       .agg(count(lit(1)).as("common"))
+      .join(broadcast(deg.select(col("s").as("pa"), col("dg").as("da"))), "pa")
+      .join(broadcast(deg.select(col("s").as("pb"), col("dg").as("db"))), "pb")
     pairs
       .select(col("pa"), col("pb"),
         (col("common").cast("double") /
