@@ -29,6 +29,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.registry.filter(_.bench)
+    def readLoadAvg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadStart = readLoadAvg
     // Warm one-time SESSION costs so the first timed query doesn't pay
     // them (a fresh cluster pays these once at startup, not per query):
     // file listings + parquet footers for every table (Tables.t caches
@@ -125,7 +129,12 @@ object Bench {
       case c => c.toString
     } + "\""
     def strArr(xs: Iterable[String]) = xs.map(jstr).mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"sf":"$sfDir"}""")
+    // Machine-load context: this host is shared with the driver's own
+    // jobs, and a loaded machine once inflated a single-rep artifact
+    // 3.5×. The 1-minute load average at start and end lets a reader
+    // judge whether an outlier rep was the engine or the machine.
+    val loadEnd = readLoadAvg
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,9 +5,12 @@ oracle SQL in DuckDB over the same testdata parquet and compares.
 
 Usage: python3 tools/check.py [sfdir] [outdir]
 """
-import json, sys, glob, os
+import json, sys, glob, os, signal
 import duckdb
 import pyarrow.parquet as pq
+
+# `check.py ... | head` must not die in a BrokenPipeError stack trace
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
