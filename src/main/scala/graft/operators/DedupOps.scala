@@ -188,6 +188,16 @@ object DedupOps {
     // shuffle-hash beats sort-merge here: the probe stream (the pair
     // explosion) is much larger than the build side's distinct keys, so
     // skipping the sort of both 260k-row sides wins ~2× on the join.
+    // Measured no-win (round 9): dropping (na, nb) from the pair groupBy
+    // and broadcast-joining a sizes table onto the aggregated counts —
+    // the restructure that won 11% on graph_neighbor_jaccard_capped —
+    // is SLOWER here (warm-min 0.73 s carry vs 0.85 s post-join, sf0.1
+    // local[32], min of 5): this pair set is small relative to its
+    // explosion, so two extra join stages cost more than the narrower
+    // shuffle key saves. The wins diverge because neighbor-Jaccard
+    // aggregates 24.5M pairs into 18.5M groups (key width dominates)
+    // while this aggregates a few hundred k into a few k (stage count
+    // dominates).
     inv.as("a").hint("shuffle_hash").join(inv.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
