@@ -6,7 +6,9 @@ import graft.streaming.StreamingIngest
 import graft.streaming.StreamingIngest.KeyedRecord
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Differential queries driven through the `kafkalog` DataSource V2
   * source ([[graft.sources.kafkalog.KafkaLogSourceProvider]]) — the
@@ -77,6 +79,29 @@ object KafkaLogOps {
       .orderBy("id")
   }
 
+  /** Second fixture: the events stream with EVENT TIME in the payload
+    * (`us` = epoch micros), for the watermarked-window differential.
+    */
+  private val builtTimed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private val timedSchema = StructType(Seq(
+    StructField("us", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  def eventsTimedLog(s: SparkSession, dir: String): (String, Long) =
+    builtTimed.computeIfAbsent(dir, _ => {
+      val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events_timed"
+      KafkaLog.fs(out).delete(new Path(out), true)
+      val ev = Tables.t(s, dir, "events")
+      KafkaLog.write(ev.select(
+        (col("event_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        to_json(struct(expr("ts_ns div 1000").as("us"), col("event_type"),
+          col("value"))).as("value")), out)
+      (out, ev.count())
+    })
+
   private val upsertOracle =
     """SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
       |       max(event_id) AS version
@@ -123,6 +148,56 @@ object KafkaLogOps {
         }
       },
       Some(upsertOracle)),
+
+    GQuery(
+      "streaming_kafkalog_windowed",
+      (s, dir) => {
+        // EVENT-TIME through the source: the watermarked tumbling-window
+        // differential (same oracle as streaming_windowed_counts /
+        // time_tumbling) with the bulk entering through kafkalog under
+        // an admission cap — windows now close against a watermark that
+        // advances across source-driven micro-batches. Tail windows are
+        // forced closed by the established sentinel-union protocol (a
+        // tiny MemoryStream unioned with the source stream; union of
+        // two streaming sources, each tracking its own offsets — the
+        // sentinel rows are the only driver-side data).
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val (path, n) = eventsTimedLog(s, dir)
+        val maxUs = Tables.t(s, dir, "events")
+          .agg(max(expr("ts_ns div 1000"))).head().getLong(0)
+        val bulk = s.readStream.format("kafkalog")
+          .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
+          .load(path)
+          .select(from_json(col("value"), timedSchema).as("j"))
+          .select(timestamp_micros(col("j.us")).as("ts"),
+            col("j.event_type").as("event_type"), col("j.value").as("value"))
+        val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+        val src = bulk.union(ms.toDF().toDF("ts", "event_type", "value"))
+        s.catalog.dropTempView("klw_sink")
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.windowedCounts(src,
+              eventTimeCol = "ts", delay = "10 minutes", window0 = "1 hour")
+            .writeStream.format("memory").queryName("klw_sink")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable() // the kafkalog bulk, in >=4 batches
+            (1 to 2).foreach { i =>
+              ms.addData((new java.sql.Timestamp(maxUs / 1000 + i * 7200000L),
+                "___wm", 0.0))
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        s.table("klw_sink")
+          .where(col("event_type") =!= "___wm")
+          .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("ws", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
     GQuery(
       "kafkalog_batch_scan",

@@ -73,7 +73,12 @@ object KafkaLog {
       norm.where(col("partition") === p)
         .select(col("offset"),
           concat_ws("\t", col("offset"),
-            base64(encode(coalesce(col("value"), lit("")), "UTF-8"))).as("line"))
+            // Spark's base64 chunks with CRLF past 76 chars (MIME
+            // style); strip the wraps — chunked base64 minus newlines
+            // is valid unchunked base64 — or long values would split
+            // across lines and corrupt the log
+            translate(base64(encode(coalesce(col("value"), lit("")), "UTF-8")),
+              "\r\n", "")).as("line"))
         .repartition(1).sortWithinPartitions("offset")
         .select("line")
         .write.mode("overwrite").text(s"$dir/p=$p")

@@ -129,6 +129,19 @@ class KafkaLogSourceSpec extends SparkSpec {
       s"expected corrupt-log error, got $e")
   }
 
+  test("values past the base64 chunk width round-trip unbroken") {
+    // Spark's base64 expression MIME-chunks output past 76 chars; the
+    // writer strips the wraps — without that, a long value splits across
+    // lines and corrupts the log (caught live by the windowed
+    // differential's JSON payloads)
+    val dir = tmp("long")
+    val long = "{\"k\":\"" + ("x" * 500) + "\"}"
+    KafkaLog.write(Seq((0, 1L, long)).toDF("partition", "offset", "value"), dir)
+    val got = spark.read.format("kafkalog").load(dir)
+      .as[(Int, Long, String)].collect()
+    assert(got.toSeq == Seq((0, 1L, long)))
+  }
+
   test("offset JSON round-trips through serde") {
     val o = KafkaLogOffset(Map(0 -> 12L, 3 -> 45L, 11 -> 0L))
     assert(o.json() == """{"0":12,"3":45,"11":0}""")
