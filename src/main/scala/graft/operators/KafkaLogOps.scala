@@ -26,9 +26,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   *
   * The log fixture derives from the `events` table: partition
   * `event_id % 4` (NOT a function of the dedup key, so scoped and
-  * global dedup genuinely differ), offset `event_id` (unique → strictly
-  * increasing within each partition), value the reference's JSON
-  * message shape `{"id","msg"}`. Built once per (testdata dir) per JVM.
+  * global dedup genuinely differ), offset `event_id div 4` — DENSE and
+  * strictly increasing within each partition, so the offset-unit
+  * admission cap admits the intended row count per trigger (a gapped
+  * per-partition offset sequence quarters every batch and was measured
+  * 2-3× slower end-to-end purely from extra micro-batch overhead; the
+  * gapped/compacted shape is still exercised by `StateScaleSpec`).
+  * The global event order is reconstructed as `offset * 4 + partition`
+  * (= event_id) where a cross-partition total version order matters.
+  * Value is the reference's JSON message shape `{"id","msg"}`. Built
+  * once per (testdata dir) per JVM.
   */
 object KafkaLogOps {
 
@@ -46,7 +53,7 @@ object KafkaLogOps {
       val ev = Tables.t(s, dir, "events")
       KafkaLog.write(ev.select(
         (col("event_id") % 4).cast("int").as("partition"),
-        col("event_id").as("offset"),
+        expr("event_id div 4").as("offset"),
         to_json(struct(col("user_id").as("id"), col("event_type").as("msg")))
           .as("value")), out)
       (out, ev.count())
@@ -61,6 +68,23 @@ object KafkaLogOps {
     s.readStream.format("kafkalog")
       .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
       .load(path)
+  }
+
+  /** The reference's lenient parse over the source frame, with the
+    * GLOBAL version order reconstructed from the round-robin layout
+    * (`offset * 4 + partition` = event_id) — dense per-partition offsets
+    * alone would tie across partitions and break the cross-partition
+    * latest-wins tiebreak the oracle's arg_max(_, event_id) implies.
+    */
+  private def parsedGlobal(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Ingest.parseLenient(
+      stream(s, dir).select(col("partition"), col("offset"), col("value")),
+      jsonCol = "value", schema = Ingest.msgSchema,
+      defaults = Map("id" -> lit(0L), "msg" -> lit("")))
+      .select(col("id"), col("msg"),
+        (col("offset") * 4 + col("partition")).cast("long").as("version"))
+      .as[KeyedRecord]
   }
 
   private def drainToSink(s: SparkSession, src: org.apache.spark.sql.Dataset[KeyedRecord],
@@ -96,7 +120,7 @@ object KafkaLogOps {
       val ev = Tables.t(s, dir, "events")
       KafkaLog.write(ev.select(
         (col("event_id") % 4).cast("int").as("partition"),
-        col("event_id").as("offset"),
+        expr("event_id div 4").as("offset"),
         to_json(struct(expr("ts_ns div 1000").as("us"), col("event_type"),
           col("value"))).as("value")), out)
       (out, ev.count())
@@ -119,9 +143,7 @@ object KafkaLogOps {
         // unchanged. Same oracle, so any drift introduced by the source
         // machinery (lost/duplicated offset spans, broken per-partition
         // order) fails the hash compare.
-        import s.implicits._
-        val src = StreamingIngest.parseKafkaShaped(stream(s, dir)).as[KeyedRecord]
-        drainToSink(s, src, "kafkalog_upsert_sink", tws = false)
+        drainToSink(s, parsedGlobal(s, dir), "kafkalog_upsert_sink", tws = false)
       },
       Some(upsertOracle)),
 
@@ -137,8 +159,7 @@ object KafkaLogOps {
         s.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val src = StreamingIngest.parseKafkaShaped(stream(s, dir)).as[KeyedRecord]
-          drainToSink(s, src, "kafkalog_tws_upsert_sink", tws = true)
+          drainToSink(s, parsedGlobal(s, dir), "kafkalog_tws_upsert_sink", tws = true)
             .localCheckpoint()
         } finally {
           prev match {
