@@ -128,9 +128,7 @@ class KafkaLogMicroBatchStream(dir: String, maxOffsetsPerTrigger: Option[Long])
       "kafkalog uses latestOffset(start, limit) — admission-controlled")
 
   /** Advance each partition toward its end offset, capped by the read
-    * limit. The cap is distributed across partitions proportionally to
-    * lag (floor), remainder round-robined to still-lagging partitions —
-    * guarantees progress whenever cap ≥ 1 and lag > 0.
+    * limit via [[KafkaLogMicroBatchStream.allocate]].
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[KafkaLogOffset].next
@@ -139,26 +137,11 @@ class KafkaLogMicroBatchStream(dir: String, maxOffsetsPerTrigger: Option[Long])
       val from = cur.getOrElse(p, head)
       p -> math.max(0L, end - from)
     }
-    val total = lags.map(_._2).sum
     val cap = limit match {
       case mr: ReadMaxRows => mr.maxRows()
       case _ => Long.MaxValue
     }
-    val alloc: Map[Int, Long] =
-      if (total <= cap) lags.toMap
-      else {
-        val base = scala.collection.mutable.Map(
-          lags.map { case (p, lag) => p -> cap * lag / total }: _*)
-        var rem = cap - base.values.sum
-        val order = lags.map(_._1)
-        var i = 0
-        while (rem > 0 && order.nonEmpty) {
-          val p = order(i % order.size)
-          if (base(p) < lags.toMap.apply(p)) { base(p) += 1; rem -= 1 }
-          i += 1
-        }
-        base.toMap
-      }
+    val alloc = KafkaLogMicroBatchStream.allocate(lags, cap)
     KafkaLogOffset(state.map { case (p, _, head, _) =>
       val from = cur.getOrElse(p, head)
       p -> (from + alloc.getOrElse(p, 0L))
@@ -181,6 +164,39 @@ class KafkaLogMicroBatchStream(dir: String, maxOffsetsPerTrigger: Option[Long])
   override def createReaderFactory(): PartitionReaderFactory = KafkaLogReaderFactory
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object KafkaLogMicroBatchStream {
+  /** Distribute an admission cap across partitions proportionally to
+    * lag (floor), remainder round-robined to still-lagging partitions —
+    * Kafka's `maxOffsetsPerTrigger` policy. Invariants (pinned by
+    * ScalaCheck in `KafkaLogSourceSpec`): 0 ≤ alloc(p) ≤ lag(p);
+    * Σ alloc = min(cap, Σ lag); progress whenever cap ≥ 1 and Σ lag > 0.
+    * Termination of the remainder loop: when total > cap, the headroom
+    * Σ(lag − base) = total − Σ base ≥ total − cap ≥ rem, so every pass
+    * over the partitions places at least one unit until rem is 0.
+    */
+  def allocate(lags: Seq[(Int, Long)], cap: Long): Map[Int, Long] = {
+    require(cap >= 0 && lags.forall(_._2 >= 0), s"negative cap/lag: $cap $lags")
+    val total = lags.map(_._2).sum
+    if (total <= cap) lags.toMap
+    else {
+      val lagOf = lags.toMap
+      // BigInt: cap * lag overflows Long once both pass ~3B (offsets at
+      // 100 TB scale are exactly that large)
+      val base = scala.collection.mutable.Map(
+        lags.map { case (p, lag) => p -> (BigInt(cap) * lag / total).toLong }: _*)
+      var rem = cap - base.values.sum
+      val order = lags.map(_._1)
+      var i = 0
+      while (rem > 0 && order.nonEmpty) {
+        val p = order(i % order.size)
+        if (base(p) < lagOf(p)) { base(p) += 1; rem -= 1 }
+        i += 1
+      }
+      base.toMap
+    }
+  }
 }
 
 object KafkaLogReaderFactory extends PartitionReaderFactory {

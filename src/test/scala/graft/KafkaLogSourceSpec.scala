@@ -142,6 +142,26 @@ class KafkaLogSourceSpec extends SparkSpec {
     assert(got.toSeq == Seq((0, 1L, long)))
   }
 
+  test("admission allocation: proportional, exact-sum, always progresses") {
+    import graft.sources.kafkalog.KafkaLogMicroBatchStream.allocate
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val lagsGen = Gen.listOfN(6, Gen.chooseNum(0L, 5000000000L)) // past 2^32 → overflow zone
+      .map(_.zipWithIndex.map { case (l, i) => i -> l })
+    val capGen = Gen.chooseNum(0L, 10000000000L)
+    val prop = Prop.forAll(lagsGen, capGen) { (lags, cap) =>
+      val a = allocate(lags, cap)
+      val total = lags.map(_._2).sum
+      val bounded = lags.forall { case (p, lag) =>
+        a.getOrElse(p, 0L) >= 0 && a.getOrElse(p, 0L) <= lag }
+      val exact = a.values.sum == math.min(cap, total)
+      val progress = cap < 1 || total == 0 || a.values.sum > 0
+      bounded && exact && progress
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("offset JSON round-trips through serde") {
     val o = KafkaLogOffset(Map(0 -> 12L, 3 -> 45L, 11 -> 0L))
     assert(o.json() == """{"0":12,"3":45,"11":0}""")
