@@ -221,6 +221,36 @@ object KafkaLogOps {
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
     GQuery(
+      "kafkalog_batch_range",
+      (s, dir) => {
+        // Bounded batch read — the Kafka source's startingOffsets /
+        // endingOffsets JSON plus the reference's `kafka.limit`
+        // per-partition record cap (`KafkaInputFormat.java:131,188`)
+        // enforced in the kafkalog record reader. The offset window
+        // [25,150) and cap 100 both bind at every shipped scale factor
+        // (smallest log has 250 offsets/partition), and the dense layout
+        // makes the oracle exact: offset o of partition p is event_id
+        // 4o+p, and the cap keeps the FIRST 100 offsets of the window
+        // (row_number over offset order).
+        val (path, _) = eventsLog(s, dir)
+        s.read.format("kafkalog")
+          .option("startingOffsets", """{"0":25,"1":25,"2":25,"3":25}""")
+          .option("endingOffsets", """{"0":150,"1":150,"2":150,"3":150}""")
+          .option("limit", 100)
+          .load(path)
+          .select(col("partition"), col("offset"),
+            get_json_object(col("value"), "$.id").cast("long").as("id"),
+            get_json_object(col("value"), "$.msg").as("msg"))
+          .orderBy("partition", "offset")
+      },
+      Some("""SELECT partition, "offset", id, msg FROM (
+             |  SELECT (event_id % 4)::INT AS partition, (event_id // 4) AS "offset",
+             |         user_id AS id, event_type AS msg,
+             |         row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id // 4) AS rn
+             |  FROM events WHERE (event_id // 4) >= 25 AND (event_id // 4) < 150
+             |) WHERE rn <= 100 ORDER BY partition, "offset"""".stripMargin)),
+
+    GQuery(
       "kafkalog_batch_scan",
       (s, dir) => {
         // Batch leg of the same source feeding the reference's EXACT

@@ -32,6 +32,17 @@ import scala.jdk.CollectionConverters._
   * partitions proportionally to lag — Kafka's policy). Streams always
   * start from the earliest retained offset, exactly like the reference's
   * whole-topic re-read.
+  *
+  * Batch reads additionally accept the Kafka source's bounded-range
+  * options: `startingOffsets` (`"earliest"` | per-partition JSON
+  * `{"0":10,...}`, `-2` = earliest) and `endingOffsets` (`"latest"` |
+  * per-partition JSON, `-1` = latest, exclusive), plus `limit` — the
+  * reference's `kafka.limit` PER-PARTITION record cap, enforced in the
+  * record reader exactly where the reference enforces it
+  * (`KafkaInputFormat.java:131,188`: one counter per split, stop at the
+  * cap). Partitions absent from an offsets JSON default to
+  * earliest/latest (lenient — the log's partition count is discovered,
+  * not declared).
   */
 class KafkaLogSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = KafkaLog.SHORT_NAME
@@ -54,15 +65,62 @@ class KafkaLogTable(properties: Map[String, String]) extends Table with Supports
     new ScanBuilder {
       override def build(): Scan = new KafkaLogScan(
         opts.getOrElse("path", dir),
-        opts.get("maxoffsetspertrigger").map(_.toLong))
+        opts.get("maxoffsetspertrigger").map(_.toLong),
+        OffsetRangeSpec.parse("startingOffsets", opts.get("startingoffsets"),
+          default = OffsetRangeSpec.Earliest),
+        OffsetRangeSpec.parse("endingOffsets", opts.get("endingoffsets"),
+          default = OffsetRangeSpec.Latest),
+        opts.get("limit").map(_.toLong).filter(_ >= 0))
     }
   }
 }
 
-class KafkaLogScan(dir: String, maxOffsetsPerTrigger: Option[Long]) extends Scan {
+/** A batch read boundary (the Kafka source's `startingOffsets` /
+  * `endingOffsets`): a named extreme, or explicit per-partition offsets
+  * with Kafka's `-2` = earliest / `-1` = latest sentinels. Partitions
+  * absent from an explicit map fall back to the boundary's own extreme
+  * (`default`), so a log's partition count never has to be declared
+  * up front.
+  */
+case class OffsetRangeSpec(offsets: Map[Int, Long], default: OffsetRangeSpec.Extreme) {
+  /** Resolve this boundary for one partition given its retained span
+    * `[head, end)`.
+    */
+  def resolve(partition: Int, head: Long, end: Long): Long =
+    offsets.getOrElse(partition,
+      if (default == OffsetRangeSpec.Earliest) -2L else -1L) match {
+      case -2L => head
+      case -1L => end
+      case o => o
+    }
+}
+
+object OffsetRangeSpec {
+  sealed trait Extreme
+  case object Earliest extends Extreme
+  case object Latest extends Extreme
+
+  def parse(name: String, value: Option[String], default: Extreme): OffsetRangeSpec =
+    value.map(_.trim) match {
+      case None => OffsetRangeSpec(Map.empty, default)
+      case Some("earliest") if default == Earliest => OffsetRangeSpec(Map.empty, default)
+      case Some("latest") if default == Latest => OffsetRangeSpec(Map.empty, default)
+      case Some(s) if s.startsWith("{") =>
+        OffsetRangeSpec(KafkaLogOffset.fromJson(s).next, default)
+      case Some(other) => throw new IllegalArgumentException(
+        s"kafkalog: $name must be ${if (default == Earliest) "'earliest'" else "'latest'"} " +
+          s"or a per-partition JSON map, got '$other'")
+    }
+}
+
+class KafkaLogScan(dir: String, maxOffsetsPerTrigger: Option[Long],
+    startingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Earliest),
+    endingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Latest),
+    recordLimit: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = KafkaLog.schema
   override def description(): String = s"kafkalog $dir"
-  override def toBatch: Batch = new KafkaLogBatch(dir)
+  override def toBatch: Batch =
+    new KafkaLogBatch(dir, startingOffsets, endingOffsets, recordLimit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaLogMicroBatchStream(dir, maxOffsetsPerTrigger)
 }
@@ -90,14 +148,36 @@ object KafkaLogOffset {
 
 /** One task = one log partition's offset span, with its segment files
   * resolved at plan time so executors never list directories.
+  * `recordLimit` is the reference's `kafka.limit` per-split record cap
+  * (`KafkaInputFormat.java:131`), enforced by the reader.
   */
 case class KafkaLogInputPartition(partition: Int, start: Long, end: Long,
-    segments: Seq[String]) extends InputPartition
+    segments: Seq[String], recordLimit: Long = Long.MaxValue) extends InputPartition
 
-class KafkaLogBatch(dir: String) extends Batch {
+class KafkaLogBatch(dir: String,
+    startingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Earliest),
+    endingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Latest),
+    recordLimit: Option[Long] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     KafkaLog.listPartitions(dir).map { case (p, segs) =>
-      KafkaLogInputPartition(p, Long.MinValue, Long.MaxValue, segs): InputPartition
+      // Whole-log reads (no explicit boundaries) skip the head/tail
+      // probes entirely — the reader's own span logic handles it.
+      val whole = startingOffsets.offsets.isEmpty && endingOffsets.offsets.isEmpty &&
+        startingOffsets.default == OffsetRangeSpec.Earliest &&
+        endingOffsets.default == OffsetRangeSpec.Latest
+      val (from, until) =
+        if (whole) (Long.MinValue, Long.MaxValue)
+        else {
+          val head = KafkaLog.headOffset(segs)
+          val end = KafkaLog.endOffset(segs)
+          val f = startingOffsets.resolve(p, head, end)
+          val u = endingOffsets.resolve(p, head, end)
+          if (u < f) throw new IllegalArgumentException(
+            s"kafkalog: endingOffsets($u) < startingOffsets($f) for partition $p")
+          (f, u)
+        }
+      KafkaLogInputPartition(p, from, until, segs,
+        recordLimit.getOrElse(Long.MaxValue)): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory = KafkaLogReaderFactory
 }
@@ -217,6 +297,9 @@ class KafkaLogPartitionReader(part: KafkaLogInputPartition)
   private var reader: java.io.BufferedReader = _
   private var row: InternalRow = _
   private var lastOffset = Long.MinValue
+  // the reference's per-split record counter (`KafkaInputFormat.java:188`:
+  // `if (limit < 0 || count < limit)`) — here limit<0 is Long.MaxValue
+  private var count = 0L
 
   private def nextReader(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
@@ -229,6 +312,10 @@ class KafkaLogPartitionReader(part: KafkaLogInputPartition)
   }
 
   override def next(): Boolean = {
+    if (count >= part.recordLimit) {
+      if (reader != null) { reader.close(); reader = null }
+      return false
+    }
     while (true) {
       if (reader == null && !nextReader()) return false
       val line = reader.readLine()
@@ -244,6 +331,7 @@ class KafkaLogPartitionReader(part: KafkaLogInputPartition)
         if (off >= part.start) {
           row = new GenericInternalRow(Array[Any](
             part.partition, off, UTF8String.fromString(KafkaLog.decodeValue(line))))
+          count += 1
           return true
         }
       }

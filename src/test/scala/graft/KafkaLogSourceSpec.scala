@@ -43,6 +43,67 @@ class KafkaLogSourceSpec extends SparkSpec {
     }
   }
 
+  test("batch startingOffsets/endingOffsets bound the read per partition") {
+    val dir = tmp("range"); fixture(dir)
+    // fixture offsets per partition p: p, p+3, p+6, ... p+57 (stride 3)
+    val got = spark.read.format("kafkalog")
+      .option("startingOffsets", """{"0":10,"1":-2,"2":30}""")
+      .option("endingOffsets", """{"0":40,"1":10,"2":-1}""")
+      .load(dir)
+      .as[(Int, Long, String)].collect()
+    // p=0: offsets in [10,40) of {0,3,..57} → 12,15,..39 = 10 records
+    assert(got.count(_._1 == 0) == 10)
+    assert(got.filter(_._1 == 0).forall(r => r._2 >= 10 && r._2 < 40))
+    // p=1: -2 = earliest (1) to 10 → 1,4,7 = 3 records
+    assert(got.filter(_._1 == 1).map(_._2).sorted.toSeq == Seq(1L, 4L, 7L))
+    // p=2: 30 to -1 = latest → 32,35,..59 = 10 records
+    assert(got.count(_._1 == 2) == 10)
+    assert(got.filter(_._1 == 2).forall(_._2 >= 30))
+  }
+
+  test("batch limit caps records per partition like the reference's kafka.limit") {
+    val dir = tmp("limit"); fixture(dir)
+    val got = spark.read.format("kafkalog")
+      .option("limit", 7)
+      .load(dir)
+      .as[(Int, Long, String)].collect()
+    // per-SPLIT cap (KafkaInputFormat.java:131,188): first 7 of each partition
+    assert(got.length == 21)
+    (0 until 3).foreach { p =>
+      assert(got.filter(_._1 == p).map(_._2).sorted.toSeq ==
+        (0 until 7).map(i => i * 3L + p))
+    }
+    // composes with a range: start past the head, still 7-per-partition
+    val ranged = spark.read.format("kafkalog")
+      .option("startingOffsets", """{"0":30,"1":30,"2":30}""")
+      .option("limit", 3)
+      .load(dir)
+      .as[(Int, Long, String)].collect()
+    assert(ranged.length == 9)
+    assert(ranged.forall(_._2 >= 30))
+  }
+
+  test("batch offset options reject nonsense loudly") {
+    val dir = tmp("badrange"); fixture(dir)
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    val inverted = intercept[Exception] {
+      spark.read.format("kafkalog")
+        .option("startingOffsets", """{"0":40}""")
+        .option("endingOffsets", """{"0":10}""")
+        .load(dir).collect()
+    }
+    assert(chain(inverted).exists(t =>
+      Option(t.getMessage).exists(_.contains("endingOffsets"))), s"got $inverted")
+    val badWord = intercept[Exception] {
+      spark.read.format("kafkalog")
+        .option("startingOffsets", "latest") // meaningless for a bounded read
+        .load(dir).collect()
+    }
+    assert(chain(badWord).exists(t =>
+      Option(t.getMessage).exists(_.contains("startingOffsets"))), s"got $badWord")
+  }
+
   test("maxOffsetsPerTrigger bounds every micro-batch and loses nothing") {
     val dir = tmp("admission"); fixture(dir)
     spark.catalog.dropTempView("kl_adm")
