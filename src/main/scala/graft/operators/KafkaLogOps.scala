@@ -126,6 +126,44 @@ object KafkaLogOps {
       (out, ev.count())
     })
 
+  /** On-disk snapshot row shape: the reference's `{"id","msg"}` payload
+    * plus `version`, which the incremental fold needs (the reference
+    * avoids persisting a version only by re-reading the whole topic
+    * every run, `KafkaContext.java:57-59`).
+    */
+  val snapSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("msg", StringType),
+    StructField("version", LongType)))
+
+  /** Drain a streaming `(id, msg, version)` frame into a JSON-lines
+    * snapshot directory, folding each micro-batch's delta into the
+    * previous on-disk snapshot — the snapshot dir IS the state (read →
+    * union → latest-wins → localCheckpoint to cut lineage → overwrite).
+    * Per-batch cost is |keys| + |delta|; restartable from `ckpt` (a
+    * replayed batch re-folds idempotently: latest-wins is max-by).
+    */
+  def foldSnapshot(src: DataFrame, out: String, ckpt: String): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val prev = sess.read.schema(snapSchema).json(out)
+        val merged = Ingest.latestWins(
+          prev.unionByName(batch.select("id", "msg", "version")),
+          keys = Seq("id"), version = Seq("version"))
+          .localCheckpoint() // materialize BEFORE overwriting its input files
+        merged
+          .select(to_json(struct(col("id"), col("msg"), col("version")))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  def readSnapshot(s: SparkSession, out: String): DataFrame =
+    s.read.schema(snapSchema).json(out)
+
   private val upsertOracle =
     """SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
       |       max(event_id) AS version
@@ -219,6 +257,34 @@ object KafkaLogOps {
       Some("""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
              |       event_type, count(*) AS n, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    GQuery(
+      "streaming_kafkalog_snapshot",
+      (s, dir) => {
+        // The reference's COMPLETE job as one streaming pipeline: Kafka
+        // (kafkalog source, admission-controlled) → lenient JSON parse →
+        // latest-wins → JSON-lines snapshot directory on HDFS
+        // (`HadoopKafkaConsumer.java:92-101` delete-then-write). The
+        // snapshot dir IS the state, exactly as in the reference — no
+        // in-memory store: each micro-batch folds its delta into the
+        // previous on-disk snapshot (read → union → latest-wins →
+        // localCheckpoint to cut lineage → overwrite), so per-batch cost
+        // is |keys| + |delta|, the scalable form of the reference's
+        // re-read-from-offset-0-per-run. The persisted rows carry
+        // `version` alongside the reference's {"id","msg"} payload —
+        // the reference needs no version on disk only because it
+        // re-reads the whole topic every run.
+        import java.nio.file.Files
+        val out = Files.createTempDirectory("klsnap_out").toString
+        val ckpt = Files.createTempDirectory("klsnap_ckpt").toString
+        KafkaLogOps.foldSnapshot(parsedGlobal(s, dir).toDF, out, ckpt)
+        KafkaLogOps.readSnapshot(s, out)
+          .select(col("id"), to_json(struct(col("id"), col("msg"))).as("json"))
+          .orderBy("id")
+      },
+      Some("""SELECT user_id AS id,
+             |       '{"id":' || user_id || ',"msg":"' || arg_max(event_type, event_id) || '"}' AS json
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
 
     GQuery(
       "kafkalog_batch_range",

@@ -230,6 +230,50 @@ class KafkaLogSourceSpec extends SparkSpec {
     assert(KafkaLogOffset.fromJson("{}") == KafkaLogOffset(Map.empty))
   }
 
+  test("snapshot fold: dir-as-state survives restart and folds only the delta") {
+    import graft.operators.KafkaLogOps
+    val dir = tmp("snap"); fixture(dir)
+    val out = tmp("snap_out"); val ckpt = tmp("snap_ckpt")
+    // (id, msg, version): id cycles 0..6 per fixture; version = offset
+    // is unique per partition but ties across partitions, so order the
+    // cross-partition tiebreak explicitly like the ops do
+    def src = spark.readStream.format("kafkalog")
+      .option("maxOffsetsPerTrigger", 13)
+      .load(dir)
+      .select(
+        get_json_object(col("value"), "$.id").cast("long").as("id"),
+        get_json_object(col("value"), "$.msg").as("msg"),
+        (col("offset") * 3 + col("partition")).as("version"))
+    KafkaLogOps.foldSnapshot(src, out, ckpt)
+    val first = KafkaLogOps.readSnapshot(spark, out)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(first.length == 7, s"one row per live key, got ${first.length}")
+    // batch truth over the same log
+    val truth = spark.read.format("kafkalog").load(dir)
+      .select(
+        get_json_object(col("value"), "$.id").cast("long").as("id"),
+        get_json_object(col("value"), "$.msg").as("msg"),
+        (col("offset") * 3 + col("partition")).as("version"))
+      .groupBy("id").agg(max_by(struct(col("msg"), col("version")), col("version")).as("w"))
+      .select(col("id"), col("w.msg"), col("w.version"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(first.toSeq == truth.toSeq)
+    // append a strictly-newer record for id=3 to p=0, then RESTART the
+    // job from the same checkpoint: only the delta is read (the
+    // checkpointed offsets skip everything already folded) and the
+    // snapshot updates exactly one key
+    val v = new String(java.util.Base64.getEncoder.encode(
+      """{"id":3,"msg":"fresh"}""".getBytes("UTF-8")))
+    Files.writeString(Paths.get(s"$dir/p=0/seg-zz.txt"), s"900\t$v\n")
+    KafkaLogOps.foldSnapshot(src, out, ckpt)
+    val second = KafkaLogOps.readSnapshot(spark, out)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(second.count(_._1 == 3) == 1 &&
+      second.find(_._1 == 3).get._2 == "fresh")
+    assert(second.filter(_._1 != 3) == first.toSeq.filter(_._1 != 3),
+      "untouched keys must survive the restart fold unchanged")
+  }
+
   test("AvailableNow trigger drains the log under admission control") {
     val dir = tmp("availnow"); fixture(dir)
     spark.catalog.dropTempView("kl_now")
