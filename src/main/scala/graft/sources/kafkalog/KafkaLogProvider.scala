@@ -61,7 +61,11 @@ class KafkaLogTable(properties: Map[String, String]) extends Table with Supports
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val opts = options.asScala.toMap
+    // SQL catalog tables (`CREATE TABLE ... USING kafkalog OPTIONS (...)`)
+    // deliver their OPTIONS as table properties, not scan options — merge
+    // them under the read-time options so both surfaces behave alike.
+    val opts = properties.map { case (k, v) => k.toLowerCase -> v } ++
+      options.asScala.map { case (k, v) => k.toLowerCase -> v }
     new ScanBuilder {
       override def build(): Scan = new KafkaLogScan(
         opts.getOrElse("path", dir),

@@ -274,6 +274,51 @@ class KafkaLogSourceSpec extends SparkSpec {
       "untouched keys must survive the restart fold unchanged")
   }
 
+  test("pure SQL can DDL and query a kafkalog table") {
+    val dir = tmp("sql"); fixture(dir)
+    spark.sql("DROP TABLE IF EXISTS klog_sql")
+    spark.sql(s"CREATE TABLE klog_sql USING kafkalog OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM klog_sql WHERE partition = 1").head().getLong(0)
+      assert(n == 20)
+      // options travel through SQL too: bounded read via table options
+      spark.sql("DROP TABLE IF EXISTS klog_sql_lim")
+      spark.sql(
+        s"CREATE TABLE klog_sql_lim USING kafkalog OPTIONS (path '$dir', `limit` '5')")
+      assert(spark.sql("SELECT count(*) AS n FROM klog_sql_lim").head().getLong(0) == 15)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS klog_sql")
+      spark.sql("DROP TABLE IF EXISTS klog_sql_lim")
+    }
+  }
+
+  test("offset-range resolution: explicit beats sentinel, unlisted falls to extreme") {
+    import graft.sources.kafkalog.OffsetRangeSpec
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check => scCheck, Parameters}
+    val span = for {
+      head <- Gen.chooseNum(0L, 1000000L)
+      len <- Gen.chooseNum(0L, 1000000L)
+    } yield (head, head + len)
+    val spec = for {
+      listed <- Gen.mapOf(Gen.zip(Gen.chooseNum(0, 8),
+        Gen.oneOf(Gen.chooseNum(0L, 2000000L), Gen.const(-1L), Gen.const(-2L))))
+      dflt <- Gen.oneOf(OffsetRangeSpec.Earliest, OffsetRangeSpec.Latest)
+    } yield OffsetRangeSpec(listed, dflt)
+    val prop = Prop.forAll(spec, Gen.chooseNum(0, 8), span) { case (s, p, (head, end)) =>
+      val r = s.resolve(p, head, end)
+      s.offsets.get(p) match {
+        case Some(-2L) => r == head
+        case Some(-1L) => r == end
+        case Some(o) => r == o
+        case None => r == (if (s.default == OffsetRangeSpec.Earliest) head else end)
+      }
+    }
+    val res = scCheck(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("AvailableNow trigger drains the log under admission control") {
     val dir = tmp("availnow"); fixture(dir)
     spark.catalog.dropTempView("kl_now")
