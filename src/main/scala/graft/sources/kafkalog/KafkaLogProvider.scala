@@ -29,9 +29,10 @@ import scala.jdk.CollectionConverters._
   *
   * Supported options: `path` (the log dir), `maxOffsetsPerTrigger`
   * (per-micro-batch admission cap in offset units, distributed across
-  * partitions proportionally to lag — Kafka's policy). Streams always
-  * start from the earliest retained offset, exactly like the reference's
-  * whole-topic re-read.
+  * partitions proportionally to lag — Kafka's policy), `partitions`
+  * (comma-separated subset to read, Kafka's `assign`; applies to batch
+  * and streaming). Streams always start from the earliest retained
+  * offset, exactly like the reference's whole-topic re-read.
   *
   * Batch reads additionally accept the Kafka source's bounded-range
   * options: `startingOffsets` (`"earliest"` | per-partition JSON
@@ -74,7 +75,9 @@ class KafkaLogTable(properties: Map[String, String]) extends Table with Supports
           default = OffsetRangeSpec.Earliest),
         OffsetRangeSpec.parse("endingOffsets", opts.get("endingoffsets"),
           default = OffsetRangeSpec.Latest),
-        opts.get("limit").map(_.toLong).filter(_ >= 0))
+        opts.get("limit").map(_.toLong).filter(_ >= 0),
+        // Kafka's `assign`: read only these partitions (batch AND stream)
+        opts.get("partitions").map(_.split(",").map(_.trim.toInt).toSet))
     }
   }
 }
@@ -120,13 +123,14 @@ object OffsetRangeSpec {
 class KafkaLogScan(dir: String, maxOffsetsPerTrigger: Option[Long],
     startingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Earliest),
     endingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Latest),
-    recordLimit: Option[Long] = None) extends Scan {
+    recordLimit: Option[Long] = None,
+    assigned: Option[Set[Int]] = None) extends Scan {
   override def readSchema(): StructType = KafkaLog.schema
   override def description(): String = s"kafkalog $dir"
   override def toBatch: Batch =
-    new KafkaLogBatch(dir, startingOffsets, endingOffsets, recordLimit)
+    new KafkaLogBatch(dir, startingOffsets, endingOffsets, recordLimit, assigned)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaLogMicroBatchStream(dir, maxOffsetsPerTrigger)
+    new KafkaLogMicroBatchStream(dir, maxOffsetsPerTrigger, assigned)
 }
 
 /** Map of partition → next-offset-to-read, the stream's position. JSON is
@@ -161,9 +165,12 @@ case class KafkaLogInputPartition(partition: Int, start: Long, end: Long,
 class KafkaLogBatch(dir: String,
     startingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Earliest),
     endingOffsets: OffsetRangeSpec = OffsetRangeSpec(Map.empty, OffsetRangeSpec.Latest),
-    recordLimit: Option[Long] = None) extends Batch {
+    recordLimit: Option[Long] = None,
+    assigned: Option[Set[Int]] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    KafkaLog.listPartitions(dir).map { case (p, segs) =>
+    KafkaLog.listPartitions(dir)
+      .filter { case (p, _) => assigned.forall(_.contains(p)) }
+      .map { case (p, segs) =>
       // Whole-log reads (no explicit boundaries) skip the head/tail
       // probes entirely — the reader's own span logic handles it.
       val whole = startingOffsets.offsets.isEmpty && endingOffsets.offsets.isEmpty &&
@@ -186,16 +193,19 @@ class KafkaLogBatch(dir: String,
   override def createReaderFactory(): PartitionReaderFactory = KafkaLogReaderFactory
 }
 
-class KafkaLogMicroBatchStream(dir: String, maxOffsetsPerTrigger: Option[Long])
+class KafkaLogMicroBatchStream(dir: String, maxOffsetsPerTrigger: Option[Long],
+    assigned: Option[Set[Int]] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // Per-trigger discovery (listing + head/tail reads, never a full scan),
   // so records appended between triggers are picked up — the log behaves
   // like a live topic, not a frozen snapshot.
   private def discover(): Seq[(Int, Seq[String], Long, Long)] =
-    KafkaLog.listPartitions(dir).map { case (p, segs) =>
-      (p, segs, KafkaLog.headOffset(segs), KafkaLog.endOffset(segs))
-    }
+    KafkaLog.listPartitions(dir)
+      .filter { case (p, _) => assigned.forall(_.contains(p)) }
+      .map { case (p, segs) =>
+        (p, segs, KafkaLog.headOffset(segs), KafkaLog.endOffset(segs))
+      }
 
   override def initialOffset(): Offset =
     KafkaLogOffset(discover().map { case (p, _, head, _) => p -> head }.toMap)

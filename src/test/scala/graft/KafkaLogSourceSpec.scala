@@ -319,6 +319,23 @@ class KafkaLogSourceSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("partitions option assigns a subset, batch and streaming") {
+    val dir = tmp("assign"); fixture(dir)
+    val batch = spark.read.format("kafkalog")
+      .option("partitions", "0, 2")
+      .load(dir).as[(Int, Long, String)].collect()
+    assert(batch.length == 40 && batch.map(_._1).toSet == Set(0, 2))
+    spark.catalog.dropTempView("kl_assign")
+    val q = spark.readStream.format("kafkalog")
+      .option("partitions", "1")
+      .option("maxOffsetsPerTrigger", 7)
+      .load(dir)
+      .writeStream.format("memory").queryName("kl_assign").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("kl_assign").as[(Int, Long, String)].collect()
+    assert(streamed.length == 20 && streamed.forall(_._1 == 1))
+  }
+
   test("AvailableNow trigger drains the log under admission control") {
     val dir = tmp("availnow"); fixture(dir)
     spark.catalog.dropTempView("kl_now")
