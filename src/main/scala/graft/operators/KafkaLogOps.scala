@@ -137,32 +137,70 @@ object KafkaLogOps {
 
   /** Drain a streaming `(id, msg, version)` frame into a JSON-lines
     * snapshot directory, folding each micro-batch's delta into the
-    * previous on-disk snapshot — the snapshot dir IS the state (read →
-    * union → latest-wins → localCheckpoint to cut lineage → overwrite).
-    * Per-batch cost is |keys| + |delta|; restartable from `ckpt` (a
-    * replayed batch re-folds idempotently: latest-wins is max-by).
+    * previous on-disk snapshot — the snapshot dir IS the state.
+    *
+    * Crash-safety: the fold never overwrites the generation it reads.
+    * Each batch writes a NEW `gen-<batchId>` dir (Spark's committer
+    * drops `_SUCCESS` on completion), and readers resolve the highest
+    * generation WITH a `_SUCCESS` marker — a crash mid-write leaves an
+    * uncommitted gen that readers skip, so some complete snapshot is
+    * visible at every instant. This strictly improves on the
+    * reference's delete-then-rewrite (`HadoopKafkaConsumer.java:92-101`),
+    * whose crash window loses the snapshot and forces its whole-topic
+    * re-read; here the checkpoint replays only the torn batch, which
+    * rewrites its gen idempotently (latest-wins is max-by, and batch
+    * ids are stable across restarts). Older gens are deleted only
+    * after the new one commits. Per-batch cost is |keys| + |delta|.
     */
   def foldSnapshot(src: DataFrame, out: String, ckpt: String): Unit = {
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
-        val prev = sess.read.schema(snapSchema).json(out)
-        val merged = Ingest.latestWins(
-          prev.unionByName(batch.select("id", "msg", "version")),
-          keys = Seq("id"), version = Seq("version"))
-          .localCheckpoint() // materialize BEFORE overwriting its input files
-        merged
-          .select(to_json(struct(col("id"), col("msg"), col("version")))
-            .as("value"))
-          .write.mode("overwrite").text(out)
+        val done = committedGens(out)
+        // crash landed between gen commit and checkpoint commit: the
+        // replayed batch is already folded — never read-and-overwrite
+        // the same gen
+        if (!done.contains(batchId)) {
+          val prev = readSnapshot(sess, out)
+          Ingest.latestWins(
+              prev.unionByName(batch.select("id", "msg", "version")),
+              keys = Seq("id"), version = Seq("version"))
+            .select(to_json(struct(col("id"), col("msg"), col("version")))
+              .as("value"))
+            .write.mode("overwrite").text(s"$out/gen-$batchId")
+        }
+        // the gen for this batch is committed — drop superseded gens
+        val f = KafkaLog.fs(out)
+        committedGens(out).filter(_ < batchId).foreach { g =>
+          f.delete(new Path(s"$out/gen-$g"), true)
+        }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Batch ids of generations whose write committed (`_SUCCESS`). */
+  private def committedGens(out: String): Seq[Long] = {
+    val f = KafkaLog.fs(out)
+    val base = new Path(out)
+    if (!f.exists(base)) return Seq.empty
+    f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("gen-").toLong)
+      .sorted
+  }
+
+  /** The latest COMMITTED snapshot generation (empty frame before the
+    * first commit — or when every present gen is torn).
+    */
   def readSnapshot(s: SparkSession, out: String): DataFrame =
-    s.read.schema(snapSchema).json(out)
+    committedGens(out).lastOption match {
+      case Some(g) => s.read.schema(snapSchema).json(s"$out/gen-$g")
+      case None => s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+    }
 
   private val upsertOracle =
     """SELECT user_id AS id, arg_max(event_type, event_id) AS msg,

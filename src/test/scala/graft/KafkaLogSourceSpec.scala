@@ -265,6 +265,14 @@ class KafkaLogSourceSpec extends SparkSpec {
     val v = new String(java.util.Base64.getEncoder.encode(
       """{"id":3,"msg":"fresh"}""".getBytes("UTF-8")))
     Files.writeString(Paths.get(s"$dir/p=0/seg-zz.txt"), s"900\t$v\n")
+    // a TORN generation (crash mid-write: dir exists, no _SUCCESS) must
+    // be invisible to readers and healed by the next fold
+    Files.createDirectories(Paths.get(s"$out/gen-999"))
+    Files.writeString(Paths.get(s"$out/gen-999/part-torn.txt"),
+      """{"id":99,"msg":"torn","version":1}""" + "\n")
+    assert(!KafkaLogOps.readSnapshot(spark, out)
+      .as[(Long, String, Long)].collect().exists(_._1 == 99),
+      "uncommitted generation must not be readable state")
     KafkaLogOps.foldSnapshot(src, out, ckpt)
     val second = KafkaLogOps.readSnapshot(spark, out)
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
@@ -272,6 +280,7 @@ class KafkaLogSourceSpec extends SparkSpec {
       second.find(_._1 == 3).get._2 == "fresh")
     assert(second.filter(_._1 != 3) == first.toSeq.filter(_._1 != 3),
       "untouched keys must survive the restart fold unchanged")
+    assert(!second.exists(_._1 == 99), "torn gen must not leak into the fold")
   }
 
   test("pure SQL can DDL and query a kafkalog table") {
