@@ -689,6 +689,44 @@ object CorpusOps {
              |ORDER BY exact_cnt DESC, term ASC LIMIT 25""".stripMargin)),
 
     GQuery(
+      "terms_approx_topk",
+      (s, dir) => {
+        // Spark 4's native mergeable heavy-hitters sketch
+        // (`approx_top_k`, DataSketches frequent-items under the hood),
+        // registered as an AGREEMENT query like terms_cms_topk: exact
+        // top-25 bigram counts are the hash-verified payload, the sketch
+        // estimate rides along as the one-sided invariant flag
+        // est >= exact (frequent-items estimates never undercount; an
+        // item purged from the sketch entirely would surface as a null →
+        // flag false → hash mismatch). maxItemsTracked=4096 is sized
+        // over this corpus's bigram vocabulary so no purge occurs and
+        // the sketch is exact; at a 100 TB vocabulary the same plan
+        // ships a CONSTANT-size sketch per partition instead of the
+        // per-term exchange the exact path pays — that is the point of
+        // the surface, and the flag is the part that stays guaranteed.
+        val terms = docs(s, dir)
+          .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+        val est = terms
+          .agg(expr("approx_top_k(term, 25, 4096)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("term"),
+            col("e.count").cast("long").as("est_cnt"))
+        val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(desc("exact_cnt"), asc("term")).limit(25)
+        exact.join(est, Seq("term"), "left")
+          .select(col("term"), col("exact_cnt"),
+            (col("est_cnt").isNotNull && col("est_cnt") >= col("exact_cnt"))
+              .as("est_ge_exact"))
+          .orderBy(desc("exact_cnt"), asc("term"))
+      },
+      Some("""WITH t AS (SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS term
+             |           FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |                 FROM documents))
+             |SELECT term, count(*) AS exact_cnt, true AS est_ge_exact
+             |FROM t GROUP BY term
+             |ORDER BY exact_cnt DESC, term ASC LIMIT 25""".stripMargin)),
+
+    GQuery(
       "docs_token_quantiles",
       (s, dir) => {
         // EXACT type-1 (discrete) percentiles of per-doc token counts:

@@ -36,6 +36,25 @@ object Layout {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Overwrite ONLY the partitions present in `df`, leaving every other
+    * partition directory untouched (dynamic partition overwrite). This is
+    * the backfill primitive at scale: re-deriving one bad day of a
+    * date-partitioned 100 TB table must rewrite that day's directory, not
+    * truncate the table the way static-overwrite-with-partitionBy does.
+    * The session conf is flipped only around this write and restored.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Cluster rows inside each output file on `sortCols` (without a global
     * sort): parquet row-group min/max stats then prune on those columns
     * at read time even when the value isn't a directory partition.

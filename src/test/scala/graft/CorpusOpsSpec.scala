@@ -80,6 +80,25 @@ class CorpusOpsSpec extends SparkSpec {
       s"mean overcount $meanOver exceeds 2N/w = ${2.0 * n / 256.0}")
   }
 
+  test("approx_top_k sketch is exact when tracked items cover the vocabulary") {
+    // the registered terms_approx_topk query relies on this: with
+    // maxItemsTracked sized over the bigram vocab the frequent-items
+    // sketch never purges, so est == exact on every top-k row (the
+    // weaker est >= exact flag is what survives purging at real scale)
+    val terms = Tables.t(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.ngrams(
+        graft.operators.TextOps.tokens(col("text")), 2)).as("term"))
+    val est = terms.agg(expr("approx_top_k(term, 25, 4096)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").cast("long").as("est"))
+      .as[(String, Long)].collect().toMap
+    val exact = terms.groupBy("term").count().as[(String, Long)].collect().toMap
+    assert(est.nonEmpty && est.size <= 25)
+    est.foreach { case (t, e) =>
+      assert(e == exact(t), s"$t: sketch $e != exact ${exact(t)} with no purge")
+    }
+  }
+
   test("approx token quantiles sit within 2 of exact percentiles") {
     val approx = CorpusOps.tokenQuantileSketch(
         Tables.t(spark, sf, "documents"), Seq(0.25, 0.5, 0.75, 0.95))

@@ -78,6 +78,33 @@ class LayoutSpec extends SparkSpec {
     assert(one.count() == ev.where(col("event_type") === "click").count())
   }
 
+  test("dynamic partition overwrite backfills ONE partition, leaving the rest intact") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_dpo").toString
+    val ev = Tables.t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    Layout.writePartitioned(ev, dir, Seq("event_type"))
+    val before = spark.read.parquet(dir)
+    val untouchedBefore = before.where(col("event_type") =!= "click")
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    // backfill: re-derive ONLY the click partition with corrected rows
+    val fixed = ev.where(col("event_type") === "click")
+      .withColumn("user_id", col("user_id") + 1000000L)
+    Layout.overwritePartitions(fixed, dir, Seq("event_type"))
+    val after = spark.read.parquet(dir)
+    // target partition: replaced (not appended), carrying the fix
+    val clicks = after.where(col("event_type") === "click")
+    assert(clicks.count() == fixed.count(), "backfilled partition must be replaced, not appended")
+    assert(clicks.where(col("user_id") < 1000000L).count() == 0,
+      "old rows must be gone from the backfilled partition")
+    // every other partition: byte-for-byte the same row set
+    val untouchedAfter = after.where(col("event_type") =!= "click")
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(untouchedAfter == untouchedBefore,
+      "dynamic overwrite must not touch sibling partitions")
+    // and the conf flip is restored after the write
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .toLowerCase != "dynamic", "conf flip must be scoped to the write")
+  }
+
   test("clustered write carries sorted row groups (min/max prune-able)") {
     val dir = java.nio.file.Files.createTempDirectory("layout_clust").toString
     val ord = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
