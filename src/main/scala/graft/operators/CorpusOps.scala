@@ -706,8 +706,15 @@ object CorpusOps {
         // the surface, and the flag is the part that stays guaranteed.
         val terms = docs(s, dir)
           .select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 2)).as("term"))
+        // the sketch shortlist is asked for 200 items, NOT 25: at a tied
+        // count spanning the rank-25 boundary the sketch's own top-25
+        // breaks the tie by ITS ordering, which can exclude the item the
+        // exact (count desc, term asc) cut keeps — at sf0.1 this dropped
+        // a 330-count bigram tied with rank 24 and nulled its flag. A
+        // wide shortlist makes the join immune to any tie narrower than
+        // 175 items; the exact side still takes the deterministic cut.
         val est = terms
-          .agg(expr("approx_top_k(term, 25, 4096)").as("tk"))
+          .agg(expr("approx_top_k(term, 200, 4096)").as("tk"))
           .select(explode(col("tk")).as("e"))
           .select(col("e.item").as("term"),
             col("e.count").cast("long").as("est_cnt"))
