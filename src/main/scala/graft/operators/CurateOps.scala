@@ -234,6 +234,46 @@ object CurateOps {
              |                     ORDER BY ts, event_id) AS rn
              |           FROM b)
              |SELECT user_id, bucket, event_id
-             |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin))
+             |FROM r WHERE rn = 1 ORDER BY user_id, bucket""".stripMargin)),
+
+    GQuery(
+      "text_normalize_unicode",
+      (s, dir) => {
+        // UNICODE canonicalization gate (custom codegen Expression
+        // functions/NormalizeText): the same logical word is planted in
+        // both precomposed (U+00E9) and combining-mark (e + U+0301)
+        // encodings by doc_id residue; NFC must COLLAPSE the two
+        // variants (one output row where the raw strings were two), and
+        // accent folding must further map them onto the plain-ASCII
+        // form. The oracle recomputes with DuckDB's independent
+        // utf8proc-based nfc_normalize/strip_accents, so the hash match
+        // is a genuine cross-library differential on Unicode semantics,
+        // not a round trip. Map-only + one tiny aggregate; the
+        // expression's ASCII fast path (one byte==char count compare,
+        // no Normalizer call) is what a 100 TB mostly-ASCII corpus
+        // actually executes.
+        graft.functions.NormalizeText.register(s)
+        val d = col("doc_id")
+        val raw = when(d % 4 === 0, lit("caf\u00e9")) // precomposed U+00E9
+          .when(d % 4 === 1, lit("cafe\u0301")) // e + combining acute U+0301
+          .when(d % 4 === 2, lit("\u00fcber"))
+          .otherwise(lit("na\u00efve"))
+        Tables.t(s, dir, "documents")
+          .select(raw.as("w"))
+          .select(expr("normalize_text(w, false)").as("nfc_form"),
+            expr("normalize_text(w, true)").as("folded"))
+          .groupBy("nfc_form", "folded")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("nfc_form", "folded")
+      },
+      Some("""WITH w AS (SELECT CASE WHEN doc_id % 4 = 0 THEN 'café'
+             |                       WHEN doc_id % 4 = 1 THEN 'cafe' || chr(769)
+             |                       WHEN doc_id % 4 = 2 THEN 'über'
+             |                       ELSE 'naïve' END AS w
+             |  FROM documents)
+             |SELECT nfc_normalize(w) AS nfc_form,
+             |       strip_accents(nfc_normalize(w)) AS folded,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
