@@ -103,6 +103,63 @@ object Layout {
     * shuffle — into a temp dir, then an atomic-enough swap via rename.
     * Returns (filesBefore, filesAfter).
     */
+  /** Targeted DELETE with file-level pruning: remove the rows matching
+    * `pred` by rewriting ONLY the parquet files that contain such rows
+    * (the right-to-erasure / bad-record purge primitive). Two phases:
+    *
+    *  1. prune — scan `_metadata.file_path` under the predicate; parquet
+    *     row-group stats let the pushed-down predicate skip clean files'
+    *     data pages, and the collected hit-list is metadata-sized (file
+    *     paths, not rows);
+    *  2. rewrite — re-read just the hit files, keep rows where the
+    *     predicate is NOT true (false OR null survives — SQL DELETE
+    *     semantics), write them aside, then swap: unlink the hit files
+    *     and move the rewrites in.
+    *
+    * At 100 TB the cost is proportional to the files the target rows
+    * live in, not the table: deleting one user from a table range-
+    * laid-out on user keys touches a handful of files (LayoutSpec
+    * asserts exactly this). The swap is per-file rename, not atomic
+    * across files — same exposure class as [[compact]]; a reader racing
+    * the swap can see a hit file already gone before its rewrite lands.
+    * Returns (filesRewritten, filesTotal, rowsDeleted).
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val all = parquetFiles(new java.io.File(dir))
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val hit = spark.read.parquet(dir)
+      .where(pred)
+      .select(col("_metadata.file_path").as("f"))
+      .distinct().collect().map(r => localPath(r.getString(0))).toSeq.sorted
+    if (hit.isEmpty) return (0, all.size, 0L)
+    val hitDf = spark.read.parquet(hit: _*)
+    val rowsBefore = hitDf.count()
+    val tmp = dir + ".delete_tmp"
+    hitDf.where(not(coalesce(pred, lit(false))))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val rowsKept = spark.read.parquet(tmp).count()
+    hit.foreach { p =>
+      val f = new java.io.File(p)
+      require(f.delete(), s"could not unlink $p")
+    }
+    val tmpF = new java.io.File(tmp)
+    parquetFiles(tmpF).foreach { f =>
+      require(f.renameTo(new java.io.File(dir, "del-" + f.getName)),
+        s"could not move ${f.getName} into $dir")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(tmpF)
+    (hit.size, all.size, rowsBefore - rowsKept)
+  }
+
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
     def parquetFiles(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)

@@ -105,6 +105,50 @@ class LayoutSpec extends SparkSpec {
       .toLowerCase != "dynamic", "conf flip must be scoped to the write")
   }
 
+  test("deleteWhere rewrites only the files holding target rows; others untouched on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_del").toString + "/t"
+    val ev = Tables.t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    // range layout on user_id → each file covers a user range, so one
+    // user's rows live in exactly one file (the pruning showcase)
+    ev.repartitionByRange(8, col("user_id"))
+      .write.parquet(dir)
+    val victim = ev.select(min("user_id")).collect()(0).getLong(0)
+    val expectDeleted = ev.where(col("user_id") === victim).count()
+    assert(expectDeleted > 0)
+    val mtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val (rewritten, total, deleted) =
+      Layout.deleteWhere(spark, dir, col("user_id") === victim)
+    assert(total == 8 && rewritten == 1,
+      s"range layout must confine the victim to 1 of 8 files, got $rewritten/$total")
+    assert(deleted == expectDeleted)
+    val after = spark.read.parquet(dir)
+    assert(after.where(col("user_id") === victim).count() == 0, "target rows must be gone")
+    assert(after.count() == ev.count() - expectDeleted, "non-target rows must survive")
+    // the 7 clean files are the SAME bytes on disk, not rewrites
+    val untouched = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && mtimes.contains(f.getName))
+    assert(untouched.length == 7)
+    untouched.foreach(f => assert(f.lastModified() == mtimes(f.getName),
+      s"${f.getName} was rewritten but holds no target rows"))
+  }
+
+  test("deleteWhere with no matches is a no-op; null predicate rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_del0").toString + "/t"
+    import spark.implicits._
+    Seq((1L, Some("a")), (2L, None), (3L, Some("x"))).toDF("id", "tag")
+      .coalesce(1).write.parquet(dir)
+    val (r0, t0, d0) = Layout.deleteWhere(spark, dir, col("tag") === "zzz")
+    assert((r0, d0) == ((0, 0L)) && t0 >= 1)
+    // DELETE WHERE tag = 'x': the null-tag row must SURVIVE (predicate
+    // evaluates null, not true — SQL delete semantics)
+    val (_, _, d1) = Layout.deleteWhere(spark, dir, col("tag") === "x")
+    assert(d1 == 1L)
+    val left = spark.read.parquet(dir).select("id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(1L, 2L))
+  }
+
   test("clustered write carries sorted row groups (min/max prune-able)") {
     val dir = java.nio.file.Files.createTempDirectory("layout_clust").toString
     val ord = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
