@@ -39,9 +39,30 @@ object IncrOps {
     * query — here made durable across jobs.
     */
   def mergePartials(base: DataFrame, delta: DataFrame): DataFrame =
-    base.unionByName(delta)
+    mergePartials(Seq(base, delta))
+
+  /** N-ary merge: ONE union + ONE hash aggregate however many partial
+    * sets combine (a fold of pairwise merges would stack an aggregation
+    * exchange per step).
+    */
+  def mergePartials(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
       .groupBy("month")
       .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+
+  /** Partial aggregates of the orders ⋈ lineitem join, keyed by order
+    * month: additive (count, cents) over the JOIN rows — the maintained
+    * state of an incremental join view. Same column names as
+    * [[monthlyPartials]] so [[mergePartials]] merges either kind.
+    */
+  def joinMonthlyPartials(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_orderdate"))
+      .join(lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
 
   val all: Seq[GQuery] = Seq(
 
@@ -78,6 +99,46 @@ object IncrOps {
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_cents
              |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "join_incremental_refresh",
+      (s, dir) => {
+        // INCREMENTAL JOIN-VIEW MAINTENANCE: the maintained view is a
+        // monthly rollup over orders ⋈ lineitem, and BOTH base tables
+        // grow. With A = A0 ∪ dA and B = B0 ∪ dB the join distributes:
+        //   A ⋈ B = (A0⋈B0) ∪ (A0⋈dB) ∪ (dA⋈B0) ∪ (dA⋈dB)
+        // so the refresh merges the stored A0⋈B0 partials with THREE
+        // delta terms and never re-joins the old×old quadrant — at
+        // scale that term dominates (|A0|·|B0| history) while every
+        // delta term is bounded by a delta side. The oracle is the
+        // full-history join recomputed from scratch: the hash match IS
+        // the algebraic identity. The old×delta terms still shuffle the
+        // old side's keys; the production mitigation is bucketing both
+        // tables on the join key (LayoutSpec's zero-exchange bucketed
+        // join), making each term's exchange delta-only.
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.t(s, dir, "orders")
+        val l = Tables.t(s, dir, "lineitem")
+        val (o0, dO) = (o.where(col("o_orderdate") < cut),
+          o.where(col("o_orderdate") >= cut))
+        val (l0, dL) = (l.where(col("l_shipdate") < cut),
+          l.where(col("l_shipdate") >= cut))
+        val refreshed = mergePartials(Seq(
+          joinMonthlyPartials(o0, l0), // the stored view state
+          joinMonthlyPartials(o0, dL),
+          joinMonthlyPartials(dO, l0),
+          joinMonthlyPartials(dO, dL)))
+        refreshed.select(
+            date_format(col("month"), "yyyy-MM").as("month"),
+            col("n_orders").as("n_rows"),
+            col("cents").as("revenue_cents"))
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -50,6 +50,26 @@ class IncrOpsSpec extends SparkSpec {
     assert(rows(folded) == rows(full), "left-fold of deltas diverges")
   }
 
+  test("join-view refresh: four quadrants merge to the full join, quadrant rows are disjoint") {
+    val l = Tables.t(spark, sf, "lineitem")
+    val cut = lit("1996-03-01").cast("timestamp")
+    val (o0, dO) = (orders.where(col("o_orderdate") < cut),
+      orders.where(col("o_orderdate") >= cut))
+    val (l0, dL) = (l.where(col("l_shipdate") < cut),
+      l.where(col("l_shipdate") >= cut))
+    val quadrants = Seq(
+      IncrOps.joinMonthlyPartials(o0, l0), IncrOps.joinMonthlyPartials(o0, dL),
+      IncrOps.joinMonthlyPartials(dO, l0), IncrOps.joinMonthlyPartials(dO, dL))
+    val full = IncrOps.joinMonthlyPartials(orders, l)
+    assert(rows(IncrOps.mergePartials(quadrants)) == rows(full),
+      "A⋈B must equal the union of its four cut quadrants")
+    // disjointness: total join rows = sum of quadrant rows (no pair
+    // double-classified by the (order-side, line-side) cut)
+    val quadRows = quadrants.map(_.agg(sum("n_orders")).collect()(0).getLong(0)).sum
+    val fullRows = full.agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(quadRows == fullRows)
+  }
+
   test("merging an empty delta is a no-op") {
     val empty = IncrOps.monthlyPartials(orders.where(lit(false)))
     assert(rows(IncrOps.mergePartials(full, empty)) == rows(full))
