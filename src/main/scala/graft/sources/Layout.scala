@@ -160,6 +160,45 @@ object Layout {
     (hit.size, all.size, rowsBefore - rowsKept)
   }
 
+  /** Build a secondary (key → file) inverted index next to a parquet
+    * directory: one row per DISTINCT (key, file) pair. Point lookups on
+    * a non-layout column then open only the files that contain the key
+    * ([[lookupViaIndex]]), where row-group min/max stats are useless
+    * (a hash-distributed key spans every file's min/max range).
+    *
+    * Size at 100 TB: Σ per-file distinct keys — orders of magnitude
+    * under the data, and itself a parquet table, so it shards/prunes
+    * like any other (production would partition it by key hash). The
+    * index is a snapshot: rebuild after rewrites (compact/deleteWhere),
+    * like any secondary index.
+    */
+  def buildFileIndex(spark: SparkSession, dir: String, keyCol: String): String = {
+    val idxDir = s"$dir.idx_$keyCol"
+    spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.col(keyCol).as("k"),
+        org.apache.spark.sql.functions.col("_metadata.file_path").as("f"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(idxDir)
+    idxDir
+  }
+
+  /** Point lookup through [[buildFileIndex]]'s index: resolve the files
+    * holding `value` (a metadata-sized read), then scan ONLY those. An
+    * absent key reads zero data files.
+    */
+  def lookupViaIndex(spark: SparkSession, dir: String, keyCol: String,
+      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val files = spark.read.parquet(s"$dir.idx_$keyCol")
+      .where(col("k") === lit(value)).select("f")
+      .distinct().collect().map(r => localPath(r.getString(0)))
+    if (files.isEmpty)
+      spark.read.parquet(dir).where(lit(false)) // schema-only, no file reads at run
+    else spark.read.parquet(files.toIndexedSeq: _*).where(col(keyCol) === lit(value))
+  }
+
   def compact(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
     def parquetFiles(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)

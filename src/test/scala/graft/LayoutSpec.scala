@@ -134,6 +134,32 @@ class LayoutSpec extends SparkSpec {
       s"${f.getName} was rewritten but holds no target rows"))
   }
 
+  test("file index routes a point lookup to only the files holding the key") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_idx").toString + "/t"
+    val ev = Tables.t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    // hash-distribute on event_id so user_id values SPAN files: min/max
+    // row-group stats cannot prune this lookup — the index is the only
+    // thing that can
+    ev.repartition(8, col("event_id")).write.parquet(dir)
+    Layout.buildFileIndex(spark, dir, "user_id")
+    val someUser = ev.select(min("user_id")).collect()(0).getLong(0)
+    val got = Layout.lookupViaIndex(spark, dir, "user_id", someUser)
+    val expect = ev.where(col("user_id") === someUser)
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.agg(sum("event_id")).collect()(0).getLong(0) ==
+      expect.agg(sum("event_id")).collect()(0).getLong(0))
+    // the lookup's scan lists EXACTLY the indexed files for this key —
+    // the plan's file index says how many paths the scan can ever open
+    val idxFiles = spark.read.parquet(s"$dir.idx_user_id")
+      .where(col("k") === someUser).select("f").distinct().count()
+    val scanned = got.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString
+    assert(scanned.contains(s"InMemoryFileIndex($idxFiles paths)"),
+      s"scan must open the $idxFiles indexed files only, got:\n$scanned")
+    // absent key: zero rows without touching data files
+    assert(Layout.lookupViaIndex(spark, dir, "user_id", -1L).count() == 0)
+  }
+
   test("deleteWhere with no matches is a no-op; null predicate rows survive") {
     val dir = java.nio.file.Files.createTempDirectory("layout_del0").toString + "/t"
     import spark.implicits._
