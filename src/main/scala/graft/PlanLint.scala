@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Mechanical plan-quality audit over the ENTIRE query registry: builds
+  * every registered query's physical plan and scans it for scale
+  * anti-patterns, so "the plans survive a 100× audit" is a reproducible
+  * command instead of a hand-review claim.
+  *
+  *   sbt "runMain graft.PlanLint"            # sf0.001 (plan shape only)
+  *
+  * Hard failures (exit 2):
+  *  - CartesianProduct — an unkeyed all-pairs join is never acceptable;
+  *    every intended pair scan in this engine is bucketed/banded/blocked.
+  *
+  * Reported (not fatal — each instance in this registry is deliberate and
+  * its justification lives at the query's definition):
+  *  - BroadcastNestedLoopJoin: legitimate when one side is a 1-row
+  *    aggregate (grand totals, test statistics) or a tiny bounded band
+  *    list; the count is printed so a NEW unexplained instance shows up
+  *    in review diffs.
+  *  - single-partition exchanges (global sorts excluded): usually an
+  *    empty-partition window; legitimate only on provably small inputs.
+  *
+  * Streaming differentials are skipped: their `run` EXECUTES the stream
+  * (their plan story is in PLANS.md / the streaming specs), and iterative
+  * graph queries execute driver rounds at plan-build time — lint runs at
+  * sf0.001 where that costs seconds. Plan SHAPE (the join/exchange/scan
+  * tree) is what this audit checks, and that is scale-factor-independent;
+  * size-driven strategy choices (broadcast vs SMJ) are pinned by the
+  * dedicated plan tests at realistic sizes instead.
+  */
+object PlanLint {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val skip = (n: String) => n.startsWith("streaming_")
+    var cartesian = List.empty[String]
+    var bnlj = List.empty[String]
+    var singlePart = List.empty[String]
+    var errors = List.empty[(String, String)]
+    var checked = 0
+    SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
+      try {
+        val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+        checked += 1
+        if (plan.contains("CartesianProduct")) cartesian ::= q.name
+        if (plan.contains("BroadcastNestedLoopJoin")) bnlj ::= q.name
+        // SinglePartition exchanges that are NOT the final presentation
+        // sort (rangepartitioning handles ORDER BY)
+        if (plan.contains("Exchange SinglePartition")) singlePart ::= q.name
+      } catch {
+        case e: Throwable => errors ::= (q.name, e.toString.take(120))
+      }
+    }
+    println(s"[planlint] checked=$checked " +
+      s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
+      s"single_partition=${singlePart.size} errors=${errors.size}")
+    if (bnlj.nonEmpty)
+      println(s"[planlint] bnlj (deliberate 1-row/band broadcasts): " +
+        bnlj.sorted.mkString(", "))
+    if (singlePart.nonEmpty)
+      println(s"[planlint] single-partition exchanges: " +
+        singlePart.sorted.mkString(", "))
+    errors.foreach { case (n, e) => println(s"[planlint] ERROR $n: $e") }
+    if (cartesian.nonEmpty) {
+      println(s"[planlint] FATAL cartesian products: ${cartesian.sorted.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
+    if (errors.nonEmpty) { spark.stop(); sys.exit(3) }
+    spark.stop()
+  }
+}
