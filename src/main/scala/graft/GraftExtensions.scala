@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, Md5GramHashes, RollingHashGrams, SimHash32, SquaredL2, WindowMin, WordGramHashes}
+import graft.functions.{CosineSimilarity, DotProduct, InterleaveBits, JaroWinkler, Md5GramHashes, NormalizeText, RollingHashGrams, SimHash32, SquaredL2, WindowMin, WordGramHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs(0),
+        exprs(1).eval().asInstanceOf[Boolean])))
     e.injectFunction((
       FunctionIdentifier("squared_l2"),
       new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),

@@ -149,6 +149,12 @@ class ScaleSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0)),
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2.0, 4.0))))
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+    // normalize_text rides the same deployment path
+    val (_, _, nb) = injected.find(_._1.funcName == "normalize_text").get
+    val ne = nb(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("café"),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(true)))
+    assert(ne.eval(null).toString == "cafe")
   }
 
   test("broadcast(dim) produces BroadcastHashJoin, fact side unshuffled") {
