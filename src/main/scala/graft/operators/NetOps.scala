@@ -62,8 +62,9 @@ object NetOps {
         import s.implicits._
         // DOMAIN-BLOCKLIST gate: drop every document whose crawl host is
         // a listed domain OR any subdomain of one. Hosts are derived
-        // deterministically from doc_id residues (registrable domain by
-        // %4, subdomain shape by %3), so the corpus contains exact hits
+        // deterministically from doc_id (registrable domain by
+        // (id div 7) % 4, subdomain shape by (id div 3) % 3), so the
+        // corpus contains exact hits
         // (badsite.net itself), subdomain hits (cdn.badsite.net,
         // tracker3.example.com), and near-misses that share a suffix
         // with no list entry (tracker1.example.com) — the differential
