@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object NetOps {
 
+  /** All >=2-label suffixes of a dotted host — the blocklist probe keys
+    * ("a.b.c.d" → ["a.b.c.d", "b.c.d", "c.d"]). A host is blocked iff
+    * any of these equals a blocklist entry, which is exactly
+    * host == d OR host endsWith "." + d (PropertySpec pins the
+    * equivalence over generated hosts/blocklists).
+    */
+  def hostSuffixes(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val labels = split(host, "\\.")
+    // the single-label guard matters: sequence(0, -1) would DESCEND and
+    // fabricate garbage suffixes for a bare TLD / empty host
+    when(size(labels) >= 2,
+      transform(
+        sequence(lit(0), size(labels) - 2),
+        i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Suffix-blocklist entries: a listed domain blocks the exact host and
     * every subdomain of it (host == d OR host ends with "." + d).
     */
@@ -93,10 +110,7 @@ object NetOps {
             .otherwise(lit("goodhost.org")))
         val docs = Tables.t(s, dir, "documents")
           .select(d, col("source"), host.as("host"))
-        val labels = split(col("host"), "\\.")
-        val suffixes = transform(
-          sequence(lit(0), size(labels) - 2),
-          i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+        val suffixes = hostSuffixes(col("host"))
         docs
           .select(d, col("source"), explode(suffixes).as("suffix"))
           .join(

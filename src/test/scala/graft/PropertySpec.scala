@@ -94,6 +94,101 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  /** Random dotted hosts over a tiny label pool (suffix collisions
+    * guaranteed) + a random blocklist from the same pool.
+    */
+  private val hostsAndBlocklist: Gen[(List[String], List[String])] = {
+    val label = Gen.oneOf("a", "bb", "c0", "dd", "e")
+    // hosts may be a bare 1-label TLD (exercises the empty-suffix guard);
+    // blocklist entries are registrable domains, always >= 2 labels
+    val host = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, label).map(_.mkString(".")))
+    val domain = Gen.chooseNum(2, 5).flatMap(n =>
+      Gen.listOfN(n, label).map(_.mkString(".")))
+    for {
+      hosts <- Gen.nonEmptyListOf(host).map(_.take(30))
+      bl <- Gen.nonEmptyListOf(domain).map(_.take(5).distinct)
+    } yield (hosts, bl)
+  }
+
+  property("hostSuffixes blocking == (host = d OR host endsWith .d) for any blocklist") =
+    forAll(hostsAndBlocklist) { case (hosts, bl) =>
+      import org.apache.spark.sql.functions.{array, arrays_overlap, col, lit}
+      val got = hosts.toDF("host")
+        .select(col("host"), arrays_overlap(
+          graft.operators.NetOps.hostSuffixes(col("host")),
+          array(bl.map(lit): _*)).as("blocked"))
+        .as[(String, Boolean)].collect().toMap
+      hosts.forall { h =>
+        val want = bl.exists(d => h == d || h.endsWith("." + d))
+        got(h) == want
+      }
+    }
+
+  /** CIDR containment: the one-division equality used by the /8-bucket
+    * join is exactly interval membership, for every prefix and address.
+    */
+  property("ip div 2^(32-p) == net div 2^(32-p)  <=>  net <= ip <= net+2^(32-p)-1") =
+    forAll(for {
+      p <- Gen.chooseNum(1, 32)
+      ip <- Gen.chooseNum(0L, (1L << 32) - 1)
+      raw <- Gen.chooseNum(0L, (1L << 32) - 1)
+    } yield (p, ip, raw)) { case (p, ip, raw) =>
+      val div = 1L << (32 - p)
+      val net = (raw / div) * div // aligned network address
+      val byDiv = ip / div == net / div
+      val byRange = ip >= net && ip <= net + div - 1
+      byDiv == byRange
+    }
+
+  /** Partial-aggregate merge: any K-way split of the rows merges to the
+    * direct aggregate (the incremental-refresh contract, generated form).
+    */
+  property("mergePartials over any split == direct monthly aggregate") =
+    forAll(for {
+      rows <- Gen.nonEmptyListOf(for {
+        m <- Gen.chooseNum(1, 4)
+        cents <- Gen.chooseNum(1L, 500L)
+      } yield (m, cents)).map(_.take(30))
+      cuts <- Gen.chooseNum(1, 3)
+    } yield (rows, cuts)) { case (rows, k) =>
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      def partials(rs: Seq[(Int, Long)]) =
+        rs.toDF("m", "c")
+          .select(org.apache.spark.sql.functions.make_date(lit(2020), col("m"), lit(1))
+            .cast("timestamp").as("month"), col("c"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_orders"), sum("c").as("cents"))
+      val parts = rows.grouped(math.max(1, rows.size / k)).map(partials).toSeq
+      val merged = graft.operators.IncrOps.mergePartials(parts)
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+      val direct = partials(rows)
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+      merged == direct
+    }
+
+  /** Unicode normalization: codegen path == interpreted helper, and both
+    * modes are idempotent, over strings mixing ASCII, precomposed and
+    * combining-mark forms.
+    */
+  property("normalize_text codegen == interpreted; idempotent in both modes") = {
+    graft.functions.NormalizeText.register(spark)
+    val piece = Gen.oneOf("abc", "caf\u00e9", "cafe\u0301", "\u00fc", "u\u0308",
+      "na\u00efve", " ", "x")
+    forAll(Gen.listOf(piece).map(_.take(12).mkString)) { s0 =>
+      Seq(false, true).forall { fold =>
+        import org.apache.spark.sql.functions.expr
+        val viaExpr = Seq(s0).toDF("w")
+          .select(expr(s"normalize_text(w, $fold)")).as[String].collect()(0)
+        val direct = graft.functions.NormalizeText.normalize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s0), fold).toString
+        val again = graft.functions.NormalizeText.normalize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(direct), fold).toString
+        viaExpr == direct && again == direct
+      }
+    }
+  }
+
   // Spark job per case — 10 cases hits plenty of collision/shuffle
   // variety with the 7-key space above
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
