@@ -210,6 +210,50 @@ object KafkaLogOps {
   val all: Seq[GQuery] = Seq(
 
     GQuery(
+      "streaming_kafkalog_duplex",
+      (s, dir) => {
+        // FULL-DUPLEX differential: the stream enters through the
+        // kafkalog SOURCE, the latest-wins upsert emits per-key updates,
+        // and the updates leave through the kafkalog SINK as a new
+        // topic (producer-style offset assignment, epoch-keyed
+        // exactly-once segment commits — KafkaLogSink). The OUTPUT
+        // topic is then read back and folded latest-wins; the oracle is
+        // the same batch arg_max as streaming_kafkalog_upsert, so any
+        // sink-side loss, duplication, or reorder that latest-wins
+        // cannot absorb fails the hash compare. This is the
+        // stream→transform→stream shape a production deployment runs
+        // between two topics, executed offline on Spark's real source
+        // AND sink machinery.
+        import s.implicits._
+        val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/duplex_out"
+        val f = KafkaLog.fs(out)
+        f.delete(new Path(out), true)
+        f.delete(new Path(out + ".ck"), true)
+        StreamingIngest.withStateShards(s, 8) {
+          val q = StreamingIngest.latestWinsUpdates(parsedGlobal(s, dir))
+            .select((col("id") % 4).cast("int").as("partition"),
+              col("version").as("offset"),
+              to_json(struct(col("id"), col("msg"), col("version"))).as("value"))
+            .writeStream.format("kafkalog")
+            // fMGWS emits per-key UPDATES; to a log sink every update is
+            // simply appended as a new record (Kafka-producer semantics)
+            .outputMode("update")
+            .option("path", out)
+            .option("checkpointLocation", out + ".ck")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Ingest.latestWins(
+            s.read.format("kafkalog").load(out)
+              .select(from_json(col("value"), snapSchema).as("r"))
+              .select(col("r.id"), col("r.msg"), col("r.version")),
+            keys = Seq("id"), version = Seq("version"))
+          .select(col("id"), col("msg"), col("version"))
+          .orderBy("id")
+      },
+      Some(upsertOracle)),
+
+    GQuery(
       "streaming_kafkalog_upsert",
       (s, dir) => {
         // The streaming_latest_upsert differential with ingest through

@@ -53,14 +53,20 @@ class KafkaLogSourceProvider extends TableProvider with DataSourceRegister {
     new KafkaLogTable(properties.asScala.toMap)
 }
 
-class KafkaLogTable(properties: Map[String, String]) extends Table with SupportsRead {
+class KafkaLogTable(properties: Map[String, String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def dir: String = properties.get("path").orElse(properties.get("PATH"))
     .getOrElse(throw new IllegalArgumentException(
       "kafkalog: 'path' option (the log directory) is required"))
   override def name(): String = s"kafkalog(`$dir`)"
   override def schema(): StructType = KafkaLog.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KafkaLogSink.KafkaLogWriteBuilder(dir, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // SQL catalog tables (`CREATE TABLE ... USING kafkalog OPTIONS (...)`)
     // deliver their OPTIONS as table properties, not scan options — merge
