@@ -87,6 +87,12 @@ object KafkaLogSink {
         Expressions.sort(Expressions.column("offset"), SortDirection.ASCENDING))
       override def toStreaming: StreamingWrite =
         new KafkaLogStreamingWrite(dir, info.schema())
+      // batch APPEND (`df.write.format("kafkalog")` / SQL `INSERT INTO`
+      // on a kafkalog catalog table): same task protocol, the committed
+      // segment takes the next index in each partition's `e` namespace
+      // so segment-name order remains offset order
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new KafkaLogBatchWrite(dir, info.schema(), info.queryId())
     }
   }
 
@@ -98,62 +104,14 @@ object KafkaLogSink {
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new KafkaLogWriterFactory(dir, schema)
 
-    private def flatten(messages: Array[WriterCommitMessage]): Seq[SegmentCommit] =
-      messages.toSeq.flatMap {
-        case m: SegmentCommit => Seq(m)
-        case MultiCommit(parts) => parts
-        case _ => Seq.empty
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      flattenMsgs(messages).groupBy(_.partition).toSeq.sortBy(_._1).foreach {
+        case (p, msgs) => publish(dir, p, msgs, segName(epochId))
       }
-
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-      val f = KafkaLog.fs(dir)
-      val byPart = flatten(messages).groupBy(_.partition)
-      byPart.toSeq.sortBy(_._1).foreach { case (p, msgs) =>
-        val target = new Path(s"$dir/p=$p/${segName(epochId)}")
-        if (f.exists(target)) {
-          // epoch replayed after an already-successful commit: drop temps
-          msgs.foreach(m => f.delete(new Path(m.tempPath), false))
-        } else if (msgs.length == 1) {
-          require(f.rename(new Path(msgs.head.tempPath), target),
-            s"kafkalog sink: could not publish $target")
-        } else {
-          // distribution requirement not honored → merge in task order,
-          // reassigning offsets contiguously (slow path, driver IO)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"kafkalog sink: ${msgs.length} writers for partition $p in " +
-              s"epoch $epochId — merging at commit (clustered distribution " +
-              "was not applied)")
-          val segs = KafkaLog.listPartitions(dir)
-            .find(_._1 == p).map(_._2).getOrElse(Seq.empty)
-          var next = if (segs.isEmpty) 0L else KafkaLog.endOffset(segs)
-          val out = f.create(target, false)
-          try {
-            val w = new java.io.BufferedWriter(
-              new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
-            msgs.sortBy(_.tempPath).foreach { m =>
-              val in = f.open(new Path(m.tempPath))
-              val r = new java.io.BufferedReader(
-                new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-              try {
-                var line = r.readLine()
-                while (line != null) {
-                  val tab = line.indexOf('\t')
-                  w.write(s"$next${line.substring(tab)}"); w.newLine()
-                  next += 1
-                  line = r.readLine()
-                }
-              } finally r.close()
-            }
-            w.flush()
-          } finally out.close()
-          msgs.foreach(m => f.delete(new Path(m.tempPath), false))
-        }
-      }
-    }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val f = KafkaLog.fs(dir)
-      flatten(messages).foreach(m => f.delete(new Path(m.tempPath), false))
+      flattenMsgs(messages).foreach(m => f.delete(new Path(m.tempPath), false))
     }
   }
 
@@ -161,7 +119,13 @@ object KafkaLogSink {
       extends StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
-      new KafkaLogDataWriter(dir, schema, taskId, epochId)
+      new KafkaLogDataWriter(dir, schema, taskId, s"e$epochId")
+  }
+
+  class KafkaLogBatchWriterFactory(dir: String, schema: StructType,
+      queryId: String) extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new KafkaLogDataWriter(dir, schema, taskId, s"q$queryId")
   }
 
   /** Buffers the task's rows per log partition, then writes one hidden
@@ -170,7 +134,7 @@ object KafkaLogSink {
     * (the source's `maxOffsetsPerTrigger` is the knob that keeps it so).
     */
   class KafkaLogDataWriter(dir: String, schema: StructType, taskId: Long,
-      epochId: Long) extends DataWriter[InternalRow] {
+      tag: String) extends DataWriter[InternalRow] {
     private val (pIdx, oIdx, vIdx, pLong) = resolveSchema(schema)
     private val buf =
       scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, String)]]
@@ -188,7 +152,7 @@ object KafkaLogSink {
         val segs = KafkaLog.listPartitions(dir)
           .find(_._1 == p).map(_._2).getOrElse(Seq.empty)
         val base = if (segs.isEmpty) 0L else KafkaLog.endOffset(segs)
-        val temp = new Path(s"$dir/p=$p/.e${epochId}_t$taskId.tmp")
+        val temp = new Path(s"$dir/p=$p/.${tag}_t$taskId.tmp")
         f.mkdirs(temp.getParent)
         val out = f.create(temp, true)
         val w = new java.io.BufferedWriter(
@@ -219,7 +183,7 @@ object KafkaLogSink {
     override def abort(): Unit = {
       val f = KafkaLog.fs(dir)
       buf.keys.foreach { p =>
-        f.delete(new Path(s"$dir/p=$p/.e${epochId}_t$taskId.tmp"), false)
+        f.delete(new Path(s"$dir/p=$p/.${tag}_t$taskId.tmp"), false)
       }
     }
 
@@ -228,4 +192,108 @@ object KafkaLogSink {
 
   private[kafkalog] case class MultiCommit(parts: Seq[SegmentCommit])
       extends WriterCommitMessage
+
+  private[kafkalog] def flattenMsgs(messages: Array[WriterCommitMessage]): Seq[SegmentCommit] =
+    messages.toSeq.flatMap {
+      case m: SegmentCommit => Seq(m)
+      case MultiCommit(parts) => parts
+      case _ => Seq.empty
+    }
+
+  /** Make one partition's temp segments visible under `targetName`.
+    * Target exists → replayed epoch, temps dropped (idempotence). One
+    * temp → atomic rename (fast path). Several temps → driver-side merge
+    * in task order with offsets reassigned contiguously (the fallback
+    * when clustered distribution was not applied). Always guards the
+    * segment-name invariant: the new name must sort AFTER every visible
+    * segment, since name order IS offset order to the reader — appending
+    * into a dir with foreign-named segments (e.g. a fixture-written log)
+    * fails loudly here instead of corrupting reads.
+    */
+  private[kafkalog] def publish(dir: String, p: Int,
+      msgs: Seq[SegmentCommit], targetName: String): Unit = {
+    val f = KafkaLog.fs(dir)
+    val target = new Path(s"$dir/p=$p/$targetName")
+    if (f.exists(target)) {
+      msgs.foreach(m => f.delete(new Path(m.tempPath), false))
+      return
+    }
+    val existing = KafkaLog.listPartitions(dir)
+      .find(_._1 == p).map(_._2).getOrElse(Seq.empty)
+      .map(s => new Path(s).getName)
+    existing.filter(_ >= targetName).foreach { n =>
+      msgs.foreach(m => f.delete(new Path(m.tempPath), false))
+      throw new IllegalStateException(
+        s"kafkalog sink: segment '$n' in p=$p would sort at/after new " +
+          s"segment '$targetName' — name order must equal offset order; " +
+          "append only to sink-managed logs")
+    }
+    if (msgs.length == 1) {
+      require(f.rename(new Path(msgs.head.tempPath), target),
+        s"kafkalog sink: could not publish $target")
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kafkalog sink: ${msgs.length} writers for partition $p — merging " +
+          "at commit (clustered distribution was not applied)")
+      var next = if (existing.isEmpty) 0L
+        else KafkaLog.endOffset(KafkaLog.listPartitions(dir)
+          .find(_._1 == p).map(_._2).getOrElse(Seq.empty))
+      val out = f.create(target, false)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+        msgs.sortBy(_.tempPath).foreach { m =>
+          val in = f.open(new Path(m.tempPath))
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+          try {
+            var line = r.readLine()
+            while (line != null) {
+              val tab = line.indexOf('\t')
+              w.write(s"$next${line.substring(tab)}"); w.newLine()
+              next += 1
+              line = r.readLine()
+            }
+          } finally r.close()
+        }
+        w.flush()
+      } finally out.close()
+      msgs.foreach(m => f.delete(new Path(m.tempPath), false))
+    }
+  }
+
+  /** Batch append: the same task protocol as the streaming sink; at
+    * commit each partition's segment takes the next index in its `e`
+    * namespace (computed from the visible segments), so batch and
+    * streaming appends interleave without breaking the name-order =
+    * offset-order invariant. No epoch log exists for batch jobs, so a
+    * job-level retry re-appends — batch INSERT is at-least-once, exactly
+    * like INSERT into any append-only table; the streaming path is the
+    * exactly-once one.
+    */
+  class KafkaLogBatchWrite(dir: String, schema: StructType, queryId: String)
+      extends org.apache.spark.sql.connector.write.BatchWrite {
+    resolveSchema(schema)
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DataWriterFactory =
+      new KafkaLogBatchWriterFactory(dir, schema, queryId)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      flattenMsgs(messages).groupBy(_.partition).toSeq.sortBy(_._1).foreach {
+        case (p, msgs) =>
+          val existing = KafkaLog.listPartitions(dir)
+            .find(_._1 == p).map(_._2).getOrElse(Seq.empty)
+            .map(s => new Path(s).getName)
+          val EName = "e(\\d{12})".r
+          val nextIdx = existing.collect { case EName(n) => n.toLong + 1 }
+            .foldLeft(0L)(math.max)
+          publish(dir, p, msgs, segName(nextIdx))
+      }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val f = KafkaLog.fs(dir)
+      flattenMsgs(messages).foreach(m => f.delete(new Path(m.tempPath), false))
+    }
+  }
 }

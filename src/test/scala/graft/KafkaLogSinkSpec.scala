@@ -85,6 +85,34 @@ class KafkaLogSinkSpec extends SparkSpec {
       "replayed epoch must be idempotent")
   }
 
+  test("batch INSERT INTO appends segments that interleave with streaming epochs") {
+    val dir = tmp("insert")
+    // epoch 0 via the streaming sink
+    val ms = MemoryStream[(Int, Long, String)]
+    val q = ms.toDF().toDF("partition", "offset", "value")
+      .writeStream.format("kafkalog")
+      .option("path", dir).option("checkpointLocation", dir + ".ck")
+      .start()
+    try { ms.addData((0, 0L, "s0"), (0, 1L, "s1")); q.processAllAvailable() }
+    finally q.stop()
+    // batch append via SQL INSERT on a kafkalog catalog table
+    spark.sql("DROP TABLE IF EXISTS klog_sink_t")
+    spark.sql(s"CREATE TABLE klog_sink_t USING kafkalog OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO klog_sink_t VALUES (0, 0, 'b0'), (1, 0, 'b1')")
+      // and via the DataFrame writer
+      Seq((0, 0L, "b2")).toDF("partition", "offset", "value")
+        .write.format("kafkalog").mode("append").save(dir)
+      val got = readLog(dir).collect().toSet
+      assert(got == Set((0, 0L, "s0"), (0, 1L, "s1"), (0, 2L, "b0"),
+        (0, 3L, "b2"), (1, 0L, "b1")), s"got $got")
+      // segment names must still be in offset order per partition
+      val p0 = new java.io.File(dir + "/p=0").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).sorted
+      assert(p0.length == 3, s"expected 3 p=0 segments, got ${p0.mkString(",")}")
+    } finally spark.sql("DROP TABLE IF EXISTS klog_sink_t")
+  }
+
   test("duplex pipeline: kafkalog -> latest-wins -> kafkalog matches the batch oracle") {
     val in = tmp("duplex_in")
     val out = tmp("duplex_out")
