@@ -61,6 +61,27 @@ object Ingest {
     parsed.select(df.columns.toIndexedSeq.map(col) ++ fields: _*).drop("__j", jsonCol)
   }
 
+  /** Dead-letter split: parse like [[parseLenient]] but KEEP malformed
+    * rows, tagged `disposition = 'corrupt'` with their raw payload intact
+    * (parsed fields null), instead of silently dropping them. The
+    * reference discards undecodable records with no trace
+    * (`MyKafkaMessage.java:9-12` lenient Gson + the consumer's
+    * keep-if-parsed loop); a production feed needs the drop COUNTED and
+    * the payloads QUARANTINED for replay after the producer bug is fixed.
+    * Map-only: one from_json per row, no shuffle — route the 'corrupt'
+    * slice to a quarantine sink and the 'ok' slice onward.
+    */
+  def parseWithDlq(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+ StructField("_corrupt", StringType))
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), withCorrupt,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+    val fields = schema.fields.map(f => col(s"__j.${f.name}").as(f.name))
+    parsed.select(
+      df.columns.toIndexedSeq.map(col) ++
+        (when(col("__j").isNull || col("__j._corrupt").isNotNull, lit("corrupt"))
+          .otherwise(lit("ok")).as("disposition") +: fields.toIndexedSeq): _*)
+  }
+
   /** Latest-wins dedup: keep, per `keys`, the row with the maximal
     * `version` columns (compared lexicographically — pass a unique
     * trailing tiebreak column for determinism when the primary version
@@ -145,6 +166,49 @@ object Ingest {
       Some("""SELECT event_id,
              |       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "ingest_dlq_split",
+      (s, dir) => {
+        // DEAD-LETTER split differential: corruption is PLANTED
+        // deterministically (a truncated JSON on event_id % 97, a
+        // non-JSON payload on % 89), the Spark side detects it with the
+        // real parser ([[parseWithDlq]]'s corrupt-record sentinel), and
+        // the oracle asserts the planted ground truth — the hash match
+        // proves the detector finds exactly the planted set, loses no ok
+        // row, and parses ok payloads correctly (id_sum re-derives from
+        // the construction). Per-disposition distinct payload counts
+        // stand in for the quarantine's content.
+        val e = col("event_id")
+        val value = when(e % 97 === 0,
+            concat(lit("{\"id\":"), col("user_id"), lit(",\"ms")))
+          .when(e % 89 === 0, concat(lit("garbage#"), e))
+          .otherwise(to_json(struct(col("user_id").as("id"),
+            col("event_type").as("msg"))))
+        parseWithDlq(
+          events(s, dir).select(e.as("event_id"), value.as("value")),
+          jsonCol = "value", schema = msgSchema)
+          .groupBy("disposition")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("value")).as("n_payloads"),
+            sum(coalesce(col("id"), lit(0L))).as("id_sum"))
+          .orderBy("disposition")
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 97 = 0 THEN '{"id":' || user_id || ',"ms'
+             |         WHEN event_id % 89 = 0 THEN 'garbage#' || event_id
+             |         ELSE '{"id":' || user_id || ',"msg":"' || event_type || '"}'
+             |    END AS value,
+             |    CASE WHEN event_id % 97 = 0 OR event_id % 89 = 0
+             |         THEN 'corrupt' ELSE 'ok' END AS disposition
+             |  FROM events)
+             |SELECT disposition,
+             |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(DISTINCT value) AS BIGINT) AS n_payloads,
+             |       CAST(SUM(CASE WHEN disposition = 'ok' THEN user_id ELSE 0 END) AS BIGINT) AS id_sum
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
       "ingest_snapshot",

@@ -71,6 +71,31 @@ class IngestSpec extends SparkSpec {
     assert(lines.toSeq == Seq("""{"id":2,"msg":"new"}"""))
   }
 
+  test("DLQ split: conserves every row, quarantines raw payloads, agrees with the lenient drop") {
+    val rows = src(
+      (0, 1L, """{"id":1,"msg":"a"}"""),
+      (0, 2L, """{"id":2"""),            // truncated → corrupt
+      (0, 3L, "not json at all"),        // → corrupt
+      (0, 4L, """{"msg":"only"}"""),     // valid, missing id → ok
+      (0, 5L, """{"id":5,"msg":"e"}"""))
+    val split = Ingest.parseWithDlq(rows, "value", Ingest.msgSchema)
+    assert(split.count() == 5, "DLQ split must conserve every input row")
+    val corrupt = split.where(col("disposition") === "corrupt")
+      .select("value").as[String].collect().toSet
+    assert(corrupt == Set("""{"id":2""", "not json at all"),
+      "exactly the malformed payloads, raw bytes intact")
+    // the ok slice is exactly what parseLenient keeps (minus defaults)
+    val okIds = split.where(col("disposition") === "ok")
+      .select("offset").as[Long].collect().toSet
+    val lenientIds = Ingest.parseLenient(rows, "value", Ingest.msgSchema,
+      defaults = Map.empty).select("offset").as[Long].collect().toSet
+    assert(okIds == lenientIds && okIds == Set(1L, 4L, 5L),
+      "ok slice must equal the lenient parser's keep set")
+    // parsed fields ride along; missing fields are null (not corrupt)
+    val row4 = split.where(col("offset") === 4L).select("id", "msg").collect()(0)
+    assert(row4.isNullAt(0) && row4.getString(1) == "only")
+  }
+
   test("property: latest-wins is input-order-insensitive and idempotent") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 10) {
