@@ -46,17 +46,40 @@ object KafkaLogOps {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
+  /** The events table in kafkalog frame shape (see object doc for the
+    * partition/offset derivation).
+    */
+  private def eventsAsLogFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events").select(
+      (col("event_id") % 4).cast("int").as("partition"),
+      expr("event_id div 4").as("offset"),
+      to_json(struct(col("user_id").as("id"), col("event_type").as("msg")))
+        .as("value"))
+
   def eventsLog(s: SparkSession, dir: String): (String, Long) =
     built.computeIfAbsent(dir, _ => {
       val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events"
       KafkaLog.fs(out).delete(new Path(out), true)
-      val ev = Tables.t(s, dir, "events")
-      KafkaLog.write(ev.select(
-        (col("event_id") % 4).cast("int").as("partition"),
-        expr("event_id div 4").as("offset"),
-        to_json(struct(col("user_id").as("id"), col("event_type").as("msg")))
-          .as("value")), out)
-      (out, ev.count())
+      KafkaLog.write(eventsAsLogFrame(s, dir), out)
+      (out, Tables.t(s, dir, "events").count())
+    })
+
+  /** Third fixture: a separate copy of the events log, COMPACTED in
+    * place by [[graft.sources.kafkalog.KafkaLogCompaction]] (key = the
+    * payload's `$.id`, i.e. the user). Separate because compaction
+    * mutates the log and the other fixtures replay full history.
+    */
+  private val builtCompacted = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[graft.sources.kafkalog.KafkaLogCompaction.PartitionCompaction])]()
+
+  def compactedEventsLog(s: SparkSession, dir: String)
+      : (String, Seq[graft.sources.kafkalog.KafkaLogCompaction.PartitionCompaction]) =
+    builtCompacted.computeIfAbsent(dir, _ => {
+      val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events_compacted"
+      KafkaLog.fs(out).delete(new Path(out), true)
+      KafkaLog.write(eventsAsLogFrame(s, dir), out)
+      val report = graft.sources.kafkalog.KafkaLogCompaction.compact(s, out)
+      (out, report)
     })
 
   /** readStream through the source with a cap forcing ≥4 micro-batches
@@ -415,5 +438,58 @@ object KafkaLogOps {
       },
       Some("""SELECT (event_id % 4)::INT AS partition, user_id AS id,
              |       arg_max(event_type, event_id) AS msg
-             |FROM events GROUP BY 1, 2 ORDER BY partition, id""".stripMargin)))
+             |FROM events GROUP BY 1, 2 ORDER BY partition, id""".stripMargin)),
+
+    GQuery(
+      "kafkalog_compact_stats",
+      (s, dir) => {
+        // LOG COMPACTION (Kafka's cleaner as a Spark maintenance job,
+        // KafkaLogCompaction): the per-partition report — records before
+        // vs after keeping only the highest-offset record per
+        // (partition, key) — is fully oracle-able, because the survivor
+        // count per partition is exactly the distinct-key count. Any
+        // record the cleaner wrongly retains or drops changes a count
+        // and fails the hash compare.
+        import s.implicits._
+        val (_, report) = compactedEventsLog(s, dir)
+        report.map(r => (r.partition.toLong, r.before, r.after))
+          .toDF("partition", "n_before", "n_after")
+          .orderBy("partition")
+      },
+      Some("""SELECT event_id % 4 AS partition, count(*) AS n_before,
+             |       count(DISTINCT user_id) AS n_after
+             |FROM events GROUP BY 1 ORDER BY partition""".stripMargin)),
+
+    GQuery(
+      "kafkalog_compacted_scan",
+      (s, dir) => {
+        // Replay AFTER compaction: the global latest-wins fold over the
+        // compacted log must equal the fold over full history (the
+        // compaction-correctness invariant — per-partition argmax
+        // survives the cleaner, and the global argmax is the max of the
+        // per-partition ones). Offsets are preserved across compaction,
+        // so the version reconstruction offset*4+partition (= event_id)
+        // still yields the original global order. Same oracle as the
+        // full-history upsert differentials, sharpened by n_records:
+        // each key's surviving record count per partition is exactly 1,
+        // so the per-user record count in the compacted log equals the
+        // number of DISTINCT partitions the user's events landed in —
+        // wrongly retained duplicates fail the count even when
+        // latest-wins would absorb them.
+        val (path, _) = compactedEventsLog(s, dir)
+        val parsed = s.read.format("kafkalog").load(path)
+          .select(
+            get_json_object(col("value"), "$.id").cast("long").as("id"),
+            get_json_object(col("value"), "$.msg").as("msg"),
+            (col("offset") * 4 + col("partition")).cast("long").as("version"))
+        val counts = parsed.groupBy("id").agg(count(lit(1)).as("n_records"))
+        Ingest.latestWins(parsed, keys = Seq("id"), version = Seq("version"))
+          .select(col("id"), col("msg"), col("version"))
+          .join(counts, "id")
+          .orderBy("id")
+      },
+      Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
+             |       max(event_id) AS version,
+             |       count(DISTINCT event_id % 4) AS n_records
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)))
 }
