@@ -208,17 +208,27 @@ object DedupOps {
       .where(col("jaccard") >= minJ)
   }
 
-  /** MinHash+LSH candidate pairs, verified with exact Jaccard — the
-    * standard scale path (banding prunes, exact check confirms).
+  /** The LSH BAND INDEX of a corpus: `(doc_id, sh, bk)` — one row per
+    * (document, band bucket), shingle set carried for the exact-verify
+    * stage. This is the frame a production deployment PERSISTS (bucketed
+    * by `bk`) so later delta batches can probe it without recomputing
+    * signatures over the corpus — see [[minhashLshPairsIncremental]].
     */
-  def minhashLshPairs(d: DataFrame, n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+  def lshBandIndex(d: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0)
     val rows = k / bands
     val withSh = d.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val banded = withSh
+    withSh
       .join(minhashSigs(withSh, k), "doc_id")
       .select(col("doc_id"), col("sh"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+  }
+
+  /** MinHash+LSH candidate pairs, verified with exact Jaccard — the
+    * standard scale path (banding prunes, exact check confirms).
+    */
+  def minhashLshPairs(d: DataFrame, n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+    val banded = lshBandIndex(d, n, k, bands)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -228,6 +238,56 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
+  /** INCREMENTAL MinHash+LSH — the workflow a growing 100 TB corpus
+    * actually runs: near-dup pairs involving a NEW batch of documents,
+    * computed against the stored band index of the existing corpus
+    * WITHOUT ever enumerating old×old candidates.
+    *
+    * `baseIndex` is the persisted [[lshBandIndex]] of the corpus so far;
+    * `delta` is the raw new batch. The probe joins the delta's band rows
+    * against (stored ∪ delta) band rows, so candidate enumeration costs
+    * O(|delta| · bands · bucket occupancy) — INDEPENDENT of the base
+    * pair space. The result is provably the full-corpus LSH pair set
+    * restricted to pairs touching the delta (both sides band with the
+    * same signature family, and a pair collides iff it shares a band
+    * key — the same condition the full run uses), so maintaining
+    * "pairs so far" across batches reproduces exactly what a from-
+    * scratch run over the grown corpus would emit. After the run,
+    * `lshBandIndex(delta)` (already computed here) is appended to the
+    * stored index — the index is maintained incrementally too.
+    *
+    * Emits `(doc_a < doc_b, jaccard, delta_side)` where `delta_side`
+    * says whether the pair is delta×delta (`both`) or delta×base.
+    */
+  def minhashLshPairsIncremental(baseIndex: DataFrame, delta: DataFrame,
+      n: Int, k: Int, bands: Int, minJ: Double): DataFrame = {
+    val deltaB = lshBandIndex(delta, n, k, bands)
+      .withColumn("is_delta", lit(true))
+    val allB = baseIndex.withColumn("is_delta", lit(false))
+      .unionByName(deltaB)
+    // delta probes the union: delta×base and delta×delta collide here,
+    // base×base never does. Canonicalize to doc_a < doc_b (delta×delta
+    // pairs arrive in both orientations; dropDuplicates collapses them
+    // along with multi-band collisions).
+    val aLess = col("a.doc_id") < col("b.doc_id")
+    val cands = deltaB.as("a").join(allB.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        when(aLess, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+        when(aLess, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+        when(aLess, col("a.sh")).otherwise(col("b.sh")).as("sh_a"),
+        when(aLess, col("b.sh")).otherwise(col("a.sh")).as("sh_b"),
+        (col("a.is_delta") && col("b.is_delta")).as("both_delta"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+        when(col("both_delta"), lit("delta_delta"))
+          .otherwise(lit("delta_base")).as("pair_kind"))
       .where(col("jaccard") >= minJ)
   }
 
@@ -500,6 +560,52 @@ object DedupOps {
              |SELECT doc_a, doc_b,
              |       round(len(list_intersect(sa, sb)) * 1.0 /
              |             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
+             |FROM cand
+             |WHERE len(list_intersect(sa, sb)) * 1.0 /
+             |      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.1
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GQuery(
+      "dedup_incremental_lsh",
+      (s, dir) => {
+        // INCREMENTAL dedup: documents with doc_id % 8 == 0 are the
+        // newly-arrived batch, the rest are the existing corpus whose
+        // band index is already stored. The incremental run probes the
+        // stored index with the delta only — old×old candidates are
+        // never enumerated — and must emit EXACTLY the full-corpus LSH
+        // pair set restricted to pairs touching the delta, which is what
+        // the oracle computes (the dedup_minhash_lsh replay with the
+        // delta-touching filter). Any over- or under-enumeration of the
+        // incremental probe fails the hash compare.
+        val d = docs(s, dir)
+        val base = d.where(col("doc_id") % 8 =!= 0)
+        val delta = d.where(col("doc_id") % 8 === 0)
+        minhashLshPairsIncremental(
+            lshBandIndex(base, n = 3, k = 32, bands = 8), delta,
+            n = 3, k = 32, bands = 8, minJ = 0.1)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 4).as("jaccard"), col("pair_kind"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                       for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |${minhashSigCtes(32)},
+             |  banded AS (SELECT doc_id, sg,
+             |                    unnest([b || ':' || md5(array_to_string(mh[b*4+1 : b*4+4], '_'))
+             |                            for b in range(0, 8)]) AS bk
+             |             FROM sig),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.sg AS sa, b.sg AS sb
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+             |           WHERE a.doc_id % 8 = 0 OR b.doc_id % 8 = 0)
+             |SELECT doc_a, doc_b,
+             |       round(len(list_intersect(sa, sb)) * 1.0 /
+             |             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard,
+             |       CASE WHEN doc_a % 8 = 0 AND doc_b % 8 = 0 THEN 'delta_delta'
+             |            ELSE 'delta_base' END AS pair_kind
              |FROM cand
              |WHERE len(list_intersect(sa, sb)) * 1.0 /
              |      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.1
