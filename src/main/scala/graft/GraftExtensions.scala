@@ -71,5 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.BandJoin.BandJoinStrategy)
     // thresholded levenshtein comparisons → bounded banded DP
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    // No-op until views are registered via SummaryRewriteRule.register.
+    e.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
   }
 }

@@ -139,6 +139,58 @@ object IncrOps {
              |       CAST(COUNT(*) AS BIGINT) AS n_rows,
              |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "agg_mv_rewrite",
+      (s, dir) => {
+        // MATERIALIZED-VIEW QUERY REWRITE (plans/SummaryRewriteRule):
+        // the monthly summary is materialized to parquet and registered;
+        // the USER QUERY below is written against the BASE orders table,
+        // and the optimizer rule transparently answers it from the
+        // |months|-row summary — the read-side half of incremental view
+        // maintenance (agg_incremental_refresh is the write side). The
+        // emitted `used_mv` column is derived from the query's OWN
+        // optimized plan (does a leaf scan the summary path?), and the
+        // oracle asserts `true` — so this differential fails not only if
+        // the rewrite corrupts results, but also if the rule silently
+        // stops firing. At 100 TB the rewritten plan reads KBs instead
+        // of scanning the fact table.
+        import graft.plans.SummaryRewriteRule
+        val orders = Tables.t(s, dir, "orders")
+        val mvPath = s"/tmp/graft_mv/${new java.io.File(dir).getName}/monthly_orders"
+        monthlyPartials(orders).write.mode("overwrite").parquet(mvPath)
+        val mat = s.read.parquet(mvPath)
+        SummaryRewriteRule.clear()
+        SummaryRewriteRule.register("monthly_orders", monthlyPartials(orders), mat)
+        val added = !s.experimental.extraOptimizations.contains(SummaryRewriteRule)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SummaryRewriteRule
+        try {
+          val q = monthlyPartials(orders)
+            .select(date_format(col("month"), "yyyy-MM").as("month"),
+              col("n_orders"), col("cents").as("revenue_cents"))
+            .orderBy("month")
+          val usedMv = SummaryRewriteRule.scansPath(
+            q.queryExecution.optimizedPlan, "graft_mv")
+          val out = q.withColumn("used_mv", lit(usedMv))
+          // force the plan while the rule is active — the cached
+          // QueryExecution is what Verify executes after this returns
+          out.queryExecution.optimizedPlan
+          out
+        } finally {
+          // deregister: the rule must not leak into other queries on
+          // this shared session (it would be a no-op, but scoping it
+          // keeps every other differential's plan byte-identical)
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+          SummaryRewriteRule.clear()
+        }
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |       true AS used_mv
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,238 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeReference, Expression, IsNotNull, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import scala.jdk.CollectionConverters._
+
+/** MATERIALIZED-VIEW AGGREGATE REWRITE — an optimizer rule that
+  * transparently answers an aggregate query from a pre-computed summary
+  * table instead of the base table. This is the query-rewrite half of
+  * incremental view maintenance: [[graft.operators.IncrOps]] keeps the
+  * summary fresh from deltas (`agg_incremental_refresh`), and this rule
+  * makes queries USE it without the query author knowing it exists — at
+  * 100 TB the difference between a full-corpus scan-and-shuffle and a
+  * read of a |groups|-row table.
+  *
+  * Matching is the classic exact-match tier of view matching (Goldstein
+  * & Larson, SIGMOD 2001, tier 1): a query `Aggregate` rewrites when
+  *
+  *  1. its child is semantically the view definition's child
+  *     (`LogicalPlan.sameResult` — Catalyst's canonicalized comparison,
+  *     robust to exprId differences and cosmetic plan variation);
+  *  2. its grouping expressions equal the view's (canonicalized, after
+  *     remapping the query child's attributes onto the view child's —
+  *     outputs correspond positionally once sameResult holds);
+  *  3. every output expression REBASES onto the view's stored columns:
+  *     each aggregate subtree must match a stored column exactly, while
+  *     scalar computation above them is carried over (so
+  *     `date_format(month)` or `cents div n_orders` over a stored
+  *     (month, n_orders, cents) view rewrites; `avg(x)` against a view
+  *     storing only sum does not — re-deriving one aggregate from
+  *     others is the later matching tier). A SUBSET of the view's
+  *     columns is fine, which is what makes one wide summary serve
+  *     many narrow dashboards.
+  *
+  * The rewrite replaces the Aggregate with a `Project` over the
+  * materialized relation, re-aliasing each replacement column under the
+  * ORIGINAL output exprIds so parent operators' references stay valid.
+  * Coarser re-aggregation (rolling a daily summary up to months) and
+  * derived aggregates (avg from sum/count) are deliberately out of
+  * scope — they are the later tiers of view matching; the exact tier is
+  * the one that must never be wrong.
+  *
+  * Freshness is the registrar's contract: register a view only while
+  * its materialization is current (the IncrOps refresh makes that cheap
+  * to maintain). `clear()` deregisters everything — tests and Verify
+  * wrap usage so no view leaks across queries.
+  *
+  * Install via `spark.experimental.extraOptimizations` (scoped) or
+  * [[graft.GraftExtensions]] (cluster-wide); the rule is a no-op while
+  * the registry is empty.
+  */
+object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** A registered view: the ANALYZED defining aggregate and the analyzed
+    * plan of its materialization (e.g. the parquet scan of the written
+    * summary).
+    */
+  private final case class Mv(name: String, defn: Aggregate, replacement: LogicalPlan)
+
+  private val mvs = new java.util.concurrent.CopyOnWriteArrayList[Mv]()
+
+  /** Register a materialized view. `definition` is the defining
+    * aggregate query over the base table (NOT executed here);
+    * `materialized` is the stored summary (same columns, same order —
+    * written from the definition's result).
+    */
+  def register(name: String, definition: DataFrame, materialized: DataFrame): Unit = {
+    // Register the OPTIMIZED defining plan: the rule runs in the "User
+    // Provided Optimizers" batch, after the built-in batches have
+    // already simplified the query's expressions (cast cleanup,
+    // constant folding) — matching optimized-vs-optimized keeps the
+    // canonicalized comparison aligned. Falls back to the analyzed plan
+    // for definitions the optimizer reshapes away from a top-level
+    // Aggregate.
+    val defnPlan = definition.queryExecution.optimizedPlan match {
+      case a: Aggregate => a
+      case _ => definition.queryExecution.analyzed match {
+        case a: Aggregate => a
+        case other => throw new IllegalArgumentException(
+          s"summary view '$name': definition must be a plain aggregate, got ${other.nodeName}")
+      }
+    }
+    require(definition.schema.fieldNames.sameElements(materialized.schema.fieldNames),
+      s"summary view '$name': materialization columns ${materialized.schema.fieldNames.mkString(",")} " +
+        s"must match the definition's ${definition.schema.fieldNames.mkString(",")}")
+    mvs.add(Mv(name, defnPlan, materialized.queryExecution.analyzed))
+  }
+
+  def clear(): Unit = mvs.clear()
+
+  /** Names of currently registered views (diagnostics). */
+  def registered: Seq[String] = mvs.asScala.map(_.name).toSeq
+
+  /** Does any leaf of `plan` scan files under a path containing
+    * `pathFragment`? The did-the-rewrite-fire probe for tests and the
+    * registry differential — leaf `toString` truncates file paths, so
+    * this inspects the file index itself.
+    */
+  def scansPath(plan: LogicalPlan, pathFragment: String): Boolean =
+    plan.collectLeaves().exists {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains(pathFragment))
+          case _ => false
+        }
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (mvs.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        mvs.asScala.view
+          .flatMap(tryRewrite(agg, _))
+          .headOption.getOrElse(agg)
+    }
+
+  private def strip(e: Expression): Expression = e match {
+    case a: Alias => a.child
+    case x => x
+  }
+
+  /** Normalize an aggregate to (grouping, outputs, core child) with
+    * every Project between the Aggregate and its core child INLINED
+    * into the expressions. By the time user rules run, ColumnPruning
+    * has wrapped relations in attribute-only Projects sized to each
+    * consumer, and PullOutGroupingExpressions has moved complex
+    * grouping keys into `_groupingexpression` aliases below the
+    * Aggregate — both are cosmetic wrappers this substitution removes,
+    * so semantically identical aggregates normalize to comparable
+    * shapes. Output exprIds/names are preserved (an Alias keeps its id
+    * through substitution; a bare attribute that substitutes to an
+    * expression is re-aliased under its original id).
+    */
+  @scala.annotation.tailrec
+  private def inlineProjects(groups: Seq[Expression], outs: Seq[NamedExpression],
+      child: LogicalPlan): (Seq[Expression], Seq[NamedExpression], LogicalPlan) =
+    child match {
+      case Project(pl, c) if pl.forall(_.deterministic) =>
+        val subst = AttributeMap(pl.collect { case a: Alias => (a.toAttribute, a.child) })
+        def sub(e: Expression): Expression = e.transformUp {
+          case attr: Attribute => subst.getOrElse(attr, attr)
+        }
+        def subNamed(ne: NamedExpression): NamedExpression = sub(ne) match {
+          case n: NamedExpression => n
+          case e => Alias(e, ne.name)(exprId = ne.exprId)
+        }
+        inlineProjects(groups.map(sub), outs.map(subNamed), c)
+      case other => (groups, outs, other)
+    }
+
+  private def tryRewrite(q: Aggregate, mv: Mv): Option[LogicalPlan] = {
+    val (qGroupsRaw, qOuts, qChildRaw) =
+      inlineProjects(q.groupingExpressions, q.aggregateExpressions, q.child)
+    val (mGroupsRaw, mOuts, mChild) =
+      inlineProjects(mv.defn.groupingExpressions, mv.defn.aggregateExpressions,
+        mv.defn.child)
+    // InferFiltersFromConstraints pushes join-key null filters below an
+    // Aggregate as `isnotnull(<grouping expr>)` on the base scan. That
+    // filter commutes with the aggregation (it removes exactly the null
+    // GROUP, which no other group's aggregates see), so it can be
+    // re-applied to the summary's group column after the rewrite. Any
+    // other predicate disqualifies the view.
+    val (qChild, nullFilteredGroups): (LogicalPlan, Seq[Expression]) = qChildRaw match {
+      case Filter(cond, core) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val grouped = conjuncts.map {
+          case IsNotNull(e) => Some(e)
+          case _ => None
+        }
+        if (grouped.exists(_.isEmpty)) (qChildRaw, Seq.empty)
+        else (core, grouped.flatten)
+      case other => (other, Seq.empty)
+    }
+    if (!qChild.sameResult(mChild)) return None
+    // sameResult => outputs correspond positionally; remap query-side
+    // attributes into the view definition's attribute space so plain
+    // canonicalized equality compares the rest.
+    val attrMap = AttributeMap(qChild.output.zip(mChild.output))
+    def remap(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => attrMap.getOrElse(a, a)
+    }
+    val qGroups = qGroupsRaw.map(e => strip(remap(e)).canonicalized)
+    val mGroups = mGroupsRaw.map(e => strip(e).canonicalized)
+    if (qGroups.length != mGroups.length ||
+        !qGroups.forall(g => mGroups.contains(g))) return None
+    // each query output must be one of the view's stored columns
+    val stored: Seq[(Expression, Attribute)] =
+      mOuts.map(ne => strip(ne).canonicalized).zip(mv.replacement.output)
+    // every null-filtered expression must be a GROUPING expression the
+    // view exposes — an isnotnull on a non-grouping input would change
+    // what the aggregates saw, and one on an unexposed group cannot be
+    // re-applied
+    val groupFilterCols: Seq[Option[Attribute]] = nullFilteredGroups.map { e =>
+      val c = strip(remap(e)).canonicalized
+      if (!mGroups.contains(c)) None else stored.find(_._1 == c).map(_._2)
+    }
+    if (groupFilterCols.exists(_.isEmpty)) return None
+    // Rebase each output expression onto the view's stored columns:
+    // a subtree matching a stored column becomes that column; scalar
+    // computation ABOVE matched subtrees is kept (CollapseProject
+    // merges post-aggregation projections like date_format(month) into
+    // the Aggregate's output list, so derived outputs are the common
+    // case, not the exception). An aggregate function with no stored
+    // twin is a dead end — descending into it would re-aggregate
+    // already-aggregated rows — as is a base-table attribute.
+    def rebase(e: Expression): Option[Expression] = {
+      val want = strip(remap(e)).canonicalized
+      stored.find(_._1 == want) match {
+        case Some((_, replacementCol)) => Some(replacementCol)
+        case None => e match {
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+            None
+          case _: Attribute => None
+          case _ =>
+            val kids = e.children.map(rebase)
+            if (kids.exists(_.isEmpty)) None
+            else Some(e.withNewChildren(kids.map(_.get)))
+        }
+      }
+    }
+    val projected: Seq[Option[NamedExpression]] = qOuts.map { ne =>
+      rebase(strip(ne)).map(r => Alias(r, ne.name)(exprId = ne.exprId))
+    }
+    if (projected.exists(_.isEmpty)) None
+    else {
+      val source = groupFilterCols.flatten match {
+        case Seq() => mv.replacement
+        case cols => Filter(cols.map(IsNotNull(_): Expression).reduce(And), mv.replacement)
+      }
+      Some(Project(projected.flatten, source))
+    }
+  }
+}
