@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HYBRID retrieval — the fused lexical+dense ranking a RAG/curation
+  * pipeline runs over a corpus that has both a text index and an
+  * embedding index. Neither modality alone matches its behavior: BM25
+  * misses paraphrases, dense cosine misses rare exact terms; reciprocal
+  * rank fusion (RRF, Cormack et al. 2009) combines them using ranks
+  * only, so the two legs' incomparable score scales never need
+  * calibration.
+  *
+  * Scale stance: each leg is the already-audited shape (BM25: one corpus
+  * scan + broadcast df/avgdl + TakeOrdered top-k; dense: broadcast probe
+  * + one corpus pass + window top-k). The fusion itself touches only the
+  * two k-row leg outputs — a full-outer join of 50-row frames — so the
+  * hybrid adds NOTHING to corpus-scale cost: at 100 TB it is exactly two
+  * single-pass retrievals plus driver-trivial rank arithmetic, and the
+  * legs run in parallel (independent subtrees of one plan).
+  *
+  * Determinism contract: both legs rank on floor-scaled or
+  * tie-broken-by-id orderings that already hash-match their DuckDB twins
+  * elsewhere in the registry (text_bm25, sim_topk_bruteforce); the RRF
+  * sum 1/(K+r_lex) + 1/(K+r_dense) is two IEEE divisions and one add in
+  * a fixed order, floor-scaled to e6 — bit-identical cross-engine.
+  */
+object RetrievalOps {
+
+  /** RRF constant K = 60 (the value from the original TREC submission,
+    * standard across IR systems).
+    */
+  val RrfK = 60
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+
+  /** Lexical leg: BM25 (k1 = 1.2, b = 0.75) over `terms`, top `k` docs
+    * as `(doc_id, lex_rank)`. Floor-scaled score so ln() last-ulp noise
+    * cannot reorder ties; ties break by doc_id.
+    */
+  def bm25TopK(d: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val tok = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
+    val stats = tok.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = tok
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * 2.2 /
+          (col("tf") + (lit(0.25) + col("dl") / col("avgdl") * 0.75) * 1.2))
+      .groupBy("doc_id")
+      .agg(floor(sum(col("contrib")) * 10000).cast("long").as("score_e4"))
+      .orderBy(desc("score_e4"), asc("doc_id")).limit(k)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(desc("score_e4"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+  }
+
+  /** Dense leg: exact cosine against the probe vector (the corpus row
+    * with the lowest vec_id — no assumption that any particular id
+    * exists), top `k` as `(doc_id, dense_rank)`. Raw-double ordering
+    * with vec_id tiebreak — the ordering hash-verified by
+    * sim_topk_bruteforce.
+    */
+  def denseTopK(e: DataFrame, k: Int): DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    val probe = broadcast(e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("em").as("qe")))
+    e.join(probe, col("vec_id") =!= col("qid"))
+      .select(col("vec_id").as("doc_id"),
+        CosineSimilarity.cosine_sim("qe", "em").as("s"))
+      .orderBy(desc("s"), asc("doc_id")).limit(k)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(desc("s"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+  }
+
+  /** Reciprocal rank fusion of any number of `(doc_id, <name>_rank)`
+    * legs: full-outer join on doc_id, each present leg contributing
+    * 1/(K + rank). Emits the fused top `k` with per-leg ranks (null
+    * where a leg missed the doc) and the e6-floor-scaled RRF score.
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int): DataFrame = {
+    val joined = legs.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val rankCols = joined.columns.filter(_.endsWith("_rank"))
+    val rrf = rankCols.map(c =>
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col(c)), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_e6", floor(rrf * 1e6).cast("long"))
+      .orderBy(desc("rrf_e6"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("rrf_e6"), asc("doc_id"))).cast("long"))
+      .select(col("rank") +: col("doc_id") +: rankCols.map(col) :+ col("rrf_e6"): _*)
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "retrieval_hybrid_rrf",
+      (s, dir) => {
+        // HYBRID RETRIEVAL: BM25 top-50 for the fixed term set fused
+        // with dense-cosine top-50 against the lowest-id probe vector,
+        // RRF K=60, fused top-20. The oracle replays both legs and the
+        // fusion arithmetic; per-leg ranks are emitted (nullable), so a
+        // doc surfacing through the wrong leg — or a fusion that loses
+        // a single-leg doc — fails the hash compare.
+        rrfFuse(Seq(
+            bm25TopK(docs(s, dir), Seq("spark", "query", "vector"), 50),
+            denseTopK(emb(s, dir), 50)), k = 20)
+          .orderBy("rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |                    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |             FROM documents),
+             |     t AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM tok),
+             |     stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM t),
+             |     tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+             |            FROM (SELECT doc_id, dl, unnest(tk) AS term FROM t)
+             |            WHERE term IN ('spark', 'query', 'vector')
+             |            GROUP BY doc_id, dl, term),
+             |     df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+             |     lex_s AS (
+             |       SELECT doc_id,
+             |              floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |                        * tf * 2.2
+             |                        / (tf + (0.25 + dl / avgdl * 0.75) * 1.2)) * 10000)::BIGINT
+             |                AS score_e4
+             |       FROM tf JOIN df USING (term), stats
+             |       GROUP BY doc_id),
+             |     lex AS (SELECT doc_id,
+             |                    row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS lex_rank
+             |             FROM lex_s QUALIFY lex_rank <= 50),
+             |     probe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+             |               FROM embeddings ORDER BY vec_id LIMIT 1),
+             |     dense_s AS (SELECT c.vec_id AS doc_id,
+             |                        list_cosine_similarity(qe, c.embedding::DOUBLE[]) AS s
+             |                 FROM probe, embeddings c WHERE c.vec_id <> probe.qid),
+             |     dense AS (SELECT doc_id,
+             |                      row_number() OVER (ORDER BY s DESC, doc_id) AS dense_rank
+             |               FROM dense_s QUALIFY dense_rank <= 50),
+             |     fused AS (
+             |       SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+             |              lex.lex_rank, dense.dense_rank,
+             |              floor((coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+             |                     + coalesce(1.0 / (60 + dense.dense_rank), 0.0)) * 1e6)::BIGINT
+             |                AS rrf_e6
+             |       FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+             |SELECT row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank,
+             |       doc_id, lex_rank, dense_rank, rrf_e6
+             |FROM fused QUALIFY rank <= 20 ORDER BY rank""".stripMargin)))
+}
