@@ -191,6 +191,54 @@ object IncrOps {
              |       CAST(COUNT(*) AS BIGINT) AS n_orders,
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
              |       true AS used_mv
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "streaming_incremental_agg",
+      (s, dir) => {
+        // STREAMING AGGREGATE MAINTENANCE: the per-(day, event_type)
+        // count/sum table is maintained across ≥4 admission-controlled
+        // micro-batches from the kafkalog source by the crash-safe
+        // generation fold (GenFold — each batch merges its delta
+        // partials into the previous on-disk generation; per-batch cost
+        // is |groups| + |delta|). This is the STREAMING write side of
+        // the summary that agg_incremental_refresh refreshes in batch
+        // and agg_mv_rewrite serves reads from; the oracle recomputes
+        // the aggregate over full history, so any batch the fold loses,
+        // double-merges, or mis-merges fails the hash compare.
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+        val (path, n) = KafkaLogOps.eventsTimedLog(s, dir)
+        val out = s"/tmp/graft_incr_agg/${new java.io.File(dir).getName}/state"
+        val ckpt = out + ".ck"
+        val f = graft.sources.kafkalog.KafkaLog.fs(out)
+        f.delete(new org.apache.hadoop.fs.Path(out), true)
+        f.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        val timedSchema = StructType(Seq(
+          StructField("us", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val aggSchema = StructType(Seq(
+          StructField("day", StringType), StructField("event_type", StringType),
+          StructField("n", LongType), StructField("cents", LongType)))
+        val src = s.readStream.format("kafkalog")
+          .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
+          .load(path)
+          .select(from_json(col("value"), timedSchema).as("j"))
+          .select(to_date(timestamp_micros(col("j.us"))).cast("string").as("day"),
+            col("j.event_type").as("event_type"), col("j.value").as("value"))
+        graft.streaming.GenFold.fold(src, out, ckpt, aggSchema) { (prev, batch) =>
+          val delta = batch.groupBy("day", "event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+          prev.unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        }
+        graft.streaming.GenFold.read(s, out, aggSchema)
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }

@@ -175,55 +175,18 @@ object KafkaLogOps {
     * ids are stable across restarts). Older gens are deleted only
     * after the new one commits. Per-batch cost is |keys| + |delta|.
     */
-  def foldSnapshot(src: DataFrame, out: String, ckpt: String): Unit = {
-    val q = src.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sess = batch.sparkSession
-        val done = committedGens(out)
-        // crash landed between gen commit and checkpoint commit: the
-        // replayed batch is already folded — never read-and-overwrite
-        // the same gen
-        if (!done.contains(batchId)) {
-          val prev = readSnapshot(sess, out)
-          Ingest.latestWins(
-              prev.unionByName(batch.select("id", "msg", "version")),
-              keys = Seq("id"), version = Seq("version"))
-            .select(to_json(struct(col("id"), col("msg"), col("version")))
-              .as("value"))
-            .write.mode("overwrite").text(s"$out/gen-$batchId")
-        }
-        // the gen for this batch is committed — drop superseded gens
-        val f = KafkaLog.fs(out)
-        committedGens(out).filter(_ < batchId).foreach { g =>
-          f.delete(new Path(s"$out/gen-$g"), true)
-        }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-  }
-
-  /** Batch ids of generations whose write committed (`_SUCCESS`). */
-  private def committedGens(out: String): Seq[Long] = {
-    val f = KafkaLog.fs(out)
-    val base = new Path(out)
-    if (!f.exists(base)) return Seq.empty
-    f.listStatus(base).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
-      .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("gen-").toLong)
-      .sorted
-  }
+  def foldSnapshot(src: DataFrame, out: String, ckpt: String): Unit =
+    graft.streaming.GenFold.fold(src, out, ckpt, snapSchema) { (prev, batch) =>
+      Ingest.latestWins(
+        prev.unionByName(batch.select("id", "msg", "version")),
+        keys = Seq("id"), version = Seq("version"))
+    }
 
   /** The latest COMMITTED snapshot generation (empty frame before the
     * first commit — or when every present gen is torn).
     */
   def readSnapshot(s: SparkSession, out: String): DataFrame =
-    committedGens(out).lastOption match {
-      case Some(g) => s.read.schema(snapSchema).json(s"$out/gen-$g")
-      case None => s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
-    }
+    graft.streaming.GenFold.read(s, out, snapSchema)
 
   private val upsertOracle =
     """SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
