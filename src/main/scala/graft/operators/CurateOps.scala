@@ -274,6 +274,71 @@ object CurateOps {
              |SELECT nfc_normalize(w) AS nfc_form,
              |       strip_accents(nfc_normalize(w)) AS folded,
              |       CAST(COUNT(*) AS BIGINT) AS n_docs
-             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    GQuery(
+      "split_cluster_aware",
+      (s, dir) => {
+        // CLUSTER-AWARE train/valid/test split — the leakage guard a
+        // training pipeline needs: a per-DOCUMENT hash split would put
+        // near-duplicates of one page on both sides of the train/test
+        // boundary, silently inflating eval scores. Here the split unit
+        // is the near-dup CLUSTER (connected components over the J>=0.5
+        // pair graph, the verified dedup_clusters machinery; singleton
+        // docs are their own cluster), and the md5-digit assignment
+        // (80/10/10) hashes the CLUSTER id, so every member of a
+        // cluster lands in the same split by construction. The oracle
+        // replays clusters (recursive CTE) and the assignment
+        // arithmetic; the invariant "same cluster => same split" is
+        // structural in both engines. Scale: pair graph + CC are the
+        // already-audited shapes; the assignment adds one map-side
+        // projection — nothing new shuffles.
+        val d = Tables.t(s, dir, "documents")
+        val comp = DedupOps.connectedComponents(
+          DedupOps.jaccardPairs(d, n = 3, minJ = 0.5).select("doc_a", "doc_b"))
+        val labeled = d.select(col("doc_id"))
+          .join(comp, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        labeled
+          .withColumn("h",
+            conv(substring(md5(concat(lit("split:"), col("cluster").cast("string"))
+              .cast("binary")), 1, 2), 16, 10).cast("long") % 10)
+          .select(col("doc_id"), col("cluster"),
+            when(col("h") < 8, "train").when(col("h") === 8, "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |  t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |        FROM documents),
+             |  sh AS (SELECT doc_id,
+             |                list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                               for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |  sz AS (SELECT doc_id, len(sg) AS n_sh FROM sh),
+             |  pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |            GROUP BY 1, 2),
+             |  edges AS (SELECT doc_a, doc_b
+             |            FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+             |            WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.5),
+             |  bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+             |            UNION SELECT doc_b, doc_a FROM edges),
+             |  reach(node, label) AS (
+             |    SELECT a, a FROM bidir
+             |    UNION
+             |    SELECT bd.b, r.label FROM reach r JOIN bidir bd ON bd.a = r.node),
+             |  comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+             |  labeled AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+             |              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+             |  assigned AS (SELECT doc_id, cluster,
+             |                      ('0x' || substring(md5('split:' || cluster), 1, 2))::BIGINT % 10 AS h
+             |               FROM labeled)
+             |SELECT doc_id, cluster,
+             |       CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid'
+             |            ELSE 'test' END AS split
+             |FROM assigned ORDER BY doc_id""".stripMargin))
   )
 }

@@ -57,4 +57,25 @@ class IncrementalDedupSpec extends SparkSpec {
     // and the increments are disjoint: no pair is rediscovered
     assert(pairsOf(p0).size + pairsOf(p1).size + pairsOf(p2).size == scratch.size)
   }
+
+  test("cluster-aware split never separates near-duplicates and covers every doc") {
+    val out = graft.SparkEntry.queries("split_cluster_aware")(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d = Tables.t(spark, sf, "documents")
+    assert(rows.length == d.count(), "every document must be assigned")
+    // leakage guard: one split per cluster
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cluster straddles splits: ${members.toSeq}")
+    }
+    // all three splits populated, train dominant (80/10/10 by md5 digit)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"), s"got $bySplit")
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+    // and near-dup PAIRS specifically agree (the invariant the split is for)
+    val split = rows.map(r => r._1 -> r._3).toMap
+    DedupOps.jaccardPairs(d, n = 3, minJ = 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .foreach(r => assert(split(r.getLong(0)) == split(r.getLong(1))))
+  }
 }
