@@ -339,6 +339,88 @@ object CurateOps {
              |SELECT doc_id, cluster,
              |       CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid'
              |            ELSE 'test' END AS split
-             |FROM assigned ORDER BY doc_id""".stripMargin))
+             |FROM assigned ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "docs_mix_budget",
+      (s, dir) => {
+        // BUDGET-CONSTRAINED DATA MIXING (waterfilling): fill a global
+        // token budget B (here 60% of the corpus) from sources in
+        // proportion to priority weights, capped by each source's
+        // availability — the allocator behind "train on 1B tokens with
+        // this source mix". Closed-form waterfilling instead of
+        // iteration: sort sources by saturation ratio avail/w; a source
+        // is SATURATED (taken whole) iff its ratio is at or below the
+        // water level implied by the budget remaining after all earlier
+        // (smaller-ratio) sources — the flags form a prefix, so one
+        // window pass over |sources| rows decides them, and unsaturated
+        // sources share the remainder in weight proportion. ALL
+        // arithmetic is int64 (cross-multiplied comparisons, floor
+        // division), so the oracle replays it bit-exactly. Scale: one
+        // corpus scan + one |sources|-row aggregate; the window runs
+        // over rows numbered in sources, not documents.
+        val per = Tables.t(s, dir, "documents")
+          .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("tk"))
+          .groupBy("source")
+          .agg(sum(col("tk")).as("avail"))
+          .withColumn("w", (length(col("source")) % 3 + 1).cast("long"))
+        val totals = per.agg(sum(col("avail")).as("total_avail"),
+          sum(col("w")).as("wtot"))
+        val ordered = per.crossJoin(broadcast(totals))
+          .withColumn("budget", expr("total_avail * 6 div 10"))
+          .withColumn("pa",
+            coalesce(sum(col("avail")).over(Window.orderBy(
+              (col("avail") * lit(1.0) / col("w")).asc, col("source").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("pw",
+            coalesce(sum(col("w")).over(Window.orderBy(
+              (col("avail") * lit(1.0) / col("w")).asc, col("source").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("sat",
+            col("avail") * (col("wtot") - col("pw")) <=
+              (col("budget") - col("pa")) * col("w"))
+        val satTotals = ordered.agg(
+          sum(when(col("sat"), col("avail")).otherwise(0L)).as("cm"),
+          sum(when(col("sat"), col("w")).otherwise(0L)).as("wm"))
+        ordered.crossJoin(broadcast(satTotals))
+          .withColumn("alloc",
+            when(col("sat"), col("avail")).otherwise(
+              when(col("wtot") === col("wm"), lit(0L)).otherwise(
+                greatest(lit(0L),
+                  expr("(budget - cm) * w div (wtot - wm)")))))
+          .select(col("source"), col("avail"), col("w"), col("sat"),
+            col("alloc"), expr("alloc * 1000 div avail").as("keep_permille"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+             |                    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS avail,
+             |                    CAST(length(source) % 3 + 1 AS BIGINT) AS w
+             |             FROM documents GROUP BY source),
+             |     tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total_avail,
+             |                    CAST(sum(w) AS BIGINT) AS wtot FROM per),
+             |     ordered AS (
+             |       SELECT source, avail, w, total_avail, wtot,
+             |              total_avail * 6 // 10 AS budget,
+             |              CAST(coalesce(sum(avail) OVER (ORDER BY avail * 1.0 / w, source
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pa,
+             |              CAST(coalesce(sum(w) OVER (ORDER BY avail * 1.0 / w, source
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pw
+             |       FROM per, tot),
+             |     flagged AS (SELECT *,
+             |                        avail * (wtot - pw) <= (budget - pa) * w AS sat
+             |                 FROM ordered),
+             |     sattot AS (SELECT CAST(coalesce(sum(CASE WHEN sat THEN avail END), 0) AS BIGINT) AS cm,
+             |                       CAST(coalesce(sum(CASE WHEN sat THEN w END), 0) AS BIGINT) AS wm
+             |                FROM flagged)
+             |SELECT source, avail, w, sat,
+             |       CAST(CASE WHEN sat THEN avail
+             |                 WHEN wtot = wm THEN 0
+             |                 ELSE greatest(0, (budget - cm) * w // (wtot - wm))
+             |            END AS BIGINT) AS alloc,
+             |       CAST(CASE WHEN sat THEN avail
+             |                 WHEN wtot = wm THEN 0
+             |                 ELSE greatest(0, (budget - cm) * w // (wtot - wm))
+             |            END * 1000 // avail AS BIGINT) AS keep_permille
+             |FROM flagged, sattot ORDER BY source""".stripMargin))
   )
 }

@@ -78,4 +78,25 @@ class IncrementalDedupSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b")).collect()
       .foreach(r => assert(split(r.getLong(0)) == split(r.getLong(1))))
   }
+
+  test("budget mixing: allocations respect availability, exhaust the budget, saturate by ratio") {
+    val out = graft.SparkEntry.queries("docs_mix_budget")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    val totalAvail = out.map(_._2).sum
+    val budget = totalAvail * 6 / 10
+    out.foreach { case (src, avail, _, sat, alloc) =>
+      assert(alloc >= 0 && alloc <= avail, s"$src alloc $alloc outside [0, $avail]")
+      if (sat) assert(alloc == avail, s"saturated $src not taken whole")
+    }
+    val total = out.map(_._5).sum
+    assert(total <= budget, s"overshoot: $total > $budget")
+    // floors lose < 1 token per unsaturated source
+    assert(budget - total <= out.count(!_._4) + 1, s"undershoot too large: $budget - $total")
+    // saturation is a prefix of the availability/weight ratio order
+    val byRatio = out.sortBy(r => (r._2.toDouble / r._3, r._1))
+    val firstUnsat = byRatio.indexWhere(!_._4)
+    if (firstUnsat >= 0)
+      assert(byRatio.drop(firstUnsat).forall(!_._4), "saturated set is not a ratio prefix")
+  }
 }
