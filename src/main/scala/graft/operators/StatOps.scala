@@ -219,6 +219,59 @@ object StatOps {
              |             FROM cnt GROUP BY doc_id)
              |SELECT doc_id, n::BIGINT AS n,
              |       floor((log2(n::DOUBLE) - sclog / n) * 10000)::BIGINT AS entropy_e4
-             |FROM ent ORDER BY doc_id""".stripMargin))
+             |FROM ent ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "table_stats_drift",
+      (s, dir) => {
+        // DISTRIBUTION DRIFT between two time slices — the data-quality
+        // gate a continuously-fed pipeline runs before trusting a new
+        // window of data: per event_type, compare row volume and value
+        // level between the first and second half of the covered time
+        // range (cut at the integer midpoint of [min ts, max ts] — a
+        // deterministic, scalar-broadcast cut, no percentile needed).
+        // All metrics are int64 (counts, floor-cent means, permille
+        // ratios), so the oracle replays them bit-exactly. Scale: one
+        // scan + one |types|-row aggregate; the min/max scalar
+        // broadcast is the established 1-row crossJoin shape.
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), expr("ts_ns div 1000").as("us"),
+            col("value"))
+        val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        ev.crossJoin(broadcast(bounds))
+          .withColumn("in_b", col("us") >= expr("(lo + hi) div 2"))
+          .groupBy("event_type")
+          .agg(
+            sum(when(!col("in_b"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(!col("in_b"), round(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("cents_a"),
+            sum(when(col("in_b"), round(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("cents_b"))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            expr("n_b * 1000 div n_a").as("vol_ratio_permille"),
+            expr("cents_a div n_a").as("mean_cents_a"),
+            expr("cents_b div n_b").as("mean_cents_b"),
+            expr("cents_b div n_b - cents_a div n_a").as("mean_shift_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS us, value
+             |            FROM events),
+             |     b AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+             |     sliced AS (SELECT event_type, value,
+             |                       us >= (lo + hi) // 2 AS in_b
+             |                FROM ev, b),
+             |     agg AS (SELECT event_type,
+             |                    CAST(sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |                    CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |                    CAST(sum(CASE WHEN NOT in_b THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_a,
+             |                    CAST(sum(CASE WHEN in_b THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_b
+             |             FROM sliced GROUP BY event_type)
+             |SELECT event_type, n_a, n_b,
+             |       n_b * 1000 // n_a AS vol_ratio_permille,
+             |       cents_a // n_a AS mean_cents_a,
+             |       cents_b // n_b AS mean_cents_b,
+             |       cents_b // n_b - cents_a // n_a AS mean_shift_cents
+             |FROM agg ORDER BY event_type""".stripMargin))
   )
 }
