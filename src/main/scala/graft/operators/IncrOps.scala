@@ -239,6 +239,80 @@ object IncrOps {
       Some("""SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day, event_type,
              |       CAST(count(*) AS BIGINT) AS n,
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    GQuery(
+      "agg_mv_streaming_serve",
+      (s, dir) => {
+        // THE FULL FRESHNESS LOOP in one differential: the per-day
+        // summary is maintained FROM THE STREAM (kafkalog source →
+        // GenFold, ≥4 admission-controlled micro-batches), registered
+        // as a materialized view, and a USER QUERY against the BASE
+        // events table is answered by SummaryRewriteRule from the
+        // stream-maintained table — reads never touch the fact table,
+        // writes never rescan history. The oracle is the full-history
+        // aggregate plus used_mv=true from the query's own optimized
+        // plan, so this fails if the fold mis-merges a batch OR the
+        // rewrite stops firing.
+        import graft.plans.SummaryRewriteRule
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+        val (path, n) = KafkaLogOps.eventsTimedLog(s, dir)
+        val out = s"/tmp/graft_mv_serve/${new java.io.File(dir).getName}/state"
+        val ckpt = out + ".ck"
+        val f = graft.sources.kafkalog.KafkaLog.fs(out)
+        f.delete(new org.apache.hadoop.fs.Path(out), true)
+        f.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        val timedSchema = StructType(Seq(
+          StructField("us", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val aggSchema = StructType(Seq(
+          StructField("day", StringType), StructField("event_type", StringType),
+          StructField("n", LongType), StructField("cents", LongType)))
+        val src = s.readStream.format("kafkalog")
+          .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
+          .load(path)
+          .select(from_json(col("value"), timedSchema).as("j"))
+          .select(to_date(timestamp_micros(col("j.us"))).cast("string").as("day"),
+            col("j.event_type").as("event_type"), col("j.value").as("value"))
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("day", "event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+        graft.streaming.GenFold.fold(src, out, ckpt, aggSchema) { (prev, batch) =>
+          prev.unionByName(partials(batch))
+            .groupBy("day", "event_type")
+            .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        }
+        // register the stream-maintained table as the view's
+        // materialization; the DEFINITION is the equivalent base-table
+        // aggregate the user query will repeat
+        val events = Tables.t(s, dir, "events")
+        def baseAgg = partials(events.select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value")))
+        SummaryRewriteRule.clear()
+        SummaryRewriteRule.register("daily_events",
+          baseAgg, graft.streaming.GenFold.read(s, out, aggSchema))
+        val added = !s.experimental.extraOptimizations.contains(SummaryRewriteRule)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SummaryRewriteRule
+        try {
+          val q = baseAgg.orderBy("day", "event_type")
+          val usedMv = SummaryRewriteRule.scansPath(
+            q.queryExecution.optimizedPlan, "graft_mv_serve")
+          val res = q.withColumn("used_mv", lit(usedMv))
+          res.queryExecution.optimizedPlan
+          res
+        } finally {
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+          SummaryRewriteRule.clear()
+        }
+      },
+      Some("""SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS used_mv
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }

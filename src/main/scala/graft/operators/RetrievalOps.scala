@@ -111,6 +111,57 @@ object RetrievalOps {
       .select(col("rank") +: col("doc_id") +: rankCols.map(col) :+ col("rrf_e6"): _*)
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein, SIGIR 1998):
+    * greedily re-rank a candidate set so each pick maximizes
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * standard diversification step between retrieval and a context
+    * window (near-duplicate passages waste prompt tokens; MMR picks
+    * one per redundancy group).
+    *
+    * `cands` is `(doc_id, rel, em)` — a SMALL frame (a top-k slate,
+    * tens of rows). The k greedy rounds are chained tiny DataFrame
+    * jobs (each `localCheckpoint`ed — the CC-fixpoint convention for
+    * iterative plans); nothing is collected to the driver, and
+    * corpus-scale work happened upstream in the candidate generator.
+    * The first pick uses the same formula with an empty penalty
+    * (max-sim = 0), so pick 1 is pure argmax relevance.
+    */
+  def mmrDiversify(cands: DataFrame, k: Int, lambda: Double,
+      penalty: Double): DataFrame = {
+    // `penalty` is passed explicitly rather than derived as 1-lambda:
+    // 1.0 - 0.7 is 0.30000000000000004 in IEEE arithmetic, and the
+    // floor-scaled score must be bit-identical to an oracle that
+    // writes the literal 0.3
+    CosineSimilarity.register(cands.sparkSession)
+    val base = cands.select(col("doc_id"), col("rel"), col("em")).localCheckpoint()
+    def mmrScore(rel: org.apache.spark.sql.Column, maxSim: org.apache.spark.sql.Column) =
+      floor((lit(lambda) * rel - lit(penalty) * maxSim) * 1e6).cast("long")
+    var sel = base
+      .select(lit(1L).as("pick"), col("doc_id"), col("em"),
+        mmrScore(col("rel"), lit(0.0)).as("mmr_e6"))
+      .orderBy(desc("mmr_e6"), asc("doc_id")).limit(1)
+      .localCheckpoint()
+    var rem = base.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      // explicit broadcast: localCheckpoint frames report default
+      // (huge) size stats, and without the hint the planner could pick
+      // a shuffle cartesian for this tiny slate × picked-set product
+      val penalty = rem.as("r")
+        .join(broadcast(sel.select(col("em").as("sem"))))
+        .groupBy(col("r.doc_id").as("doc_id"))
+        .agg(max(CosineSimilarity.cosine_sim("r.em", "sem")).as("max_sim"))
+      val next = rem.join(penalty, "doc_id")
+        .select(lit(i.toLong).as("pick"), col("doc_id"), col("em"),
+          mmrScore(col("rel"), col("max_sim")).as("mmr_e6"))
+        .orderBy(desc("mmr_e6"), asc("doc_id")).limit(1)
+      sel = sel.unionByName(next).localCheckpoint()
+      rem = rem.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+    }
+    sel.select(col("pick"), col("doc_id"), col("mmr_e6"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     GQuery(
@@ -165,5 +216,50 @@ object RetrievalOps {
              |       FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
              |SELECT row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank,
              |       doc_id, lex_rank, dense_rank, rrf_e6
-             |FROM fused QUALIFY rank <= 20 ORDER BY rank""".stripMargin)))
+             |FROM fused QUALIFY rank <= 20 ORDER BY rank""".stripMargin)),
+
+    GQuery(
+      "retrieval_mmr_diversify",
+      (s, dir) => {
+        // MMR DIVERSIFICATION: the cosine top-20 slate for the
+        // lowest-id probe is greedily re-ranked to 8 picks with
+        // λ=0.7 relevance / 0.3 redundancy-penalty — so the context
+        // window gets one passage per redundancy group instead of
+        // twenty paraphrases of the best hit. The oracle replays the
+        // greedy recursion (recursive CTE carrying the picked-id list);
+        // every pick's floor-scaled score is compared, so a single
+        // wrong argmax anywhere in the chain fails the hash.
+        CosineSimilarity.register(s)
+        val e = emb(s, dir)
+        val probe = broadcast(e.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("qid"), col("em").as("qe")))
+        val cands = e.join(probe, col("vec_id") =!= col("qid"))
+          .select(col("vec_id").as("doc_id"),
+            CosineSimilarity.cosine_sim("qe", "em").as("rel"), col("em"))
+          .orderBy(desc("rel"), asc("doc_id")).limit(20)
+        mmrDiversify(cands, k = 8, lambda = 0.7, penalty = 0.3)
+          .orderBy("pick")
+      },
+      Some("""WITH RECURSIVE
+             |  e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             |  probe AS (SELECT vec_id AS qid, em AS qe FROM e ORDER BY vec_id LIMIT 1),
+             |  cand AS (SELECT vec_id AS doc_id, em, list_cosine_similarity(qe, em) AS rel
+             |           FROM e, probe WHERE vec_id <> qid
+             |           ORDER BY rel DESC, doc_id LIMIT 20),
+             |  sel(pick, ids, doc_id, mmr_e6) AS (
+             |    (SELECT 1::BIGINT, [doc_id], doc_id,
+             |            floor((0.7 * rel - 0.3 * 0.0) * 1e6)::BIGINT AS m
+             |     FROM cand ORDER BY m DESC, doc_id LIMIT 1)
+             |    UNION ALL
+             |    SELECT sel.pick + 1, list_append(sel.ids, n.doc_id), n.doc_id, n.m
+             |    FROM sel, LATERAL (
+             |      SELECT c.doc_id,
+             |             floor((0.7 * c.rel - 0.3 * (
+             |               SELECT max(list_cosine_similarity(c.em, s2.em))
+             |               FROM cand s2 WHERE list_contains(sel.ids, s2.doc_id))) * 1e6)::BIGINT AS m
+             |      FROM cand c
+             |      WHERE NOT list_contains(sel.ids, c.doc_id)
+             |      ORDER BY m DESC, c.doc_id LIMIT 1) n
+             |    WHERE sel.pick < 8)
+             |SELECT pick, doc_id, mmr_e6 FROM sel ORDER BY pick""".stripMargin)))
 }
