@@ -313,6 +313,55 @@ object IncrOps {
              |       CAST(count(*) AS BIGINT) AS n,
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
              |       true AS used_mv
-             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    GQuery(
+      "agg_mv_rollup_serve",
+      (s, dir) => {
+        // ROLLUP-TIER VIEW SERVING: the materialized summary is
+        // DAY-grained, the user query is MONTH-grained — the rewrite
+        // rule re-aggregates the view's rows (count→sum, sum→sum)
+        // through the date_trunc alignment lattice instead of refusing,
+        // so ONE fine-grained summary serves every aligned coarser
+        // dashboard. used_mv comes from the query's own optimized plan;
+        // the oracle recomputes from full history and asserts true, so
+        // both a wrong re-aggregation and a silently-dead rewrite fail.
+        // At 100 TB the rollup input is |days|·|groups| rows, not the
+        // fact table.
+        import graft.plans.SummaryRewriteRule
+        val orders = Tables.t(s, dir, "orders")
+        def dailyPartials = orders
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val mvPath = s"/tmp/graft_mv/${new java.io.File(dir).getName}/daily_orders"
+        dailyPartials.write.mode("overwrite").parquet(mvPath)
+        SummaryRewriteRule.clear()
+        SummaryRewriteRule.register("daily_orders", dailyPartials,
+          s.read.parquet(mvPath))
+        val added = !s.experimental.extraOptimizations.contains(SummaryRewriteRule)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SummaryRewriteRule
+        try {
+          val q = monthlyPartials(orders)
+            .select(date_format(col("month"), "yyyy-MM").as("month"),
+              col("n_orders"), col("cents").as("revenue_cents"))
+            .orderBy("month")
+          val usedMv = SummaryRewriteRule.scansPath(
+            q.queryExecution.optimizedPlan, "daily_orders")
+          val out = q.withColumn("used_mv", lit(usedMv))
+          out.queryExecution.optimizedPlan
+          out
+        } finally {
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+          SummaryRewriteRule.clear()
+        }
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |       true AS used_mv
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

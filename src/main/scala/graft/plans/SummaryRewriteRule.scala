@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeReference, Expression, IsNotNull, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeReference, Expression, IsNotNull, Literal, NamedExpression, PredicateHelper, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
 
 import scala.jdk.CollectionConverters._
 
@@ -186,11 +188,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     val qGroups = qGroupsRaw.map(e => strip(remap(e)).canonicalized)
     val mGroups = mGroupsRaw.map(e => strip(e).canonicalized)
-    if (qGroups.length != mGroups.length ||
-        !qGroups.forall(g => mGroups.contains(g))) return None
     // each query output must be one of the view's stored columns
     val stored: Seq[(Expression, Attribute)] =
       mOuts.map(ne => strip(ne).canonicalized).zip(mv.replacement.output)
+    if (qGroups.length != mGroups.length ||
+        !qGroups.forall(g => mGroups.contains(g)))
+      return tryRollup(qGroupsRaw, qOuts, nullFilteredGroups, remap,
+        mGroupsRaw, stored, mv)
     // every null-filtered expression must be a GROUPING expression the
     // view exposes — an isnotnull on a non-grouping input would change
     // what the aggregates saw, and one on an unexposed group cannot be
@@ -226,7 +230,9 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val projected: Seq[Option[NamedExpression]] = qOuts.map { ne =>
       rebase(strip(ne)).map(r => Alias(r, ne.name)(exprId = ne.exprId))
     }
-    if (projected.exists(_.isEmpty)) None
+    if (projected.exists(_.isEmpty))
+      tryRollup(qGroupsRaw, qOuts, nullFilteredGroups, remap,
+        mGroupsRaw, stored, mv)
     else {
       val source = groupFilterCols.flatten match {
         case Seq() => mv.replacement
@@ -234,5 +240,135 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       }
       Some(Project(projected.flatten, source))
     }
+  }
+
+  // ---- ROLLUP tier: re-aggregate a finer-grained view ----
+
+  /** date_trunc unit synonyms normalized to one canonical name. */
+  private val truncSynonyms: Map[String, String] = Map(
+    "year" -> "year", "yyyy" -> "year", "yy" -> "year",
+    "quarter" -> "quarter",
+    "month" -> "month", "mon" -> "month", "mm" -> "month",
+    "week" -> "week",
+    "day" -> "day", "dd" -> "day",
+    "hour" -> "hour", "minute" -> "minute", "second" -> "second")
+
+  /** The alignment lattice: `alignedCoarser(f)` is the set of COARSER
+    * units whose bucket boundaries are aligned to `f` buckets — exactly
+    * the units c for which date_trunc(c, date_trunc(f, x)) ==
+    * date_trunc(c, x) for every x. Week appears only as a coarsening of
+    * day-and-finer (week boundaries are day-aligned), and nothing
+    * coarsens FROM week (year/quarter/month boundaries are not
+    * week-aligned).
+    */
+  private val alignedCoarser: Map[String, Set[String]] = Map(
+    "second" -> Set("minute", "hour", "day", "week", "month", "quarter", "year"),
+    "minute" -> Set("hour", "day", "week", "month", "quarter", "year"),
+    "hour" -> Set("day", "week", "month", "quarter", "year"),
+    "day" -> Set("week", "month", "quarter", "year"),
+    "week" -> Set.empty,
+    "month" -> Set("quarter", "year"),
+    "quarter" -> Set("year"))
+
+  private def truncUnit(e: Expression): Option[String] = e match {
+    case Literal(s, StringType) if s != null =>
+      truncSynonyms.get(s.toString.toLowerCase)
+    case _ => None
+  }
+
+  /** The rollup tier of view matching (Goldstein & Larson tier 2,
+    * restricted to provably-safe cases): answer a COARSER aggregate
+    * from a finer-grained view by re-aggregating its rows. A query
+    * rewrites when every grouping expression is computable from the
+    * view's grouping COLUMNS (scalar functions over them, or a coarser
+    * `date_trunc` over the same underlying expression via the
+    * alignment lattice), and every aggregate is a stored column
+    * re-aggregated distributively: sum→sum, min→min, max→max,
+    * count→sum. DISTINCT aggregates, FILTER clauses, averages, and
+    * floating-point sums (whose re-summation is order-sensitive) all
+    * refuse. The rewritten plan is an Aggregate over the
+    * materialization — |view| input rows instead of |base|.
+    */
+  private def tryRollup(
+      qGroupsRaw: Seq[Expression], qOuts: Seq[NamedExpression],
+      nullFilteredGroups: Seq[Expression], remap: Expression => Expression,
+      mGroupsRaw: Seq[Expression], stored: Seq[(Expression, Attribute)],
+      mv: Mv): Option[LogicalPlan] = {
+    // every view grouping must be exposed as a stored column, or the
+    // view rows cannot be re-grouped
+    val storedGroups: Seq[(Expression, Expression, Attribute)] =
+      mGroupsRaw.flatMap { g =>
+        val cg = strip(g).canonicalized
+        stored.find(_._1 == cg).map(t => (cg, strip(g), t._2))
+      }
+    if (storedGroups.length != mGroupsRaw.length) return None
+
+    def reAgg(e: Expression): Option[Expression] = {
+      val want = strip(remap(e)).canonicalized
+      storedGroups.find(_._1 == want) match {
+        case Some((_, _, attr)) => return Some(attr)
+        case None =>
+      }
+      e match {
+        case TruncTimestamp(fmt, ts, tz) =>
+          val viaLattice = for {
+            c <- truncUnit(fmt)
+            attr <- storedGroups.collectFirst {
+              case (_, TruncTimestamp(mfmt, mts, mtz), a)
+                  if truncUnit(mfmt).exists(f => alignedCoarser(f).contains(c)) &&
+                    strip(remap(ts)).canonicalized == mts.canonicalized &&
+                    tz == mtz => a
+            }
+          } yield TruncTimestamp(fmt, attr, tz)
+          if (viaLattice.isDefined) return viaLattice
+        case _ =>
+      }
+      e match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          stored.find(_._1 == want).flatMap { case (_, attr) =>
+            def re(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+              Some(AggregateExpression(f, Complete, isDistinct = false))
+            ae.aggregateFunction match {
+              case _: Sum
+                  if attr.dataType != DoubleType && attr.dataType != FloatType =>
+                re(Sum(attr))
+              case _: Count => re(Sum(attr))
+              case _: Min => re(Min(attr))
+              case _: Max => re(Max(attr))
+              case _ => None
+            }
+          }
+        case _: AggregateExpression => None
+        case _: Attribute => None
+        case _ if e.children.nonEmpty =>
+          val kids = e.children.map(reAgg)
+          if (kids.exists(_.isEmpty)) None
+          else Some(e.withNewChildren(kids.map(_.get)))
+        case _ => Some(e)
+      }
+    }
+
+    val rebasedGroups = qGroupsRaw.map(g => reAgg(strip(g)))
+    if (rebasedGroups.exists(_.isEmpty)) return None
+    val qGroupCanon = qGroupsRaw.map(g => strip(remap(g)).canonicalized)
+    // pushed-down isnotnull filters must target query grouping
+    // expressions (see the exact tier); re-applied on view rows BEFORE
+    // the re-aggregation, which commutes for the same null-group reason
+    val rebasedFilters = nullFilteredGroups.map { e =>
+      if (!qGroupCanon.contains(strip(remap(e)).canonicalized)) None
+      else reAgg(strip(e))
+    }
+    if (rebasedFilters.exists(_.isEmpty)) return None
+    val rebasedOuts: Seq[Option[NamedExpression]] = qOuts.map { ne =>
+      reAgg(strip(ne))
+        .filter(_.dataType == ne.dataType) // re-typed aggregates refuse
+        .map(r => Alias(r, ne.name)(exprId = ne.exprId))
+    }
+    if (rebasedOuts.exists(_.isEmpty)) return None
+    val source = rebasedFilters.flatten match {
+      case Seq() => mv.replacement
+      case conds => Filter(conds.map(IsNotNull(_): Expression).reduce(And), mv.replacement)
+    }
+    Some(Aggregate(rebasedGroups.flatten, rebasedOuts.flatten, source))
   }
 }

@@ -70,12 +70,22 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
-  test("a different grouping must NOT rewrite") {
+  test("an unrelated grouping must NOT rewrite; an ALIGNED coarser one rolls up") {
     withRule {
-      val q = orders.groupBy(date_trunc("year", col("o_orderdate")).as("y"))
+      // grouping by a column unrelated to the view's month key: refuse
+      val q = orders.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
-      assert(!scansMv(q), "rewrite fired across groupings:\n" +
+      assert(!scansMv(q), "rewrite fired across unrelated groupings:\n" +
         q.queryExecution.optimizedPlan)
+      // year-from-month is bucket-aligned: the rollup tier serves it
+      val build = () => orders
+        .groupBy(date_trunc("year", col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n")).orderBy("y")
+      val y = build()
+      assert(scansMv(y), "year-from-month rollup did not fire:\n" +
+        y.queryExecution.optimizedPlan)
+      SummaryRewriteRule.clear()
+      assert(y.collect().toSeq == build().collect().toSeq)
     }
   }
 
@@ -110,6 +120,131 @@ class SummaryRewriteSpec extends SparkSpec {
       val q = orders.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(avg(col("o_totalprice")).as("a"))
       assert(!scansMv(q), "avg() wrongly rewrote:\n" + q.queryExecution.optimizedPlan)
+    }
+  }
+
+  // ---- rollup tier ----
+
+  private def dailyPartials = orders
+    .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+    .agg(count(lit(1)).as("n"),
+      sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  private lazy val dayMvDir = {
+    val d = Files.createTempDirectory("graft_mv_spec_day").toString + "/daily"
+    dailyPartials.write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def withDayRule[T](body: => T): T = {
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("daily_orders",
+      dailyPartials, spark.read.parquet(dayMvDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try body finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
+  private def scansDayMv(df: DataFrame): Boolean =
+    SummaryRewriteRule.scansPath(df.queryExecution.optimizedPlan, "graft_mv_spec_day")
+
+  test("rollup: a MONTH aggregate is served from the DAY view by re-aggregation") {
+    val expected = IncrOps.monthlyPartials(orders).orderBy("month").collect()
+    withDayRule {
+      val q = IncrOps.monthlyPartials(orders).orderBy("month")
+      assert(scansDayMv(q), "month-from-day rollup did not fire:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    }
+  }
+
+  test("rollup: a YEAR aggregate with derived scalars also rolls up from days") {
+    val build = () => orders
+      .groupBy(date_trunc("year", col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("y"), col("n"), expr("cents div n").as("avg_cents"))
+      .orderBy("y")
+    val expected = build().collect()
+    withDayRule {
+      val q = build()
+      assert(scansDayMv(q), "year-from-day rollup did not fire:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    }
+  }
+
+  test("rollup: week-from-day fires, but month-from-WEEK view must refuse") {
+    withDayRule {
+      val wk = orders.groupBy(date_trunc("week", col("o_orderdate")).as("w"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansDayMv(wk), "week-from-day rollup did not fire")
+    }
+    // a week-grained view cannot serve month queries (misaligned buckets)
+    val weekDir = Files.createTempDirectory("graft_mv_spec_week").toString + "/weekly"
+    val weekly = orders.groupBy(date_trunc("week", col("o_orderdate")).as("w"))
+      .agg(count(lit(1)).as("n"))
+    weekly.write.mode("overwrite").parquet(weekDir)
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("weekly_orders", weekly, spark.read.parquet(weekDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try {
+      val q = orders.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      assert(!SummaryRewriteRule.scansPath(q.queryExecution.optimizedPlan,
+        "graft_mv_spec_week"),
+        "month wrongly served from week buckets:\n" + q.queryExecution.optimizedPlan)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
+  test("rollup: avg() and DISTINCT aggregates refuse") {
+    withDayRule {
+      val qAvg = orders.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(!scansDayMv(qAvg), "avg wrongly rolled up")
+      val qDistinct = orders.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(countDistinct(col("o_custkey")).as("d"))
+      assert(!scansDayMv(qDistinct), "count distinct wrongly rolled up")
+    }
+  }
+
+  test("rollup: floating-point sums refuse (re-summation is order-sensitive)") {
+    val dblDir = Files.createTempDirectory("graft_mv_spec_dbl").toString + "/dbl"
+    val dbl = orders.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("s"))
+    dbl.write.mode("overwrite").parquet(dblDir)
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("daily_dbl", dbl, spark.read.parquet(dblDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try {
+      val q = orders.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      assert(!SummaryRewriteRule.scansPath(q.queryExecution.optimizedPlan,
+        "graft_mv_spec_dbl"), "double sum wrongly rolled up")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
+  test("rollup: rolled result joins downstream like any aggregate") {
+    withDayRule {
+      val m = IncrOps.monthlyPartials(orders)
+      val joined = m.as("a").join(m.as("b"), "month")
+        .select(col("month"), col("a.cents"))
+      assert(scansDayMv(joined))
+      assert(joined.count() == IncrOps.monthlyPartials(orders).count())
     }
   }
 
