@@ -116,9 +116,15 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     if (mvs.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        mvs.asScala.view
-          .flatMap(tryRewrite(agg, _))
-          .headOption.getOrElse(agg)
+        // Evaluate every registered view and PREFER an exact-tier match
+        // (a Project over the materialization — zero re-aggregation)
+        // over a rollup-tier one (an Aggregate over it): with both a
+        // monthly and a daily summary registered, a monthly query must
+        // read the monthly table, not re-roll the daily one.
+        val candidates = mvs.asScala.flatMap(tryRewrite(agg, _)).toSeq
+        candidates.find(!_.isInstanceOf[Aggregate])
+          .orElse(candidates.headOption)
+          .getOrElse(agg)
     }
 
   private def strip(e: Expression): Expression = e match {

@@ -238,6 +238,30 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("with both grains registered, a month query prefers the exact monthly view") {
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("daily_orders",
+      dailyPartials, spark.read.parquet(dayMvDir))
+    SummaryRewriteRule.register("monthly_orders",
+      IncrOps.monthlyPartials(orders), spark.read.parquet(mvDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try {
+      val q = IncrOps.monthlyPartials(orders)
+      assert(scansMv(q), "exact monthly view not chosen:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(!scansDayMv(q), "rollup over daily chosen despite exact match")
+      // and a week query still falls through to the daily rollup
+      val wk = orders.groupBy(date_trunc("week", col("o_orderdate")).as("w"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansDayMv(wk), "weekly rollup lost when both views registered")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
   test("rollup: rolled result joins downstream like any aggregate") {
     withDayRule {
       val m = IncrOps.monthlyPartials(orders)
