@@ -421,6 +421,40 @@ object CurateOps {
              |                 WHEN wtot = wm THEN 0
              |                 ELSE greatest(0, (budget - cm) * w // (wtot - wm))
              |            END * 1000 // avail AS BIGINT) AS keep_permille
-             |FROM flagged, sattot ORDER BY source""".stripMargin))
+             |FROM flagged, sattot ORDER BY source""".stripMargin)),
+
+    GQuery(
+      "docs_keyset_page",
+      (s, dir) => {
+        // KEYSET (cursor) PAGINATION — the scalable form of paging an
+        // export: page 3 (rows 41-60 under the total order n_chars
+        // DESC, doc_id ASC) fetched NOT by OFFSET (which scans and
+        // discards 40 rows — O(pages²) over a full export, and
+        // unstable under concurrent inserts) but by the keyset
+        // predicate (n_chars, doc_id) strictly-after the page-2 cursor
+        // row. With a layout sorted on the export order the predicate
+        // prunes to the tail; the plan is two TakeOrdered heaps either
+        // way, never a global sort. The oracle computes the same page
+        // by row_number, so the differential IS the
+        // offset-equals-keyset equivalence proof.
+        val ordered = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val cursor = ordered
+          .orderBy(desc("n_chars"), asc("doc_id")).limit(40)
+          .orderBy(asc("n_chars"), desc("doc_id")).limit(1)
+          .select(col("n_chars").as("c_n"), col("doc_id").as("c_id"))
+        ordered.crossJoin(broadcast(cursor))
+          .where(col("n_chars") < col("c_n") ||
+            (col("n_chars") === col("c_n") && col("doc_id") > col("c_id")))
+          .orderBy(desc("n_chars"), asc("doc_id")).limit(20)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(desc("n_chars"), asc("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars FROM (
+             |  SELECT doc_id, n_chars,
+             |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn BETWEEN 41 AND 60
+             |ORDER BY n_chars DESC, doc_id""".stripMargin))
   )
 }

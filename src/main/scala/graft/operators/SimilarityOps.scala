@@ -710,6 +710,36 @@ object SimilarityOps {
   val all: Seq[GQuery] = Seq(
 
     GQuery(
+      "sim_filtered_topk",
+      (s, dir) => {
+        // FILTERED VECTOR SEARCH: top-k cosine neighbors restricted to a
+        // metadata predicate (label = 3) — the "filtered ANN" shape
+        // every retrieval stack needs (search only docs matching a
+        // facet). The filter applies BEFORE similarity work, pushed
+        // into the parquet scan (PushedFilters carries label), so the
+        // kernel streams only the qualifying slice — pre-filtering, not
+        // the post-filter-then-hope variant that under-fills k when the
+        // facet is selective. Probes are the 5 lowest vec_ids of the
+        // SAME slice so every scale factor has both probes and
+        // candidates.
+        val e = emb(s, dir).where(col("label") === 3)
+          .select(col("vec_id"), col("em"))
+        bruteForceTopK(e.orderBy("vec_id").limit(5), e, k = 5)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH f AS (SELECT vec_id, embedding::DOUBLE[] AS em
+             |           FROM embeddings WHERE label = 3),
+             |     q AS (SELECT vec_id AS qid, em AS qe FROM f ORDER BY vec_id LIMIT 5),
+             |     p AS (SELECT qid, vec_id, list_cosine_similarity(qe, em) AS s
+             |           FROM q, f WHERE vec_id <> qid),
+             |     r AS (SELECT qid, vec_id, s,
+             |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+             |           FROM p)
+             |SELECT qid, vec_id, round(s, 4) AS score, rn
+             |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    GQuery(
       "sim_topk_bruteforce",
       (s, dir) => {
         val e = emb(s, dir)
