@@ -73,5 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
     // No-op until views are registered via SummaryRewriteRule.register.
     e.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
+    // date_format(ts, ...) comparisons → pushable timestamp ranges
+    e.injectOptimizerRule(_ => graft.plans.SargableDateRule)
   }
 }

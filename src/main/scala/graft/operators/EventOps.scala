@@ -17,6 +17,47 @@ object EventOps {
   val all: Seq[GQuery] = Seq(
 
     GQuery(
+      "events_sargable_day",
+      (s, dir) => {
+        // SARGABLE-DATE REWRITE differential (plans/SargableDateRule):
+        // the query is written with the endemic anti-pattern —
+        // date_format(ts, 'yyyy-MM-dd') = <literal> — and the rule
+        // rewrites it to native timestamp bounds that reach the parquet
+        // scan's PushedFilters (the string form is opaque to every
+        // pruning layer). The emitted `rewritten` flag is derived from
+        // the query's own optimized plan (no date_format survives), so
+        // the oracle fails both if the rewrite corrupts the day's rows
+        // and if the rule silently stops firing. At 100 TB with a
+        // date-partitioned layout this is scan-a-day vs scan-the-corpus.
+        import graft.plans.SargableDateRule
+        val added = !s.experimental.extraOptimizations.contains(SargableDateRule)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SargableDateRule
+        try {
+          val q = Tables.t(s, dir, "events")
+            .where(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-15")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+            .orderBy("event_type")
+          val rewritten = !q.queryExecution.optimizedPlan.toString
+            .contains("date_format")
+          val out = q.withColumn("rewritten", lit(rewritten))
+          out.queryExecution.optimizedPlan // force under the rule
+          out
+        } finally {
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq SargableDateRule)
+        }
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS rewritten
+             |FROM events
+             |WHERE strftime(ts::TIMESTAMP, '%Y-%m-%d') = '2024-01-15'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    GQuery(
       "events_funnel",
       (s, dir) => {
         // signup → purchase conversion within 1 hour, computed from
