@@ -75,5 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.SummaryRewriteRule)
     // date_format(ts, ...) comparisons → pushable timestamp ranges
     e.injectOptimizerRule(_ => graft.plans.SargableDateRule)
+    // No-op until constraints are declared via ConstraintRules.declare*.
+    e.injectOptimizerRule(_ => graft.plans.ConstraintRules)
   }
 }

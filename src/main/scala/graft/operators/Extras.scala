@@ -738,6 +738,52 @@ object Extras {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     GQuery(
+      "join_fk_eliminated",
+      (s, dir) => {
+        // CONSTRAINT-DRIVEN JOIN ELIMINATION (plans/ConstraintRules):
+        // the query joins orders to customer over the declared foreign
+        // key but uses only child columns — the wide-view shape BI
+        // tools generate constantly. With the FK declared, the rule
+        // drops the join AND the customer scan (row-preserving: each
+        // order matches exactly one customer). The `eliminated` flag
+        // is derived from the query's own optimized plan (one leaf
+        // left); the oracle computes the aggregate over the JOIN and
+        // asserts true, so both a row-count-changing elimination and a
+        // silently-dead rule fail the hash compare.
+        import graft.plans.ConstraintRules
+        val orders = Tables.t(s, dir, "orders")
+        val customer = Tables.t(s, dir, "customer")
+        ConstraintRules.clear()
+        ConstraintRules.declareForeignKey("orders_customer",
+          orders, "o_custkey", customer, "c_custkey")
+        val added = !s.experimental.extraOptimizations.contains(ConstraintRules)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ ConstraintRules
+        try {
+          val q = orders
+            .join(customer, col("o_custkey") === col("c_custkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+            .orderBy("o_orderpriority")
+          val eliminated =
+            q.queryExecution.optimizedPlan.collectLeaves().length == 1
+          val out = q.withColumn("eliminated", lit(eliminated))
+          out.queryExecution.optimizedPlan // force under the rule
+          out
+        } finally {
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq ConstraintRules)
+          ConstraintRules.clear()
+        }
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS eliminated
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    GQuery(
       "udf_surface",
       (s, dir) => {
         // Scala UDF registration surface. (Native functions beat UDFs in
