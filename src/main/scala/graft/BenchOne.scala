@@ -29,6 +29,37 @@ object BenchOne {
     // no args → sweep the ENTIRE registry (the round-5 outlier hunt);
     // pipe through `sort -k3` on the warm_min column to rank
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.registry.map(_.name)
+
+    // SPARK_GRAFT_METRICS=1 → per-query physical totals from a stage
+    // listener: input bytes, shuffle read/write bytes, spill. The
+    // numbers that actually predict 100 TB behavior — wall-clock tells
+    // you a query is slow, shuffle bytes tell you WHY and how it
+    // scales. Totals cover cold + all warm runs; divide by `runs` for
+    // per-run. Caveat: input_mb under-reports on local filesystems
+    // (Hadoop's "file"-scheme statistics miss some vectorized-reader
+    // paths) — shuffle and spill are the trustworthy columns here, and
+    // they are the scale-relevant ones. Reset between queries after an
+    // async-bus settle pause.
+    val metrics = sys.env.get("SPARK_GRAFT_METRICS").contains("1")
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val shRead = new java.util.concurrent.atomic.AtomicLong
+    val shWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    if (metrics) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            input.addAndGet(m.inputMetrics.bytesRead)
+            shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    def mb(l: Long): String = f"${l / 1048576.0}%8.1f"
+
     names.foreach { name =>
       val q = byName.getOrElse(name, sys.error(s"unknown query: $name"))
       def once(): Double = {
@@ -39,6 +70,15 @@ object BenchOne {
       val cold = once()
       val warms = (1 to reps).map(_ => once())
       println(f"[benchone] $name%-28s cold=$cold%6.3f warm_min=${warms.min}%6.3f warm=${warms.map(w => f"$w%.3f").mkString(",")}")
+      if (metrics) {
+        // the listener bus is async (and its flush API is private) —
+        // a dev tool can afford a settle pause instead
+        Thread.sleep(300)
+        val runs = 1 + reps // totals cover cold + all warm reps
+        println(f"[benchmetrics] $name%-28s runs=$runs input_mb=${mb(input.get)} " +
+          f"shuffle_r_mb=${mb(shRead.get)} shuffle_w_mb=${mb(shWrite.get)} spill_mb=${mb(spill.get)}")
+        input.set(0); shRead.set(0); shWrite.set(0); spill.set(0)
+      }
     }
     spark.stop()
   }
