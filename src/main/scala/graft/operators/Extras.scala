@@ -48,6 +48,45 @@ object Extras {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     GQuery(
+      "typed_sorted_groups",
+      (s, dir) => {
+        // flatMapSortedGroups — the Spark 3.4+ typed API that hands each
+        // group's rows ALREADY SORTED by a secondary key (the engine
+        // sorts within partitions as part of the exchange, instead of
+        // every group function re-sorting or buffering): per user,
+        // iterate events in time order once, O(1) memory, computing the
+        // maximum inter-event gap and the event count. The oracle
+        // recomputes via lag() — any group-order violation or dropped
+        // row breaks the max-gap values.
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("us").asc) { (user, it) =>
+            var prev = Long.MinValue
+            var maxGap = 0L
+            var n = 0L
+            it.foreach { case (_, us) =>
+              if (prev != Long.MinValue && us - prev > maxGap) maxGap = us - prev
+              prev = us
+              n += 1
+            }
+            Iterator((user, n, maxGap))
+          }
+          .toDF("user_id", "n_events", "max_gap_us")
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |                  epoch_us(ts::TIMESTAMP) -
+             |                    lag(epoch_us(ts::TIMESTAMP)) OVER (
+             |                      PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)) AS gap
+             |           FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
       "time_session",
       (s, dir) => {
         // Session windows (30-min gap) per user — batch form of the
