@@ -189,6 +189,41 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  /** SargableDateRule: for random timestamp sets, patterns, comparison
+    * operators, and literals (canonical period strings derived from a
+    * row, so boundary cases are guaranteed to occur), the rewritten
+    * predicate selects exactly the rows the date_format string
+    * comparison selects — and the rewrite actually fired.
+    */
+  property("sargable-date rewrite preserves comparison semantics for all shapes") = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val micros = Gen.chooseNum(1700000000000000L, 1760000000000000L) // 2023-11..2025-10
+    val pattern = Gen.oneOf("yyyy", "yyyy-MM", "yyyy-MM-dd")
+    val op = Gen.oneOf("=", "<", "<=", ">", ">=")
+    forAll(Gen.nonEmptyListOf(micros).map(_.take(30)), pattern, op,
+      Gen.chooseNum(0, 29)) { (tss, pat, o, pickIdx) =>
+      val df = tss.toDF("us").select(col("us"), timestamp_micros(col("us")).as("ts"))
+      // literal = the pattern-rendering of one of the rows → real
+      // boundary collisions every case
+      val pick = tss(pickIdx % tss.length)
+      val lit0 = df.where(col("us") === pick)
+        .select(expr(s"date_format(ts, '$pat')")).as[String].collect()(0)
+      val cond = expr(s"date_format(ts, '$pat') $o '$lit0'")
+      val brute = df.where(cond).select("us").as[Long].collect().toSet
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SargableDateRule
+      try {
+        val q = df.where(cond)
+        val rewritten = !q.queryExecution.optimizedPlan.toString.contains("date_format")
+        rewritten && q.select("us").as[Long].collect().toSet == brute
+      } finally {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations
+            .filterNot(_ eq graft.plans.SargableDateRule)
+      }
+    }
+  }
+
   // Spark job per case — 10 cases hits plenty of collision/shuffle
   // variety with the 7-key space above
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
