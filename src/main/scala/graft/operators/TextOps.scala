@@ -78,7 +78,69 @@ object TextOps {
        |FROM sel ORDER BY doc_id""".stripMargin
   }
 
+  /** The S-stemmer (Harman 1991, "How effective is suffixing?"): three
+    * plural-stripping rules — `ies`→`y` (unless eies/aies), `es`→`e`
+    * (unless aes/ees/oes), drop final `s` (unless us/ss). Weaker than
+    * Porter but a PUBLISHED, exactly-specified stemmer whose rules are
+    * pure conditional string ops — native codegen'd functions here and
+    * bit-identical CASE logic in the oracle, where Porter's 60 rules
+    * would force a UDF and a rows-only check.
+    */
+  def sStem(w: Column): Column =
+    when(w.endsWith("ies") && !w.endsWith("eies") && !w.endsWith("aies"),
+      concat(w.substr(lit(1), length(w) - 3), lit("y")))
+      .when(w.endsWith("es") && !w.endsWith("aes") && !w.endsWith("ees") &&
+        !w.endsWith("oes"),
+        w.substr(lit(1), length(w) - 1))
+      .when(w.endsWith("s") && !w.endsWith("us") && !w.endsWith("ss"),
+        w.substr(lit(1), length(w) - 1))
+      .otherwise(w)
+
   val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "text_stem_terms",
+      (s, dir) => {
+        // STEMMED term frequencies: tokens lowercased, S-stemmed,
+        // counted; top-20 stems with their surface-form diversity
+        // (n_forms — the collapse the stemmer exists to produce).
+        // One explode + one hash aggregate; the stemmer is three
+        // codegen CASE branches, no UDF.
+        docs(s, dir)
+          .select(explode(tokens(lower(col("text")))).as("w"))
+          .select(sStem(col("w")).as("stem"), col("w"))
+          .groupBy("stem")
+          .agg(count(lit(1)).as("n"), count_distinct(col("w")).as("n_forms"))
+          .orderBy(desc("n"), asc("stem")).limit(20)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("n"), asc("stem"))).cast("long"))
+          .select(col("rank"), col("stem"), col("n"), col("n_forms"))
+          .orderBy("rank")
+      },
+      Some("""WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+             |                                     x -> x <> '')) AS w
+             |           FROM documents),
+             |     st AS (SELECT w,
+             |                   CASE WHEN w LIKE '%ies' AND w NOT LIKE '%eies'
+             |                             AND w NOT LIKE '%aies'
+             |                        THEN substring(w, 1, length(w) - 3) || 'y'
+             |                        WHEN w LIKE '%es' AND w NOT LIKE '%aes'
+             |                             AND w NOT LIKE '%ees' AND w NOT LIKE '%oes'
+             |                        THEN substring(w, 1, length(w) - 1)
+             |                        WHEN w LIKE '%s' AND w NOT LIKE '%us'
+             |                             AND w NOT LIKE '%ss'
+             |                        THEN substring(w, 1, length(w) - 1)
+             |                        ELSE w END AS stem
+             |            FROM w),
+             |     agg AS (SELECT stem, CAST(count(*) AS BIGINT) AS n,
+             |                    CAST(count(DISTINCT w) AS BIGINT) AS n_forms
+             |             FROM st GROUP BY stem),
+             |     ranked AS (SELECT row_number() OVER (ORDER BY n DESC, stem) AS rank,
+             |                       stem, n, n_forms
+             |                FROM agg)
+             |SELECT rank, stem, n, n_forms FROM ranked
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
     GQuery(
       "text_tokens",
