@@ -157,6 +157,61 @@ object SignalOps {
              |            FROM scored) WHERE rn = 1)
              |SELECT vec_id,
              |       array_to_string(list_sort(list(ss || ':' || sid)), '') AS code
-             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    GQuery(
+      "events_cusum_changepoint",
+      (s, dir) => {
+        // CHANGE-POINT DETECTION via one-sided CUSUM over the daily
+        // event-count series: S_t = max(0, S_{t-1} + dev_t − slack),
+        // change point = the earliest day of the maximum statistic.
+        // The sequential fold (max-with-reset — NOT a window function)
+        // runs as an `aggregate` HOF over the day series collected into
+        // ONE row: |days| is calendar-bounded, so the array is tiny by
+        // construction while the daily counts underneath remain a
+        // distributed aggregate — the same bounded-window stance as
+        // every |days|-sized single-partition op in PLANS.md. All
+        // integer arithmetic: dev_t = |days|·n_t − total (deviation
+        // scaled by |days| to avoid division), slack = total div 20.
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily
+          .agg(
+            sort_array(collect_list(struct(col("day"), col("n")))).as("ds"),
+            sum(col("n")).as("total"),
+            count(lit(1)).as("nd"))
+          .select(col("total"), col("nd"),
+            expr("""aggregate(ds,
+                 |  struct(cast(array() as array<struct<day:string,s:bigint>>) as acc,
+                 |         cast(0 as bigint) as s),
+                 |  (a, d) -> struct(
+                 |    concat(a.acc, array(named_struct(
+                 |      'day', d.day,
+                 |      's', greatest(cast(0 as bigint),
+                 |                    a.s + nd * d.n - total - total div 20)))),
+                 |    greatest(cast(0 as bigint),
+                 |             a.s + nd * d.n - total - total div 20)),
+                 |  a -> a.acc)""".stripMargin).as("ss"))
+          .select(explode(col("ss")).as("e"))
+          .select(col("e.day").as("change_day"), col("e.s").as("cusum"))
+          .orderBy(desc("cusum"), asc("change_day")).limit(1)
+      },
+      Some("""WITH RECURSIVE
+             |  daily AS (SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+             |                   CAST(count(*) AS BIGINT) AS n
+             |            FROM events GROUP BY 1),
+             |  tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             |                 CAST(count(*) AS BIGINT) AS nd FROM daily),
+             |  seq AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
+             |  cusum(i, day, s) AS (
+             |    SELECT i, day, greatest(0, nd * n - total - total // 20)
+             |    FROM seq, tot WHERE i = 1
+             |    UNION ALL
+             |    SELECT seq.i, seq.day,
+             |           greatest(0, cusum.s + nd * seq.n - total - total // 20)
+             |    FROM cusum JOIN seq ON seq.i = cusum.i + 1, tot)
+             |SELECT day AS change_day, CAST(s AS BIGINT) AS cusum
+             |FROM cusum ORDER BY cusum DESC, change_day LIMIT 1""".stripMargin))
   )
 }
