@@ -455,6 +455,42 @@ object CurateOps {
              |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
              |  FROM documents)
              |WHERE rn BETWEEN 41 AND 60
-             |ORDER BY n_chars DESC, doc_id""".stripMargin))
+             |ORDER BY n_chars DESC, doc_id""".stripMargin)),
+
+    GQuery(
+      "privacy_k_anonymity",
+      (s, dir) => {
+        // K-ANONYMITY / L-DIVERSITY AUDIT — the privacy gate before a
+        // dataset leaves the pipeline: under the quasi-identifier set
+        // (nation, account-balance band), how small is the smallest
+        // group (k), how undiverse is the most homogeneous group's
+        // sensitive attribute (l, here market segment), and how many
+        // groups violate k>=5. One hash aggregate over the table + a
+        // grand summary; at scale this is exactly a groupBy-count, and
+        // the audit failing means generalize the QI bands, not ship.
+        val qi = Tables.t(s, dir, "customer")
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+          .groupBy("c_nationkey", "bal_band")
+          .agg(count(lit(1)).as("grp"),
+            count_distinct(col("c_mktsegment")).as("l_div"))
+        qi.agg(
+            min(col("grp")).as("k_anonymity"),
+            min(col("l_div")).as("l_diversity"),
+            sum(when(col("grp") < 5, 1L).otherwise(0L)).as("n_groups_below_k5"),
+            count(lit(1)).as("n_groups"))
+          .select(col("k_anonymity"), col("l_diversity"),
+            col("n_groups_below_k5"), col("n_groups"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |                  CAST(count(*) AS BIGINT) AS grp,
+             |                  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+             |           FROM customer GROUP BY 1, 2)
+             |SELECT CAST(min(grp) AS BIGINT) AS k_anonymity,
+             |       CAST(min(l_div) AS BIGINT) AS l_diversity,
+             |       CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k5,
+             |       CAST(count(*) AS BIGINT) AS n_groups
+             |FROM g""".stripMargin))
   )
 }
