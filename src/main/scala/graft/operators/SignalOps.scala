@@ -212,6 +212,57 @@ object SignalOps {
              |           greatest(0, cusum.s + nd * seq.n - total - total // 20)
              |    FROM cusum JOIN seq ON seq.i = cusum.i + 1, tot)
              |SELECT day AS change_day, CAST(s AS BIGINT) AS cusum
-             |FROM cusum ORDER BY cusum DESC, change_day LIMIT 1""".stripMargin))
+             |FROM cusum ORDER BY cusum DESC, change_day LIMIT 1""".stripMargin)),
+
+    GQuery(
+      "events_active_coverage",
+      (s, dir) => {
+        // INTERVAL-UNION COVERAGE (sweep line): each event opens a
+        // 5-minute activity interval; per user, the total UNION length
+        // (overlaps merged, not double-counted) — the uptime/engaged-
+        // time primitive naive sum-of-durations gets wrong. Classic
+        // sweep: +1 at starts, −1 at ends, sorted with starts first at
+        // ties so touching intervals merge; covered time = Σ gaps where
+        // the running count stays positive. ONE keyed window pass over
+        // 2 edges/event, exact integer micros; the per-user sweep
+        // shuffles each user's edges once — no interval self-join, no
+        // N² overlap pairs.
+        val iv = lit(300000000L) // 5 min in micros
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+        val edges = ev.select(col("user_id"), col("us").as("t"), lit(1L).as("d"))
+          .unionByName(ev.select(col("user_id"), (col("us") + iv).as("t"),
+            lit(-1L).as("d")))
+        val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("d").desc)
+        val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val covered = edges
+          .withColumn("active", sum(col("d")).over(wRows))
+          .withColumn("nxt", lead(col("t"), 1).over(w))
+          .where(col("active") > 0 && col("nxt").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(col("nxt") - col("t")).as("covered_us"))
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+          .join(covered, "user_id")
+          .select(col("user_id"), col("n_events"), col("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+             |     edges AS (SELECT user_id, us AS t, 1 AS d FROM ev
+             |               UNION ALL
+             |               SELECT user_id, us + 300000000, -1 FROM ev),
+             |     swept AS (SELECT user_id, t, d,
+             |                      sum(d) OVER (PARTITION BY user_id
+             |                        ORDER BY t, d DESC
+             |                        ROWS UNBOUNDED PRECEDING) AS active,
+             |                      lead(t) OVER (PARTITION BY user_id
+             |                        ORDER BY t, d DESC) AS nxt
+             |               FROM edges),
+             |     cov AS (SELECT user_id, CAST(sum(nxt - t) AS BIGINT) AS covered_us
+             |             FROM swept WHERE active > 0 AND nxt IS NOT NULL
+             |             GROUP BY user_id)
+             |SELECT ev.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       covered_us
+             |FROM ev JOIN cov ON ev.user_id = cov.user_id
+             |GROUP BY ev.user_id, covered_us ORDER BY ev.user_id""".stripMargin))
   )
 }
