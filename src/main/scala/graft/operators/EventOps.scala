@@ -58,6 +58,63 @@ object EventOps {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     GQuery(
+      "events_funnel_latency",
+      (s, dir) => {
+        // TIME-TO-CONVERT percentiles: for users whose first purchase
+        // follows their first signup, the exact lower-median and exact
+        // ceil-rank p90 of the delay — integer micros end to end, rank
+        // picked under the (delay, user) total order so cross-engine
+        // ties cannot reorder (the agg_median_mode convention; at scale
+        // the same shape runs on approx_percentile, this exact form is
+        // the oracle-checkable anchor). Two keyed aggregates + one
+        // |converters|-row window.
+        val e = Tables.t(s, dir, "events")
+        val firsts = e.groupBy("user_id").agg(
+          min(when(col("event_type") === "signup",
+            expr("ts_ns div 1000"))).as("s_us"),
+          min(when(col("event_type") === "purchase",
+            expr("ts_ns div 1000"))).as("p_us"))
+        val conv = firsts
+          .where(col("s_us").isNotNull && col("p_us").isNotNull &&
+            col("p_us") >= col("s_us"))
+          .select(col("user_id"), (col("p_us") - col("s_us")).as("delay_us"))
+        val ranked = conv.withColumn("rk", row_number().over(
+          Window.orderBy(col("delay_us").asc, col("user_id").asc)).cast("long"))
+        val n = ranked.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(n))
+          .where(col("rk") === expr("(n + 1) div 2") ||
+            col("rk") === expr("(9 * n + 9) div 10"))
+          .groupBy("n")
+          .agg(
+            min(when(col("rk") === expr("(n + 1) div 2"), col("delay_us")))
+              .as("median_delay_us"),
+            min(when(col("rk") === expr("(9 * n + 9) div 10"), col("delay_us")))
+              .as("p90_delay_us"))
+          .select(col("n").as("n_converters"), col("median_delay_us"),
+            col("p90_delay_us"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |                  min(CASE WHEN event_type = 'signup'
+             |                           THEN epoch_us(ts::TIMESTAMP) END) AS s_us,
+             |                  min(CASE WHEN event_type = 'purchase'
+             |                           THEN epoch_us(ts::TIMESTAMP) END) AS p_us
+             |           FROM events GROUP BY user_id),
+             |     conv AS (SELECT user_id, p_us - s_us AS delay_us
+             |              FROM f WHERE s_us IS NOT NULL AND p_us IS NOT NULL
+             |                AND p_us >= s_us),
+             |     ranked AS (SELECT delay_us,
+             |                       row_number() OVER (ORDER BY delay_us, user_id) AS rk,
+             |                       count(*) OVER () AS n
+             |                FROM conv)
+             |SELECT CAST(max(n) AS BIGINT) AS n_converters,
+             |       CAST(min(CASE WHEN rk = (n + 1) // 2 THEN delay_us END) AS BIGINT)
+             |         AS median_delay_us,
+             |       CAST(min(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_us END) AS BIGINT)
+             |         AS p90_delay_us
+             |FROM ranked
+             |WHERE rk = (n + 1) // 2 OR rk = (9 * n + 9) // 10""".stripMargin)),
+
+    GQuery(
       "events_funnel",
       (s, dir) => {
         // signup → purchase conversion within 1 hour, computed from
