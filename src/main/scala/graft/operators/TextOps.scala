@@ -143,6 +143,48 @@ object TextOps {
              |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
     GQuery(
+      "text_readability",
+      (s, dir) => {
+        // FLESCH-KINCAID GRADE as a corpus quality signal: grade =
+        // 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with
+        // syllables approximated by vowel-group counts (the standard
+        // programmatic proxy) and sentences by terminal-punctuation
+        // runs. Every count is a regexp over the text — one map-only
+        // pass, codegen regexps, no UDF — and the final double chain is
+        // identical in both engines, floor-scaled at e2 (the
+        // transcendental-free analog of the BM25 convention; division
+        // order is pinned by writing the formula identically). Docs
+        // with no sentence terminator count as one sentence.
+        val words = size(tokens(col("text"))).cast("double")
+        val sentences = greatest(lit(1L),
+          size(split(col("text"), "[.!?]+\\s")) - 1).cast("double")
+        val syllables = (size(split(lower(col("text")), "[aeiouy]+")) - 1)
+          .cast("double")
+        docs(s, dir)
+          .select(col("doc_id"),
+            words.cast("long").as("n_words"),
+            sentences.cast("long").as("n_sentences"),
+            syllables.cast("long").as("n_syllables"),
+            floor((lit(0.39) * (words / sentences) +
+              lit(11.8) * (syllables / words) - lit(15.59)) * 100)
+              .cast("long").as("fk_grade_e2"))
+          .where(col("n_words") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |                  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS words,
+             |                  greatest(1, len(regexp_split_to_array(text, '[.!?]+\s')) - 1)::DOUBLE AS sentences,
+             |                  (len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1)::DOUBLE AS syllables
+             |           FROM documents)
+             |SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+             |       CAST(sentences AS BIGINT) AS n_sentences,
+             |       CAST(syllables AS BIGINT) AS n_syllables,
+             |       CAST(floor((0.39 * (words / sentences) +
+             |                   11.8 * (syllables / words) - 15.59) * 100) AS BIGINT)
+             |         AS fk_grade_e2
+             |FROM t WHERE words > 0 ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "text_tokens",
       (s, dir) => {
         docs(s, dir)
