@@ -263,6 +263,50 @@ object SignalOps {
              |SELECT ev.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_events,
              |       covered_us
              |FROM ev JOIN cov ON ev.user_id = cov.user_id
-             |GROUP BY ev.user_id, covered_us ORDER BY ev.user_id""".stripMargin))
+             |GROUP BY ev.user_id, covered_us ORDER BY ev.user_id""".stripMargin)),
+
+    GQuery(
+      "events_theilsen_slope",
+      (s, dir) => {
+        // THEIL-SEN robust trend: the median of all pairwise slopes of
+        // the daily event-count series — a single outlier day (a
+        // backfill spike, an outage) that would wreck OLS barely moves
+        // it (29% breakdown point vs 0%). The pair space is
+        // |days|²/2 — calendar-BOUNDED, so the self-join is a
+        // ~400-row product over an aggregate, never over events.
+        // Slopes are floor-scaled int64 (integer division truncates
+        // toward zero identically in both engines for the generated
+        // values), median picked at the lower rank under a
+        // (slope, i, j) total order.
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("i", row_number().over(
+            Window.orderBy("day")).cast("long"))
+        val pairs = daily.as("a").join(daily.as("b"), col("a.i") < col("b.i"))
+          .select(col("a.i").as("i"), col("b.i").as("j"),
+            expr("(b.n - a.n) * 10000 div (b.i - a.i)").as("slope_e4"))
+        val ranked = pairs.withColumn("rk", row_number().over(
+            Window.orderBy(col("slope_e4").asc, col("i").asc, col("j").asc))
+          .cast("long"))
+        val n = ranked.agg(count(lit(1)).as("n_pairs"))
+        ranked.crossJoin(broadcast(n))
+          .where(col("rk") === expr("(n_pairs + 1) div 2"))
+          .select(col("n_pairs"), col("slope_e4").as("median_slope_e4"))
+      },
+      Some("""WITH daily AS (SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+             |                      CAST(count(*) AS BIGINT) AS n
+             |               FROM events GROUP BY 1),
+             |     seq AS (SELECT n, row_number() OVER (ORDER BY day) AS i FROM daily),
+             |     pairs AS (SELECT a.i AS i, b.i AS j,
+             |                      (b.n - a.n) * 10000 // (b.i - a.i) AS slope_e4
+             |               FROM seq a JOIN seq b ON a.i < b.i),
+             |     ranked AS (SELECT slope_e4,
+             |                       row_number() OVER (ORDER BY slope_e4, i, j) AS rk,
+             |                       count(*) OVER () AS n_pairs
+             |                FROM pairs)
+             |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+             |       CAST(slope_e4 AS BIGINT) AS median_slope_e4
+             |FROM ranked WHERE rk = (n_pairs + 1) // 2""".stripMargin))
   )
 }
