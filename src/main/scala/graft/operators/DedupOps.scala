@@ -612,6 +612,40 @@ object DedupOps {
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(
+      "dedup_cross_source_matrix",
+      (s, dir) => {
+        // CROSS-SOURCE CONTAMINATION MATRIX: for every pair of sources,
+        // how many distinct document PREFIX fingerprints (first 16
+        // tokens — the RefinedWeb-style near-dup key text_prefix_dedup
+        // already uses) they share — the diagnostic that tells a corpus
+        // curator which subsets copy from which (mirror sites,
+        // re-crawls, dataset overlap) before mixing weights are chosen.
+        // Inverted-index self-join on the fingerprint over DISTINCT
+        // (fp, source) rows — the jaccardPairs shape with sources as
+        // the documents — so cost is bounded by per-fingerprint source
+        // fan-out (≤ |sources|), never corpus².
+        val fs = docs(s, dir)
+          .select(md5(array_join(slice(TextOps.tokens(col("text")), 1, 16), " ")
+            .cast("binary")).as("fp"), col("source"))
+          .distinct()
+        fs.as("a").join(fs.as("b"),
+            col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_fps"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH fs AS (SELECT DISTINCT
+             |              md5(array_to_string(
+             |                (list_filter(string_split(text, ' '), x -> x <> ''))[1:16],
+             |                ' ')) AS fp,
+             |              source
+             |            FROM documents)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |       CAST(count(*) AS BIGINT) AS n_shared_fps
+             |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)),
+
+    GQuery(
       "dedup_simhash",
       (s, dir) => {
         // FULLY oracle-checked (round 2): portable md5 token hashes make
