@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+import org.apache.spark.sql.execution.WholeStageCodegenExec
 
 /** Mechanical plan-quality audit over the ENTIRE query registry: builds
   * every registered query's physical plan and scans it for scale
@@ -22,6 +24,21 @@ import org.apache.spark.sql.SparkSession
   *  - single-partition exchanges (global sorts excluded): usually an
   *    empty-partition window; legitimate only on provably small inputs.
   *
+  * Hard failure (exit 4) — codegen_failures: every `WholeStageCodegenExec`
+  * stage in every registered plan has its generated Java source compiled
+  * here with janino (`CodeGenerator.compile`), the same call
+  * `WholeStageCodegenExec.doExecute` makes — except a failure is FATAL
+  * instead of a silent interpreted fallback. Added after the r9
+  * `SimHash32` incident, where a bad static-call emission de-codegen'd
+  * its whole stage and only a WARN line in a 10-minute test log knew.
+  * The lint session runs with AQE OFF so the executed plan carries its
+  * `WholeStageCodegenExec` wrappers up front (under AQE they only
+  * appear at stage creation mid-execution, hiding every stage from a
+  * static sweep); the initial plan shapes are the same ones AQE starts
+  * from, so the join/exchange lint is unchanged in substance. Codegen
+  * of a broadcast-join stage executes its tiny sf0.001 build side —
+  * that cost is the price of compiling what would really run.
+  *
   * Streaming differentials are skipped: their `run` EXECUTES the stream
   * (their plan story is in PLANS.md / the streaming specs), and iterative
   * graph queries execute driver rounds at plan-build time — lint runs at
@@ -38,6 +55,7 @@ object PlanLint {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,11 +64,24 @@ object PlanLint {
     var bnlj = List.empty[String]
     var singlePart = List.empty[String]
     var errors = List.empty[(String, String)]
+    var codegenFail = List.empty[(String, String)]
     var checked = 0
+    var stagesCompiled = 0
     SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
       try {
-        val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+        val exec = q.run(spark, sfDir).queryExecution.executedPlan
+        val plan = exec.toString
         checked += 1
+        exec.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
+          try {
+            CodeGenerator.compile(w.doCodeGen()._2)
+            stagesCompiled += 1
+          } catch {
+            case e: Throwable =>
+              codegenFail ::= (q.name, e.getMessage.linesIterator
+                .find(_.contains("No applicable")).getOrElse(e.toString).take(160))
+          }
+        }
         if (plan.contains("CartesianProduct")) cartesian ::= q.name
         if (plan.contains("BroadcastNestedLoopJoin")) bnlj ::= q.name
         // SinglePartition exchanges that are NOT the final presentation
@@ -62,7 +93,8 @@ object PlanLint {
     }
     println(s"[planlint] checked=$checked " +
       s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
-      s"single_partition=${singlePart.size} errors=${errors.size}")
+      s"single_partition=${singlePart.size} errors=${errors.size} " +
+      s"codegen_stages=$stagesCompiled codegen_failures=${codegenFail.size}")
     if (bnlj.nonEmpty)
       println(s"[planlint] bnlj (deliberate 1-row/band broadcasts): " +
         bnlj.sorted.mkString(", "))
@@ -75,6 +107,12 @@ object PlanLint {
       spark.stop(); sys.exit(2)
     }
     if (errors.nonEmpty) { spark.stop(); sys.exit(3) }
+    if (codegenFail.nonEmpty) {
+      codegenFail.foreach { case (n, e) =>
+        println(s"[planlint] FATAL codegen failure in $n: $e")
+      }
+      spark.stop(); sys.exit(4)
+    }
     spark.stop()
   }
 }

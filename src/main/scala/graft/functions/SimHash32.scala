@@ -28,7 +28,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHash32.eval($c)")
+      s"graft.functions.SimHash32$$.MODULE$$.eval($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

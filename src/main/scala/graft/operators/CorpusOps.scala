@@ -263,11 +263,16 @@ object CorpusOps {
           .select("g").distinct().persist()
         // Size the filter from the data (2x headroom) — a fixed capacity
         // saturates at larger scale factors, degrading fpp toward 1 and
-        // turning the prefilter into a pass-through. The persist means the
-        // eval-gram explode+distinct runs once, shared by the count, the
-        // bloomFilter action, and the broadcast-join build side.
+        // turning the prefilter into a pass-through. The persist spans
+        // the TWO build-time actions (count, bloomFilter) and is
+        // released before returning: leaving it cached would leak
+        // executor storage for the session lifetime (hundreds of
+        // queries share one session in the registry sweeps), and the
+        // one lazy use left — the broadcast build side — is a single
+        // recompute of the small eval-gram set at execution.
         val nEval = evalGrams.count()
         val bf = evalGrams.stat.bloomFilter("g", math.max(2L * nEval, 1024L), 0.01)
+        evalGrams.unpersist(blocking = false)
         // asNondeterministic stops constraint inference from copying the
         // probe onto the eval side (grams there are all present by
         // construction — a pure-overhead filter in the physical plan).

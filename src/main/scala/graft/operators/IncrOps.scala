@@ -50,6 +50,19 @@ object IncrOps {
       .groupBy("month")
       .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
 
+  /** Partial-aggregate state for the DERIVED-AVG tier: sum AND count of
+    * the SAME cents expression, so `avg(cents)` is answerable as
+    * sum/count. The count is `count(x)` — not `count(*)` — because
+    * o_totalprice is nullable in the schema and avg divides by the
+    * non-null count; SummaryRewriteRule.deriveAvg only accepts a
+    * row count when the child is provably non-nullable.
+    */
+  def monthlyAvgPartials(df: DataFrame): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(cents).as("cents"), count(cents).as("n_vals"))
+  }
+
   /** Partial aggregates of the orders ⋈ lineitem join, keyed by order
     * month: additive (count, cents) over the JOIN rows — the maintained
     * state of an incremental join view. Same column names as
@@ -190,6 +203,56 @@ object IncrOps {
       Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
              |       CAST(COUNT(*) AS BIGINT) AS n_orders,
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |       true AS used_mv
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "agg_mv_derived_avg",
+      (s, dir) => {
+        // DERIVED-AGGREGATE VIEW SERVING (SummaryRewriteRule tier 2,
+        // VERDICT r9 item 6): the user query asks for avg(cents); the
+        // view stores only sum(cents) and count(cents). The rule
+        // derives avg = cast(sum as double) / cast(count as double) —
+        // the classic dashboard shape (one wide sum/count summary
+        // serves every ratio metric) — instead of refusing. used_mv is
+        // read off the query's own optimized plan and the oracle
+        // asserts true, so a silently-dead derivation fails the hash
+        // compare, not just a perf budget. Exactness: sum and count are
+        // integral (cents as long), so both engines divide the same two
+        // exact doubles — bit-identical results with DuckDB's
+        // sum/count division.
+        import graft.plans.SummaryRewriteRule
+        val orders = Tables.t(s, dir, "orders")
+        val mvPath = s"/tmp/graft_mv/${new java.io.File(dir).getName}/monthly_avg_orders"
+        monthlyAvgPartials(orders).write.mode("overwrite").parquet(mvPath)
+        SummaryRewriteRule.clear()
+        SummaryRewriteRule.register("monthly_avg_orders",
+          monthlyAvgPartials(orders), s.read.parquet(mvPath))
+        val added = !s.experimental.extraOptimizations.contains(SummaryRewriteRule)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SummaryRewriteRule
+        try {
+          val cents = round(col("o_totalprice") * 100).cast("long")
+          val q = orders
+            .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+            .agg(avg(cents).as("avg_cents"))
+            .select(date_format(col("month"), "yyyy-MM").as("month"),
+              col("avg_cents"))
+            .orderBy("month")
+          val usedMv = SummaryRewriteRule.scansPath(
+            q.queryExecution.optimizedPlan, "monthly_avg_orders")
+          val out = q.withColumn("used_mv", lit(usedMv))
+          out.queryExecution.optimizedPlan
+          out
+        } finally {
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+          SummaryRewriteRule.clear()
+        }
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             |         / COUNT(o_totalprice) AS avg_cents,
              |       true AS used_mv
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 

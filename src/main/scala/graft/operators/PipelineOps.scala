@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   *
   * Reference anchors: the reference's reducer dedups replayed Kafka
   * records by key in an in-heap HashMap (`/root/reference/src/main/java/
-  * com/iflytek/spark/HadoopKafkaConsumer.java:55`) — `ingest_dedup_replay`
+  * hadoop/kafka/newconsumer/HadoopKafkaConsumer.java:55`) — `ingest_dedup_replay`
   * is that exact at-least-once contract as a distributed aggregate.
   */
 object PipelineOps {
@@ -161,19 +161,20 @@ object PipelineOps {
           .select(col("doc_id"), col("tk"), size(col("tk")).cast("double").as("dl"))
         val stats = tok.agg(count(lit(1)).cast("double").as("n_docs"),
           avg(col("dl")).as("avgdl"))
-        // persist: tf is tiny (≤ docs × |terms| rows) and feeds BOTH the
-        // df aggregate and the scoring join — without it the corpus scan
-        // runs twice (exchange reuse can't fire: column pruning gives the
-        // two subtrees different partial aggregates).
         val tf = tok
           .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
           .where(col("term").isin(terms: _*))
           .groupBy("doc_id", "dl", "term")
           .agg(count(lit(1)).cast("double").as("tf"))
-          .persist()
-        val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        // df via a window over tf — ONE corpus scan, no persist (a
+        // session-lifetime cache leak across registry sweeps; a
+        // separate df aggregate would also re-tokenize, since column
+        // pruning gives the two subtrees different partial aggregates
+        // and exchange reuse can't fire). The per-term exchange moves
+        // ≤ docs × |query terms| rows.
         val scored = tf
-          .join(broadcast(df), "term")
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy("term")).cast("double"))
           .crossJoin(broadcast(stats))
           .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
           .withColumn("contrib",

@@ -57,9 +57,12 @@ object RetrievalOps {
       .where(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-      .persist()
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(df), "term")
+    // document frequency as a window over tf — one plan, no persist (a
+    // session-lifetime cache leak across registry sweeps), no second
+    // tokenize pass; the per-term exchange moves |matched docs × query
+    // terms| rows, bounded by the query's term list
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("double"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("contrib",

@@ -274,10 +274,14 @@ object SignalOps {
         // it (29% breakdown point vs 0%). The pair space is
         // |days|²/2 — calendar-BOUNDED, so the self-join is a
         // ~400-row product over an aggregate, never over events.
-        // Slopes are floor-scaled int64 (integer division truncates
-        // toward zero identically in both engines for the generated
-        // values), median picked at the lower rank under a
-        // (slope, i, j) total order.
+        // Slopes are FLOOR-scaled int64 via floor() on an exact double
+        // quotient on BOTH engines — Spark's integer `div` truncates
+        // toward zero while DuckDB's `//` floors, so negative
+        // non-divisible slopes would differ by 1 and could move the
+        // median. floor(N/D) is exact here: N, D are int64 with
+        // |N/D - m| ≥ 1/D for any integer m it doesn't equal, far
+        // beyond a double ulp at these magnitudes. Median picked at
+        // the lower rank under a (slope, i, j) total order.
         val daily = Tables.t(s, dir, "events")
           .groupBy(to_date(col("ts")).cast("string").as("day"))
           .agg(count(lit(1)).as("n"))
@@ -285,7 +289,7 @@ object SignalOps {
             Window.orderBy("day")).cast("long"))
         val pairs = daily.as("a").join(daily.as("b"), col("a.i") < col("b.i"))
           .select(col("a.i").as("i"), col("b.i").as("j"),
-            expr("(b.n - a.n) * 10000 div (b.i - a.i)").as("slope_e4"))
+            expr("floor(((b.n - a.n) * 10000) / (b.i - a.i))").as("slope_e4"))
         val ranked = pairs.withColumn("rk", row_number().over(
             Window.orderBy(col("slope_e4").asc, col("i").asc, col("j").asc))
           .cast("long"))
@@ -299,7 +303,8 @@ object SignalOps {
              |               FROM events GROUP BY 1),
              |     seq AS (SELECT n, row_number() OVER (ORDER BY day) AS i FROM daily),
              |     pairs AS (SELECT a.i AS i, b.i AS j,
-             |                      (b.n - a.n) * 10000 // (b.i - a.i) AS slope_e4
+             |                      CAST(floor(CAST((b.n - a.n) * 10000 AS DOUBLE)
+             |                                 / (b.i - a.i)) AS BIGINT) AS slope_e4
              |               FROM seq a JOIN seq b ON a.i < b.i),
              |     ranked AS (SELECT slope_e4,
              |                       row_number() OVER (ORDER BY slope_e4, i, j) AS rk,

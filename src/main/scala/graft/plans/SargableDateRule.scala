@@ -23,14 +23,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Supported patterns: `yyyy`, `yyyy-MM`, `yyyy-MM-dd` — formats whose
   * output is a zero-padded ISO prefix, so LEXICOGRAPHIC order equals
-  * chronological order and `=/</<=/>/>=` all map to period-boundary
-  * ranges (equality to [start, next-period-start)). The literal must
-  * parse as exactly one canonical period of the pattern; anything else
-  * (malformed, wrong width) leaves the expression untouched. NULL
-  * semantics are preserved: both forms are NULL exactly when `ts` is
-  * NULL. Timestamps with and without time zone are both handled (the
-  * bound literal is built in the format's zone for the former and as a
-  * wall-clock for the latter).
+  * chronological order WITHIN years 0000-9999 and `=/</<=/>/>=` all map
+  * to period-boundary ranges (equality to [start, next-period-start)).
+  * Outside that span rendering goes signed-proleptic (year 10000 →
+  * `+10000`, 500 BCE → `-0500`; probed on this Spark build) and the
+  * lexicographic order diverges: `-`-prefixed renders sort below every
+  * digit-leading literal AND are chronologically below every in-span
+  * bound, so BCE rows agree with the naive ranges for free — but
+  * `+`-prefixed renders ALSO sort below digit-leading literals while
+  * being chronologically ABOVE them. The range shapes therefore carry
+  * the span's upper boundary (year-10000 start): `>`/`>=` add
+  * `AND t < span-end` (a `+10000` row must stay excluded), `<`/`<=` add
+  * `OR t >= span-end` (a `+10000` row must stay included). Equality
+  * needs no guard — no out-of-span render equals a canonical 4-digit-
+  * year literal. The literal must parse as exactly one canonical period
+  * of the pattern; anything else (malformed, wrong width) leaves the
+  * expression untouched. NULL semantics are preserved: both forms are
+  * NULL exactly when `ts` is NULL (And/Or over two null comparisons
+  * stays null). Timestamps with and without time zone are both handled
+  * (the bound literal is built in the format's zone for the former and
+  * as a wall-clock for the latter).
   *
   * Installed via [[graft.GraftExtensions]] (injectOptimizerRule) or
   * `spark.experimental.extraOptimizations`.
@@ -113,42 +125,58 @@ object SargableDateRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** First wall-clock instant the patterns cannot render in 4-digit
+    * zero-padded form (year 10000 renders `+10000`): the upper boundary
+    * of the lexicographic == chronological span.
+    */
+  private val SpanEnd = LocalDate.of(10000, 1, 1).atStartOfDay
+
   /** The six range shapes. `lo`/`hi` are the period's [start, next),
-    * built against the resolved (possibly cast-unwrapped) target.
+    * `end` the representable span's upper boundary — all built against
+    * the resolved (possibly cast-unwrapped) target.
     */
   private def ranged(ts: Expression, zid: Option[String], fmt: String, s: String)(
-      mk: (Expression, Literal, Literal) => Expression): Option[Expression] =
+      mk: (Expression, Literal, Literal, Literal) => Expression): Option[Expression] =
     for {
       (startLdt, nextLdt) <- period(fmt, s)
       (target, mkLit) <- resolve(ts, zid)
       lo <- mkLit(startLdt)
       hi <- mkLit(nextLdt)
-    } yield mk(target, lo, hi)
+      end <- mkLit(SpanEnd)
+    } yield mk(target, lo, hi, end)
 
-  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.expressions.{And, Or}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case eq @ EqualTo(Fmt(ts, f, z), Str(s)) =>
-      ranged(ts, z, f, s)((t, lo, hi) =>
+      ranged(ts, z, f, s)((t, lo, hi, _) =>
         And(GreaterThanOrEqual(t, lo), LessThan(t, hi))).getOrElse(eq)
     case eq @ EqualTo(Str(s), Fmt(ts, f, z)) =>
-      ranged(ts, z, f, s)((t, lo, hi) =>
+      ranged(ts, z, f, s)((t, lo, hi, _) =>
         And(GreaterThanOrEqual(t, lo), LessThan(t, hi))).getOrElse(eq)
     case e @ GreaterThanOrEqual(Fmt(ts, f, z), Str(s)) => // fmt >= s
-      ranged(ts, z, f, s)((t, lo, _) => GreaterThanOrEqual(t, lo)).getOrElse(e)
+      ranged(ts, z, f, s)((t, lo, _, end) =>
+        And(GreaterThanOrEqual(t, lo), LessThan(t, end))).getOrElse(e)
     case e @ GreaterThan(Fmt(ts, f, z), Str(s)) => // fmt > s
-      ranged(ts, z, f, s)((t, _, hi) => GreaterThanOrEqual(t, hi)).getOrElse(e)
+      ranged(ts, z, f, s)((t, _, hi, end) =>
+        And(GreaterThanOrEqual(t, hi), LessThan(t, end))).getOrElse(e)
     case e @ LessThanOrEqual(Fmt(ts, f, z), Str(s)) => // fmt <= s
-      ranged(ts, z, f, s)((t, _, hi) => LessThan(t, hi)).getOrElse(e)
+      ranged(ts, z, f, s)((t, _, hi, end) =>
+        Or(LessThan(t, hi), GreaterThanOrEqual(t, end))).getOrElse(e)
     case e @ LessThan(Fmt(ts, f, z), Str(s)) => // fmt < s
-      ranged(ts, z, f, s)((t, lo, _) => LessThan(t, lo)).getOrElse(e)
+      ranged(ts, z, f, s)((t, lo, _, end) =>
+        Or(LessThan(t, lo), GreaterThanOrEqual(t, end))).getOrElse(e)
     case e @ GreaterThanOrEqual(Str(s), Fmt(ts, f, z)) => // s >= fmt ⟺ fmt <= s
-      ranged(ts, z, f, s)((t, _, hi) => LessThan(t, hi)).getOrElse(e)
+      ranged(ts, z, f, s)((t, _, hi, end) =>
+        Or(LessThan(t, hi), GreaterThanOrEqual(t, end))).getOrElse(e)
     case e @ GreaterThan(Str(s), Fmt(ts, f, z)) => // s > fmt ⟺ fmt < s
-      ranged(ts, z, f, s)((t, lo, _) => LessThan(t, lo)).getOrElse(e)
+      ranged(ts, z, f, s)((t, lo, _, end) =>
+        Or(LessThan(t, lo), GreaterThanOrEqual(t, end))).getOrElse(e)
     case e @ LessThanOrEqual(Str(s), Fmt(ts, f, z)) => // s <= fmt ⟺ fmt >= s
-      ranged(ts, z, f, s)((t, lo, _) => GreaterThanOrEqual(t, lo)).getOrElse(e)
+      ranged(ts, z, f, s)((t, lo, _, end) =>
+        And(GreaterThanOrEqual(t, lo), LessThan(t, end))).getOrElse(e)
     case e @ LessThan(Str(s), Fmt(ts, f, z)) => // s < fmt ⟺ fmt > s
-      ranged(ts, z, f, s)((t, _, hi) => GreaterThanOrEqual(t, hi)).getOrElse(e)
+      ranged(ts, z, f, s)((t, _, hi, end) =>
+        And(GreaterThanOrEqual(t, hi), LessThan(t, end))).getOrElse(e)
   }
 }

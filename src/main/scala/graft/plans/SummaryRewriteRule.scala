@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeReference, Expression, IsNotNull, Literal, NamedExpression, PredicateHelper, TruncTimestamp}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeReference, Cast, Divide, EvalMode, Expression, IsNotNull, Literal, NamedExpression, PredicateHelper, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType, StringType}
@@ -40,10 +40,11 @@ import scala.jdk.CollectionConverters._
   * The rewrite replaces the Aggregate with a `Project` over the
   * materialized relation, re-aliasing each replacement column under the
   * ORIGINAL output exprIds so parent operators' references stay valid.
-  * Coarser re-aggregation (rolling a daily summary up to months) and
-  * derived aggregates (avg from sum/count) are deliberately out of
-  * scope — they are the later tiers of view matching; the exact tier is
-  * the one that must never be wrong.
+  * Two later tiers are also implemented, each restricted to provably-
+  * safe cases: coarser re-aggregation of an aligned finer view
+  * ([[tryRollup]]) and the derived aggregate `avg(x)` from stored
+  * `sum(x)`+count ([[deriveAvg]], available in both tiers); everything
+  * else refuses — the exact tier is the one that must never be wrong.
   *
   * Freshness is the registrar's contract: register a view only while
   * its materialization is current (the IncrOps refresh makes that cheap
@@ -132,6 +133,24 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case x => x
   }
 
+  /** Bag equality over canonicalized expressions. Length + forall-
+    * contains is NOT enough: a query whose inlined grouping list holds
+    * two canonically-equal entries (an alias and its defining
+    * expression survive RemoveRepetitionFromGroupExpressions because
+    * they only become equal after inlineProjects substitutes) could
+    * pass the containment test against a view with the same COUNT of
+    * groups but a different second key — and the rewrite would return
+    * the view's finer rows un-re-aggregated. Each match is consumed.
+    */
+  private def multisetEqual(a: Seq[Expression], b: Seq[Expression]): Boolean =
+    a.length == b.length && {
+      val remaining = scala.collection.mutable.ArrayBuffer.from(b)
+      a.forall { x =>
+        val i = remaining.indexOf(x)
+        if (i >= 0) { remaining.remove(i); true } else false
+      }
+    }
+
   /** Normalize an aggregate to (grouping, outputs, core child) with
     * every Project between the Aggregate and its core child INLINED
     * into the expressions. By the time user rules run, ColumnPruning
@@ -197,8 +216,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     // each query output must be one of the view's stored columns
     val stored: Seq[(Expression, Attribute)] =
       mOuts.map(ne => strip(ne).canonicalized).zip(mv.replacement.output)
-    if (qGroups.length != mGroups.length ||
-        !qGroups.forall(g => mGroups.contains(g)))
+    if (!multisetEqual(qGroups, mGroups))
       return tryRollup(qGroupsRaw, qOuts, nullFilteredGroups, remap,
         mGroupsRaw, stored, mv)
     // every null-filtered expression must be a GROUPING expression the
@@ -223,8 +241,8 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       stored.find(_._1 == want) match {
         case Some((_, replacementCol)) => Some(replacementCol)
         case None => e match {
-          case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
-            None
+          case ae: AggregateExpression =>
+            deriveAvg(ae, remap, stored, a => Some(a))
           case _: Attribute => None
           case _ =>
             val kids = e.children.map(rebase)
@@ -247,6 +265,47 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       Some(Project(projected.flatten, source))
     }
   }
+
+  /** TIER-2 DERIVED AGGREGATE (Goldstein & Larson's "computable from"
+    * case, restricted to the one shape that dominates real dashboards):
+    * answer `avg(x)` from a view that stores `sum(x)` and a count —
+    * emitted as `cast(sum_col as double) / cast(cnt_col as double)`,
+    * which is bit-identical to Spark's own `Average` (double-sum over
+    * the same rows divided by the same count). Guards:
+    *
+    *  - non-DISTINCT, no FILTER clause, and the avg's result type must
+    *    be DoubleType — decimal averages carry their own precision
+    *    rules and refuse;
+    *  - the count must be `count(x)` itself, or `count(*)`/`count(1)`
+    *    ONLY when x is non-nullable (for nullable x, `count(*)` counts
+    *    rows avg must not divide by);
+    *  - `wrap` lifts the stored columns into the destination tier: the
+    *    exact tier uses them directly; the rollup tier re-sums each
+    *    (refusing float sums, same as its sum→sum path).
+    *
+    * Division never raises: LEGACY eval mode yields null on a zero
+    * divisor, and a zero count implies a null stored sum anyway (the
+    * all-null-x group), which is exactly avg's null. */
+  private def deriveAvg(ae: AggregateExpression, remap: Expression => Expression,
+      stored: Seq[(Expression, Attribute)],
+      wrap: Attribute => Option[Expression]): Option[Expression] =
+    ae.aggregateFunction match {
+      case avg: Average if !ae.isDistinct && ae.filter.isEmpty &&
+          avg.dataType == DoubleType =>
+        val child = remap(avg.child)
+        def findStored(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Option[Attribute] = {
+          val want = AggregateExpression(f, Complete, isDistinct = false).canonicalized
+          stored.collectFirst { case (e, a) if e == want => a }
+        }
+        for {
+          s <- findStored(Sum(child))
+          c <- findStored(Count(child)).orElse(
+            if (child.nullable) None else findStored(Count(Literal(1))))
+          sw <- wrap(s)
+          cw <- wrap(c)
+        } yield Divide(Cast(sw, DoubleType), Cast(cw, DoubleType), EvalMode.LEGACY)
+      case _ => None
+    }
 
   // ---- ROLLUP tier: re-aggregate a finer-grained view ----
 
@@ -343,6 +402,13 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
               case _: Max => re(Max(attr))
               case _ => None
             }
+          }.orElse {
+            // derived avg at a coarser grain: re-sum the stored sum and
+            // count columns, then divide — exact because both re-sums
+            // are integral (float sums refuse via the wrap)
+            deriveAvg(ae, remap, stored, a =>
+              if (a.dataType == DoubleType || a.dataType == FloatType) None
+              else Some(AggregateExpression(Sum(a), Complete, isDistinct = false)))
           }
         case _: AggregateExpression => None
         case _: Attribute => None

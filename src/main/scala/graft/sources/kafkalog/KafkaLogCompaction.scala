@@ -44,8 +44,11 @@ import java.nio.charset.StandardCharsets
   * driver except the per-log-partition report (bounded by the topic's
   * partition count, like every partition listing in this package). Each
   * surviving partition is then written as one sorted segment by a
-  * distributed text write. Two scans of the log total (stats + rewrite) —
-  * the same IO shape as Kafka's cleaner (offset-map build + copy pass).
+  * distributed text write. Two scans of the log total (stats + rewrite):
+  * the survivor aggregate is persisted before the per-partition rewrite
+  * loop, so each partition's segment write reads the materialized
+  * |surviving keys| rows, not the log again — the same IO shape as
+  * Kafka's cleaner (offset-map build + copy pass).
   *
   * Crash-safety — the swap protocol. Compaction must replace N visible
   * segments with one without ever leaving a state recovery cannot fix:
@@ -140,12 +143,23 @@ object KafkaLogCompaction {
           .where(col("k").isNull)
           .select("partition", "offset", "value"))
 
+    // Materialize survivors ONCE before the rewrite loop: without this,
+    // every `survivors.where(partition === p)` job below would re-scan
+    // and re-aggregate the FULL log (the groupBy is not pruned by the
+    // later partition filter), making the cost 1 + |chosen| scans
+    // instead of the documented two. The cached set is |surviving keys|
+    // rows — the compacted size, by definition small relative to the
+    // dirty log.
+    val survivorsMat = survivors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivorsMat.count() // the one rewrite-side scan of the log
+
     val f = KafkaLog.fs(dir)
-    parts.filter(t => chosen.contains(t._1)).foreach { case (p, oldSegs) =>
+    try parts.filter(t => chosen.contains(t._1)).foreach { case (p, oldSegs) =>
       // One sorted segment for this partition, formatted exactly like
       // the fixture writer / sink (offset TAB unchunked-base64(value)).
       val scratch = s"$dir/p=$p/.compact_scratch"
-      survivors.where(col("partition") === p)
+      survivorsMat.where(col("partition") === p)
         .select(col("offset"),
           concat_ws("\t", col("offset"),
             translate(base64(encode(coalesce(col("value"), lit("")), "UTF-8")),
@@ -173,7 +187,7 @@ object KafkaLogCompaction {
       require(f.rename(tmp, new Path(s"$dir/p=$p/$finalName")),
         s"kafkalog compact: could not publish $finalName in p=$p")
       f.delete(new Path(s"$dir/p=$p/$ManifestName"), false)
-    }
+    } finally survivorsMat.unpersist(blocking = false)
     report
   }
 

@@ -66,6 +66,42 @@ class SargableDateSpec extends SparkSpec {
     }
   }
 
+  test("extreme years (BCE, year 1, 9999, +10000) keep string semantics") {
+    // Out-of-span renders go signed-proleptic (+10000, -0500) and sort
+    // BELOW digit-leading literals while +10000 is chronologically
+    // ABOVE them — the span-end guard on the range shapes exists for
+    // exactly these rows. Differential: every shape, rewritten vs
+    // brute, on a fixture spanning the breakage points.
+    val wild = Seq(
+      "-0500-03-01 12:00:00", "0001-01-01 00:00:00", "0999-12-31 23:59:59",
+      "1000-01-01 00:00:00", "2024-06-15 12:34:56", "9999-12-31 23:59:59",
+      "10000-01-15 00:00:00", "10500-07-01 00:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    assert(wild.where(col("ts").isNull).count() == 0, "fixture parse failure")
+    for {
+      pat <- Seq("yyyy", "yyyy-MM", "yyyy-MM-dd")
+      lit0 <- Seq("2024", "0999", "9999").map {
+        case y if pat == "yyyy" => y
+        case y if pat == "yyyy-MM" => s"$y-06"
+        case y => s"$y-06-15"
+      }
+      cond <- Seq(
+        date_format(col("ts"), pat) === lit0,
+        date_format(col("ts"), pat) >= lit0,
+        date_format(col("ts"), pat) > lit0,
+        date_format(col("ts"), pat) <= lit0,
+        date_format(col("ts"), pat) < lit0)
+    } {
+      val brute = wild.where(cond).collect().map(_.toString).sorted.toSeq
+      withRule {
+        val q = wild.where(cond)
+        assert(!hasDateFormat(q), s"not rewritten: $cond")
+        assert(q.collect().map(_.toString).sorted.toSeq == brute,
+          s"extreme-year drift under rewrite: $cond")
+      }
+    }
+  }
+
   test("malformed literals and unsupported patterns are untouched") {
     withRule {
       // wrong width, invalid month, garbage, unsupported pattern

@@ -123,6 +123,131 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  // ---- derived-avg tier ----
+
+  private def centsE = round(col("o_totalprice") * 100).cast("long")
+
+  private lazy val avgMvDir = {
+    val d = Files.createTempDirectory("graft_mv_spec_avg").toString + "/avg"
+    IncrOps.monthlyAvgPartials(orders).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def withAvgRule[T](body: => T): T = {
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("monthly_avg_orders",
+      IncrOps.monthlyAvgPartials(orders), spark.read.parquet(avgMvDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try body finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
+  private def scansAvgMv(df: DataFrame): Boolean =
+    SummaryRewriteRule.scansPath(df.queryExecution.optimizedPlan, "graft_mv_spec_avg")
+
+  test("derived avg: avg(x) is served from stored sum(x)+count(x)") {
+    val build = () => orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(avg(centsE).as("a")).orderBy("month")
+    val expected = build().collect()
+    withAvgRule {
+      val q = build()
+      assert(scansAvgMv(q), "derived avg did not fire:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    }
+  }
+
+  test("derived avg: count(*) does NOT stand in for count(x) when x is nullable") {
+    // monthlyPartials stores count(1) + sum(cents); cents is nullable
+    // (o_totalprice is), so avg(cents) must refuse — count(*) counts
+    // rows avg must not divide by.
+    withRule {
+      val q = orders.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(avg(centsE).as("a"))
+      assert(!scansMv(q), "avg wrongly derived from count(*) with nullable child:\n" +
+        q.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("derived avg: DISTINCT and decimal averages refuse") {
+    withAvgRule {
+      val qd = orders.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(expr("avg(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))").as("a"))
+      assert(!scansAvgMv(qd), "avg(DISTINCT) wrongly derived")
+      val qdec = orders.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(avg(col("o_totalprice").cast("decimal(12,2)")).as("a"))
+      assert(!scansAvgMv(qdec), "decimal avg wrongly derived")
+    }
+  }
+
+  test("derived avg rolls up: MONTH avg from a DAY sum/count view") {
+    val dayAvgDir = Files.createTempDirectory("graft_mv_spec_davg").toString + "/davg"
+    val dayAvg = orders.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(centsE).as("cents"), count(centsE).as("n_vals"))
+    dayAvg.write.mode("overwrite").parquet(dayAvgDir)
+    val build = () => orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(avg(centsE).as("a")).orderBy("month")
+    val expected = build().collect()
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("daily_avg_orders", dayAvg,
+      spark.read.parquet(dayAvgDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try {
+      val q = build()
+      assert(SummaryRewriteRule.scansPath(q.queryExecution.optimizedPlan,
+        "graft_mv_spec_davg"),
+        "rollup derived avg did not fire:\n" + q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
+  test("grouping lists compare as MULTISETS (duplicate group key regression)") {
+    // The query's inlined grouping list holds TWO canonically-equal
+    // month expressions (an alias and its defining expression — they
+    // only unify after inlineProjects substitutes). Against a view
+    // grouped by (month, o_orderpriority) — same COUNT of groups, a
+    // different second key — length+containment wrongly matched in the
+    // exact tier and returned the view's finer rows un-re-aggregated.
+    // Bag equality refuses; the rollup tier then serves it CORRECTLY
+    // (both duplicate keys rebase to the month column, the count
+    // re-sums over priorities), so the assertion is result equality.
+    val dupDir = Files.createTempDirectory("graft_mv_spec_dup").toString + "/dup"
+    val mv = orders.groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+    mv.write.mode("overwrite").parquet(dupDir)
+    val build = () => orders
+      .withColumn("m2", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("m2"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n")).orderBy("m")
+    val expected = build().collect()
+    SummaryRewriteRule.clear()
+    SummaryRewriteRule.register("month_prio_orders", mv, spark.read.parquet(dupDir))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SummaryRewriteRule
+    try {
+      val q = build()
+      assert(q.collect().toSeq == expected.toSeq,
+        "duplicate-group query corrupted by view match:\n" +
+          q.queryExecution.optimizedPlan)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+      SummaryRewriteRule.clear()
+    }
+  }
+
   // ---- rollup tier ----
 
   private def dailyPartials = orders
