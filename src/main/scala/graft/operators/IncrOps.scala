@@ -257,6 +257,60 @@ object IncrOps {
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "agg_mv_filter_serve",
+      (s, dir) => {
+        // FILTER-TIER VIEW SERVING (SummaryRewriteRule): the user query
+        // carries `WHERE date_trunc('month', d) >= cut` — a predicate
+        // on the GROUPING expression, the everyday dashboard
+        // time-range shape. Such a predicate keeps or drops WHOLE
+        // groups, so the rule re-applies it to the summary's month
+        // column and serves the query from the |months|-row view: at
+        // 100 TB the range never touches the fact table, and on a
+        // date-partitioned summary it partition-prunes too. used_mv
+        // comes from the query's own optimized plan; the oracle
+        // recomputes from history with the same WHERE and asserts
+        // true, so a wrong filter rebase and a silently-dead tier both
+        // fail the hash compare.
+        import graft.plans.SummaryRewriteRule
+        val orders = Tables.t(s, dir, "orders")
+        val mvPath = s"/tmp/graft_mv/${new java.io.File(dir).getName}/monthly_orders_f"
+        monthlyPartials(orders).write.mode("overwrite").parquet(mvPath)
+        SummaryRewriteRule.clear()
+        SummaryRewriteRule.register("monthly_orders_f",
+          monthlyPartials(orders), s.read.parquet(mvPath))
+        val added = !s.experimental.extraOptimizations.contains(SummaryRewriteRule)
+        if (added) s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SummaryRewriteRule
+        try {
+          val cut = lit("1997-01-01").cast("timestamp")
+          val q = orders
+            .where(date_trunc("month", col("o_orderdate")) >= cut)
+            .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+            .select(date_format(col("month"), "yyyy-MM").as("month"),
+              col("n_orders"), col("cents").as("revenue_cents"))
+            .orderBy("month")
+          val usedMv = SummaryRewriteRule.scansPath(
+            q.queryExecution.optimizedPlan, "monthly_orders_f")
+          val out = q.withColumn("used_mv", lit(usedMv))
+          out.queryExecution.optimizedPlan
+          out
+        } finally {
+          if (added) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ eq SummaryRewriteRule)
+          SummaryRewriteRule.clear()
+        }
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |       true AS used_mv
+             |FROM orders
+             |WHERE date_trunc('month', o_orderdate) >= TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "streaming_incremental_agg",
       (s, dir) => {
         // STREAMING AGGREGATE MAINTENANCE: the per-(day, event_type)

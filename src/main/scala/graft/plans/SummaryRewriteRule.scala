@@ -40,11 +40,17 @@ import scala.jdk.CollectionConverters._
   * The rewrite replaces the Aggregate with a `Project` over the
   * materialized relation, re-aliasing each replacement column under the
   * ORIGINAL output exprIds so parent operators' references stay valid.
-  * Two later tiers are also implemented, each restricted to provably-
+  * Three later tiers are also implemented, each restricted to provably-
   * safe cases: coarser re-aggregation of an aligned finer view
-  * ([[tryRollup]]) and the derived aggregate `avg(x)` from stored
-  * `sum(x)`+count ([[deriveAvg]], available in both tiers); everything
-  * else refuses — the exact tier is the one that must never be wrong.
+  * ([[tryRollup]]), the derived aggregate `avg(x)` from stored
+  * `sum(x)`+count ([[deriveAvg]], available in both tiers), and the
+  * FILTER tier — a predicate below the Aggregate that is a function of
+  * grouping expressions keeps or drops whole groups, so it re-applies
+  * on the view's group columns (`WHERE month >= X GROUP BY month`
+  * serves from the monthly summary, and a day-level predicate serves a
+  * month-level query from the daily view through the rollup tier).
+  * Everything else refuses — the exact tier is the one that must never
+  * be wrong.
   *
   * Freshness is the registrar's contract: register a view only while
   * its materialization is current (the IncrOps refresh makes that cheap
@@ -133,6 +139,17 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case x => x
   }
 
+  /** `c` evaluating to TRUE implies `a` is non-null: `a` sits under an
+    * unbroken chain of null-intolerant nodes from `c`'s root (any null
+    * input nulls the whole chain, and null is not TRUE).
+    */
+  private def impliesNotNull(c: Expression, a: Attribute): Boolean = {
+    def chains(e: Expression): Boolean =
+      e.semanticEquals(a) ||
+        (e.nullIntolerant && e.children.exists(chains))
+    chains(c)
+  }
+
   /** Bag equality over canonicalized expressions. Length + forall-
     * contains is NOT enough: a query whose inlined grouping list holds
     * two canonically-equal entries (an alias and its defining
@@ -186,21 +203,39 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val (mGroupsRaw, mOuts, mChild) =
       inlineProjects(mv.defn.groupingExpressions, mv.defn.aggregateExpressions,
         mv.defn.child)
-    // InferFiltersFromConstraints pushes join-key null filters below an
-    // Aggregate as `isnotnull(<grouping expr>)` on the base scan. That
-    // filter commutes with the aggregation (it removes exactly the null
-    // GROUP, which no other group's aggregates see), so it can be
-    // re-applied to the summary's group column after the rewrite. Any
-    // other predicate disqualifies the view.
-    val (qChild, nullFilteredGroups): (LogicalPlan, Seq[Expression]) = qChildRaw match {
-      case Filter(cond, core) =>
-        val conjuncts = splitConjunctivePredicates(cond)
-        val grouped = conjuncts.map {
-          case IsNotNull(e) => Some(e)
-          case _ => None
+    // FILTER TIER: a Filter below the query's Aggregate whose every
+    // conjunct is a function of GROUPING expressions commutes with the
+    // aggregation — such a predicate holds the same value for every
+    // row of a group, so it keeps or drops WHOLE groups and can be
+    // re-applied to the summary's group columns after the rewrite
+    // (TRUE keeps, FALSE and NULL drop — identical on both sides).
+    // This subsumes the isnotnull conjuncts that
+    // InferFiltersFromConstraints pushes below Aggregates, and serves
+    // the everyday dashboard shape `WHERE month >= X GROUP BY month`.
+    // Whether each conjunct actually rebases is decided below, once
+    // the view's grouping columns are known; a conjunct that doesn't
+    // (a non-grouping column, a nondeterministic call) disqualifies.
+    // A query child IDENTICAL to a filtered view definition still
+    // matches via sameResult with no predicates to re-apply.
+    val (qChild, preds): (LogicalPlan, Seq[Expression]) = qChildRaw match {
+      case Filter(cond, core) if !qChildRaw.sameResult(mChild) =>
+        val cs = splitConjunctivePredicates(cond)
+        // InferFiltersFromConstraints pairs every null-intolerant range
+        // conjunct with an `isnotnull(attr)` on its RAW attributes.
+        // Those cannot rebase onto group columns (the attribute is not
+        // a grouping expression) but they are REDUNDANT: a conjunct c
+        // holding `a` under an unbroken null-intolerant chain can only
+        // be TRUE when `a` is non-null, and Filter keeps TRUE rows
+        // only — so `c AND isnotnull(a)` ≡ `c`, and the isnotnull is
+        // dropped rather than rebased.
+        val kept = cs.filterNot {
+          case IsNotNull(a: Attribute) => cs.exists(c =>
+            !c.isInstanceOf[IsNotNull] && impliesNotNull(c, a))
+          case _ => false
         }
-        if (grouped.exists(_.isEmpty)) (qChildRaw, Seq.empty)
-        else (core, grouped.flatten)
+        // strip pruning projections below the filter the same way
+        // inlineProjects did above it, so sameResult compares cores
+        (inlineProjects(Nil, Nil, core)._3, kept)
       case other => (other, Seq.empty)
     }
     if (!qChild.sameResult(mChild)) return None
@@ -217,17 +252,30 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val stored: Seq[(Expression, Attribute)] =
       mOuts.map(ne => strip(ne).canonicalized).zip(mv.replacement.output)
     if (!multisetEqual(qGroups, mGroups))
-      return tryRollup(qGroupsRaw, qOuts, nullFilteredGroups, remap,
+      return tryRollup(qGroupsRaw, qOuts, preds, remap,
         mGroupsRaw, stored, mv)
-    // every null-filtered expression must be a GROUPING expression the
-    // view exposes — an isnotnull on a non-grouping input would change
-    // what the aggregates saw, and one on an unexposed group cannot be
-    // re-applied
-    val groupFilterCols: Seq[Option[Attribute]] = nullFilteredGroups.map { e =>
-      val c = strip(remap(e)).canonicalized
-      if (!mGroups.contains(c)) None else stored.find(_._1 == c).map(_._2)
+    // Rebase each filter conjunct onto the view's stored GROUP columns:
+    // a subtree matching a grouping expression the view exposes becomes
+    // its column; deterministic scalar structure above/around such
+    // subtrees is carried over; anything touching a non-grouping input
+    // (which would change what the aggregates saw) or an unexposed
+    // group, and any nondeterministic call, refuses.
+    def rebasePred(e: Expression): Option[Expression] = {
+      val want = strip(remap(e)).canonicalized
+      if (mGroups.contains(want)) stored.find(_._1 == want).map(_._2)
+      else e match {
+        case _: AggregateExpression => None
+        case _: Attribute => None
+        case _ if !e.deterministic => None
+        case _ if e.children.isEmpty => Some(e)
+        case _ =>
+          val kids = e.children.map(rebasePred)
+          if (kids.exists(_.isEmpty)) None
+          else Some(e.withNewChildren(kids.map(_.get)))
+      }
     }
-    if (groupFilterCols.exists(_.isEmpty)) return None
+    val rebasedPreds: Seq[Option[Expression]] = preds.map(rebasePred)
+    if (rebasedPreds.exists(_.isEmpty)) return None
     // Rebase each output expression onto the view's stored columns:
     // a subtree matching a stored column becomes that column; scalar
     // computation ABOVE matched subtrees is kept (CollapseProject
@@ -255,12 +303,12 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       rebase(strip(ne)).map(r => Alias(r, ne.name)(exprId = ne.exprId))
     }
     if (projected.exists(_.isEmpty))
-      tryRollup(qGroupsRaw, qOuts, nullFilteredGroups, remap,
+      tryRollup(qGroupsRaw, qOuts, preds, remap,
         mGroupsRaw, stored, mv)
     else {
-      val source = groupFilterCols.flatten match {
+      val source = rebasedPreds.flatten match {
         case Seq() => mv.replacement
-        case cols => Filter(cols.map(IsNotNull(_): Expression).reduce(And), mv.replacement)
+        case cs => Filter(cs.reduce(And), mv.replacement)
       }
       Some(Project(projected.flatten, source))
     }
@@ -356,7 +404,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def tryRollup(
       qGroupsRaw: Seq[Expression], qOuts: Seq[NamedExpression],
-      nullFilteredGroups: Seq[Expression], remap: Expression => Expression,
+      preds: Seq[Expression], remap: Expression => Expression,
       mGroupsRaw: Seq[Expression], stored: Seq[(Expression, Attribute)],
       mv: Mv): Option[LogicalPlan] = {
     // every view grouping must be exposed as a stored column, or the
@@ -422,13 +470,18 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
     val rebasedGroups = qGroupsRaw.map(g => reAgg(strip(g)))
     if (rebasedGroups.exists(_.isEmpty)) return None
-    val qGroupCanon = qGroupsRaw.map(g => strip(remap(g)).canonicalized)
-    // pushed-down isnotnull filters must target query grouping
-    // expressions (see the exact tier); re-applied on view rows BEFORE
-    // the re-aggregation, which commutes for the same null-group reason
-    val rebasedFilters = nullFilteredGroups.map { e =>
-      if (!qGroupCanon.contains(strip(remap(e)).canonicalized)) None
+    // Filter conjuncts re-apply on view rows BEFORE the re-aggregation.
+    // That commutes iff each is a function of the VIEW's (finer)
+    // grouping — which is exactly what reAgg's leaf rebase accepts
+    // (stored group columns, or a coarser aligned date_trunc of one) —
+    // so e.g. a day-level predicate serves a month-level query from the
+    // daily view. Deterministic only, and the rebased form must be
+    // aggregate-free (a filter below an Aggregate can't contain
+    // aggregates, but the guard keeps the invariant local).
+    val rebasedFilters = preds.map { e =>
+      if (!e.deterministic) None
       else reAgg(strip(e))
+        .filterNot(_.exists(_.isInstanceOf[AggregateExpression]))
     }
     if (rebasedFilters.exists(_.isEmpty)) return None
     val rebasedOuts: Seq[Option[NamedExpression]] = qOuts.map { ne =>
@@ -439,7 +492,7 @@ object SummaryRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     if (rebasedOuts.exists(_.isEmpty)) return None
     val source = rebasedFilters.flatten match {
       case Seq() => mv.replacement
-      case conds => Filter(conds.map(IsNotNull(_): Expression).reduce(And), mv.replacement)
+      case conds => Filter(conds.reduce(And), mv.replacement)
     }
     Some(Aggregate(rebasedGroups.flatten, rebasedOuts.flatten, source))
   }

@@ -123,6 +123,81 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  // ---- filter tier ----
+
+  test("filter tier: a predicate on the GROUPING expression rewrites and filters the view") {
+    val cut = lit("1997-01-01").cast("timestamp")
+    val build = () => orders
+      .where(date_trunc("month", col("o_orderdate")) >= cut)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("month")
+    val expected = build().collect()
+    assert(expected.nonEmpty && expected.length <
+      IncrOps.monthlyPartials(orders).count(),
+      "fixture must straddle the cut for the test to mean anything")
+    withRule {
+      val q = build()
+      assert(scansMv(q), "group-key filter did not rewrite:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    }
+  }
+
+  test("filter tier: equality and IN predicates on a derived group scalar rewrite") {
+    val build = () => orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(date_format(col("month"), "yyyy") === "1996")
+      .orderBy("month")
+    val expected = build().collect()
+    assert(expected.nonEmpty)
+    withRule {
+      val q = build()
+      assert(scansMv(q), "scalar-over-group filter did not rewrite:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    }
+  }
+
+  test("filter tier: a predicate on a NON-grouping column must still refuse") {
+    withRule {
+      val q = orders
+        .where(col("o_totalprice") > 1000.0)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scansMv(q), "non-group filter wrongly rewrote:\n" +
+        q.queryExecution.optimizedPlan)
+      // raw timestamp is finer than the month group: groups would be
+      // PARTIALLY filtered — must refuse
+      val q2 = orders
+        .where(col("o_orderdate") >= lit("1995-06-15").cast("timestamp"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scansMv(q2), "row-level filter wrongly rewrote:\n" +
+        q2.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("filter tier: a DAY-level predicate serves a MONTH query from the DAY view") {
+    val cut = lit("1995-06-15").cast("timestamp")
+    val build = () => orders
+      .where(date_trunc("day", col("o_orderdate")) >= cut)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("month")
+    val expected = build().collect()
+    assert(expected.nonEmpty)
+    withDayRule {
+      val q = build()
+      assert(scansDayMv(q), "day-level filter rollup did not fire:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().toSeq == expected.toSeq)
+    }
+  }
+
   // ---- derived-avg tier ----
 
   private def centsE = round(col("o_totalprice") * 100).cast("long")
