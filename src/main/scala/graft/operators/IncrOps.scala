@@ -115,6 +115,44 @@ object IncrOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "agg_incremental_retract",
+      (s, dir) => {
+        // INCREMENTAL RETRACTION (deletion maintenance): a tombstone
+        // set — here "every order whose key ≡ 0 (mod 53)", standing in
+        // for a GDPR erasure batch — is absorbed into the maintained
+        // monthly summary by merging NEGATED partials: count and sum
+        // are abelian GROUPS (every element has an inverse), so a
+        // delete is just a merge with (-n, -cents), the same one-shuffle
+        // union+re-aggregate as the insert path. min/max are NOT
+        // retractable this way (no inverse — a deleted max needs the
+        // runner-up, i.e. a rescan); that asymmetry is why retraction-
+        // complete systems (z-sets / DBSP) restrict to group
+        // aggregates, and why this view stores none. A group whose
+        // count reaches zero must VANISH, not linger as a zero row —
+        // the trailing filter — and the oracle recomputes from history
+        // minus the tombstones, so both a wrong merge and a lingering
+        // empty group fail the hash. At 100 TB the retraction scans the
+        // TOMBSTONES, never the corpus.
+        val orders = Tables.t(s, dir, "orders")
+        val stored = monthlyPartials(orders) // maintained state (full history here)
+        val negated = monthlyPartials(orders.where(col("o_orderkey") % 53 === 0))
+          .select(col("month"),
+            (-col("n_orders")).as("n_orders"), (-col("cents")).as("cents"))
+        mergePartials(stored, negated)
+          .where(col("n_orders") > 0)
+          .select(
+            date_format(col("month"), "yyyy-MM").as("month"),
+            col("n_orders"),
+            col("cents").as("revenue_cents"))
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM orders WHERE o_orderkey % 53 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "join_incremental_refresh",
       (s, dir) => {
         // INCREMENTAL JOIN-VIEW MAINTENANCE: the maintained view is a

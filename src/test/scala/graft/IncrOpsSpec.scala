@@ -39,6 +39,32 @@ class IncrOpsSpec extends SparkSpec {
     assert(nBase > 0 && nDelta > 0, "cut must split the history")
   }
 
+  private def negate(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("month"),
+      (-col("n_orders")).as("n_orders"), (-col("cents")).as("cents"))
+
+  test("retraction: deleting ALL of a month's rows makes the group vanish") {
+    val feb = orders.where(
+      date_trunc("month", col("o_orderdate")) === lit("1997-02-01").cast("timestamp"))
+    assert(feb.count() > 0, "fixture must have 1997-02 rows")
+    val after = IncrOps.mergePartials(full, negate(IncrOps.monthlyPartials(feb)))
+      .where(col("n_orders") > 0)
+    assert(after.where(col("month") === lit("1997-02-01").cast("timestamp")).count() == 0,
+      "fully-retracted month lingered")
+    assert(rows(after) ==
+      rows(IncrOps.monthlyPartials(orders.where(
+        date_trunc("month", col("o_orderdate")) =!= lit("1997-02-01").cast("timestamp")))),
+      "retraction diverges from recompute-without")
+  }
+
+  test("retraction round-trips: retract a slice then re-add it recovers the state") {
+    val slice = orders.where(col("o_orderkey") % 53 === 0)
+    val without = IncrOps.mergePartials(full, negate(IncrOps.monthlyPartials(slice)))
+      .where(col("n_orders") > 0)
+    val back = IncrOps.mergePartials(without, IncrOps.monthlyPartials(slice))
+    assert(rows(back) == rows(full), "retract+re-add is not the identity")
+  }
+
   test("merge is associative: folding three deltas equals one recompute") {
     val c1 = lit("1995-06-15").cast("timestamp")
     val c2 = lit("1997-01-01").cast("timestamp")
