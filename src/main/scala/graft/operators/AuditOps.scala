@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-governance audits: snapshot diff (what changed between two
+  * versions of a keyed table) and a one-pass constraint audit (how many
+  * rows violate each declared expectation). Both are the operational
+  * twins of [[graft.operators.Extras]]'s `table_fingerprint` /
+  * `table_profile`: the fingerprint says WHETHER two copies agree, the
+  * diff says WHAT diverged; the profile describes columns, the audit
+  * scores them against declared rules.
+  *
+  * Scale stances:
+  *  - the diff is ONE full-outer join co-partitioned on the key — both
+  *    sides shuffle once; on bucketed layouts (`sources/Layout`
+  *    `writeBucketed`) the exchange disappears entirely. Rows compare
+  *    by a single row-hash expression, not column-by-column, so the
+  *    compare cost is one md5 per row regardless of width, and the
+  *    output is the per-class summary (a |classes|-row frame), never a
+  *    materialized copy of either snapshot.
+  *  - the audit evaluates EVERY rule in one scan as conditional
+  *    aggregates (classic Deequ-style analyzer batching); the only
+  *    exchange is the final 1-row combine, plus the expand the exact
+  *    duplicate-key count needs — at 100 TB swap that one term for
+  *    approx_count_distinct and the audit is a pure map-side pass.
+  */
+object AuditOps {
+
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+
+  /** Deterministic "previous snapshot" of orders, diverged three ways:
+    * keys ≡ 0 (mod 41) are ABSENT (so they read as inserts in v_new),
+    * keys ≡ 0 (mod 37) carry a shifted total price (updates), and a
+    * copy of keys ≡ 0 (mod 43) is re-keyed negative (rows only the old
+    * snapshot has → deletes). Mirrored 1:1 in the oracle's CTE.
+    */
+  private def ordersOld(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.where(col("o_orderkey") % 41 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 37 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(
+        o.where(col("o_orderkey") % 43 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+  }
+
+  private def rowHash(prefix: String): org.apache.spark.sql.Column =
+    md5(concat_ws("|",
+      col(s"${prefix}o_custkey"),
+      round(col(s"${prefix}o_totalprice") * 100).cast("long"),
+      col(s"${prefix}o_orderpriority"),
+      date_format(col(s"${prefix}o_orderdate"), "yyyy-MM-dd")))
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "table_diff_snapshot",
+      (s, dir) => {
+        // SNAPSHOT DIFF (CDC between table versions): classify every
+        // key as added / deleted / changed / unchanged with ONE
+        // key-partitioned full-outer join comparing row HASHES. The
+        // summary carries counts AND a key checksum per class, so a
+        // misclassified row fails the hash compare even when two
+        // classes have equal sizes.
+        val oldS = ordersOld(s, dir)
+          .select(col("o_orderkey").as("k"), rowHash("").as("h_old"))
+        val newS = orders(s, dir)
+          .select(col("o_orderkey").as("k"), rowHash("").as("h_new"))
+        oldS.join(newS, Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "deleted")
+              .when(col("h_old") =!= col("h_new"), "changed")
+              .otherwise("unchanged").as("class"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_checksum"))
+          .orderBy("class")
+      },
+      Some("""WITH v_old AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 100.0
+             |              ELSE o_totalprice END AS o_totalprice,
+             |         o_custkey, o_orderpriority, o_orderdate
+             |  FROM orders WHERE o_orderkey % 41 <> 0
+             |  UNION ALL
+             |  SELECT -o_orderkey, o_totalprice, o_custkey, o_orderpriority, o_orderdate
+             |  FROM orders WHERE o_orderkey % 43 = 0),
+             |     ho AS (SELECT o_orderkey AS k,
+             |                   md5(o_custkey || '|' ||
+             |                       CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+             |                       o_orderpriority || '|' ||
+             |                       strftime(o_orderdate, '%Y-%m-%d')) AS h_old
+             |            FROM v_old),
+             |     hn AS (SELECT o_orderkey AS k,
+             |                   md5(o_custkey || '|' ||
+             |                       CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+             |                       o_orderpriority || '|' ||
+             |                       strftime(o_orderdate, '%Y-%m-%d')) AS h_new
+             |            FROM orders)
+             |SELECT CASE WHEN h_old IS NULL THEN 'added'
+             |            WHEN h_new IS NULL THEN 'deleted'
+             |            WHEN h_old <> h_new THEN 'changed'
+             |            ELSE 'unchanged' END AS class,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(k) AS BIGINT) AS key_checksum
+             |FROM ho FULL OUTER JOIN hn USING (k)
+             |GROUP BY 1 ORDER BY class""".stripMargin)),
+
+    GQuery(
+      "table_constraint_audit",
+      (s, dir) => {
+        // ONE-PASS CONSTRAINT AUDIT (Deequ-style analyzer batching):
+        // every declared expectation evaluates as a conditional
+        // aggregate in a single scan of lineitem; the per-rule rows are
+        // unpivoted from the one combined result. Zero-violation rules
+        // stay in the report — an audit that silently drops clean rules
+        // cannot prove it ran them.
+        val l = Tables.t(s, dir, "lineitem")
+        val one = l.agg(
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("quantity_out_of_range"),
+          sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("quantity_suspicious_high"),
+          sum(when(col("l_discount") > lit(0.08), 1L).otherwise(0L)).as("discount_above_policy"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("returnflag_out_of_domain"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+          (count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber"))).as("duplicate_line_keys"))
+        one.select(expr(
+          """stack(7,
+            |  'null_orderkey', null_orderkey,
+            |  'quantity_out_of_range', quantity_out_of_range,
+            |  'quantity_suspicious_high', quantity_suspicious_high,
+            |  'discount_above_policy', discount_above_policy,
+            |  'returnflag_out_of_domain', returnflag_out_of_domain,
+            |  'nonpositive_price', nonpositive_price,
+            |  'duplicate_line_keys', duplicate_line_keys) AS (rule, n_violations)
+            |""".stripMargin))
+          .orderBy("rule")
+      },
+      Some("""WITH a AS (
+             |  SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+             |         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS quantity_out_of_range,
+             |         sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS quantity_suspicious_high,
+             |         sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS discount_above_policy,
+             |         sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS returnflag_out_of_domain,
+             |         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+             |         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_line_keys
+             |  FROM lineitem)
+             |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+             |  SELECT 'null_orderkey' AS rule, null_orderkey AS n_violations FROM a
+             |  UNION ALL SELECT 'quantity_out_of_range', quantity_out_of_range FROM a
+             |  UNION ALL SELECT 'quantity_suspicious_high', quantity_suspicious_high FROM a
+             |  UNION ALL SELECT 'discount_above_policy', discount_above_policy FROM a
+             |  UNION ALL SELECT 'returnflag_out_of_domain', returnflag_out_of_domain FROM a
+             |  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM a
+             |  UNION ALL SELECT 'duplicate_line_keys', duplicate_line_keys FROM a)
+             |ORDER BY rule""".stripMargin))
+  )
+}
