@@ -101,6 +101,21 @@ object Ingest {
       .select(keys.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
   }
 
+  /** Latest-wins with KAFKA TOMBSTONE semantics: a record whose
+    * `payloadCol` is NULL deletes its key — the upsert-stream contract
+    * of a compacted Kafka topic (null value ⇒ tombstone). Same single
+    * hash-aggregate as [[latestWins]]; the tombstone check is one
+    * filter on the winning row AFTER the aggregate, so deletes cost no
+    * extra shuffle and a delete→re-insert sequence resolves by version
+    * order like any other pair of records. (Kafka's cleaner keeps
+    * tombstones visible for `delete.retention.ms` before dropping them
+    * so slow consumers still see the delete; a SNAPSHOT — which is what
+    * this computes — is exactly the post-retention state.)
+    */
+  def latestWinsWithTombstones(df: DataFrame, keys: Seq[String],
+      version: Seq[String], payloadCol: String): DataFrame =
+    latestWins(df, keys, version).where(col(payloadCol).isNotNull)
+
   /** Reference sink: overwrite the output directory with one JSON object
     * per line (`HadoopKafkaConsumer.java:92-101,139-148` — delete-then-
     * write snapshot ≡ `mode("overwrite")`).
@@ -149,6 +164,31 @@ object Ingest {
              |       arg_max(value, event_id)    AS value
              |FROM events GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin)),
+
+    GQuery(
+      "ingest_latest_tombstone",
+      (s, dir) => {
+        // TOMBSTONE-AWARE snapshot (compacted-topic contract): 'error'
+        // events stand in for null-value tombstones — a user whose
+        // LATEST record is a tombstone is ABSENT from the snapshot,
+        // while a tombstone overtaken by a later upsert leaves the user
+        // present with the later state. Oracle computes the same argmax
+        // then filters the winners, so a snapshot that drops too many
+        // keys (filtering before the argmax) or too few (ignoring
+        // tombstones) fails the hash.
+        val e = events(s, dir).select(col("user_id"), col("event_id"),
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(col("event_type")).as("state"))
+        latestWinsWithTombstones(e, keys = Seq("user_id"),
+          version = Seq("event_id"), payloadCol = "state")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       arg_max(event_id, event_id) AS event_id,
+             |       arg_max(event_type, event_id) AS state
+             |FROM events GROUP BY user_id
+             |HAVING arg_max(event_type, event_id) <> 'error'
+             |ORDER BY user_id""".stripMargin)),
 
     GQuery(
       "ingest_json_parse",

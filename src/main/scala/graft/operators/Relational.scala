@@ -86,6 +86,46 @@ object Relational {
              |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.08 AND l_quantity < 10
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    GQuery(
+      "scan_schema_evolution",
+      (s, dir) => {
+        // SCHEMA-EVOLUTION SCAN: a dataset written over time with an
+        // ADDED column — generation 1 (orders before 1997) lacks
+        // o_orderpriority, generation 2 carries it — read as ONE frame
+        // via mergeSchema; old-generation rows surface the new column
+        // as NULL. This is the normal state of any corpus accumulated
+        // for years, and the differential pins Spark's merged-scan
+        // semantics (null back-fill, per-file projection) against the
+        // oracle's CASE-based reconstruction over unified history.
+        // Scale note: mergeSchema reconciles footers ACROSS ALL FILES
+        // at planning time — at 100 TB declare the superset schema
+        // instead (`.schema(...)` on read, same null back-fill, zero
+        // footer sweep); mergeSchema here IS the semantics under test.
+        val orders = t(s, dir, "orders")
+        val cut = lit("1997-01-01").cast("timestamp")
+        val base = s"/tmp/graft_evo/${new java.io.File(dir).getName}"
+        orders.where(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        orders.where(col("o_orderdate") >= cut)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$base/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/gen1", s"$base/gen2")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+             |                       THEN o_orderpriority END) AS BIGINT) AS n_with_priority,
+             |       CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+             |                                THEN o_orderpriority END) AS BIGINT) AS n_priorities
+             |FROM orders""".stripMargin)),
+
     // ----------------------------------------------------------- aggregates
     GQuery(
       "q1_pricing",
