@@ -82,6 +82,30 @@ object KafkaLogOps {
       (out, report)
     })
 
+  /** Fourth fixture: an events log partitioned BY KEY (`user_id % 4`,
+    * the compacted-topic layout contract — Kafka's partitioner sends a
+    * key to exactly one partition, which is what makes per-partition
+    * tombstoning globally meaningful), compacted with 'error' records
+    * as tombstones. Offsets are the raw event_ids: globally unique and
+    * per-partition increasing, exercising sparse-offset segments.
+    */
+  private val builtTombstoned =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def tombstonedEventsLog(s: SparkSession, dir: String): String =
+    builtTombstoned.computeIfAbsent(dir, _ => {
+      val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events_tombstoned"
+      KafkaLog.fs(out).delete(new Path(out), true)
+      KafkaLog.write(Tables.t(s, dir, "events").select(
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        to_json(struct(col("user_id").as("id"), col("event_type").as("msg")))
+          .as("value")), out)
+      graft.sources.kafkalog.KafkaLogCompaction.compact(s, out,
+        tombstone = Some(get_json_object(col("value"), "$.msg") === "error"))
+      out
+    })
+
   /** readStream through the source with a cap forcing ≥4 micro-batches
     * at any scale factor — the admission-control path is part of every
     * run of these differentials, not just of the spec.
@@ -454,5 +478,33 @@ object KafkaLogOps {
       Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
              |       max(event_id) AS version,
              |       count(DISTINCT event_id % 4) AS n_records
-             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)))
+             |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
+
+    GQuery(
+      "kafkalog_tombstone_scan",
+      (s, dir) => {
+        // TOMBSTONE COMPACTION end-to-end: the key-partitioned log is
+        // compacted with 'error' payloads as deletes; replaying the
+        // compacted log must show exactly the users whose LATEST record
+        // is not a tombstone, each with that latest state. Because the
+        // layout is key-partitioned (the compacted-topic contract),
+        // per-partition tombstoning IS the global semantics — the
+        // oracle is the full-history argmax with a HAVING over the
+        // winner. A cleaner that drops an overtaken tombstone's key, or
+        // keeps a tombstoned one, changes the row set and fails.
+        val path = tombstonedEventsLog(s, dir)
+        val parsed = s.read.format("kafkalog").load(path)
+          .select(
+            get_json_object(col("value"), "$.id").cast("long").as("id"),
+            get_json_object(col("value"), "$.msg").as("msg"),
+            col("offset").cast("long").as("version"))
+        Ingest.latestWins(parsed, keys = Seq("id"), version = Seq("version"))
+          .select(col("id"), col("msg"), col("version"))
+          .orderBy("id")
+      },
+      Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
+             |       CAST(max(event_id) AS BIGINT) AS version
+             |FROM events GROUP BY user_id
+             |HAVING arg_max(event_type, event_id) <> 'error'
+             |ORDER BY id""".stripMargin)))
 }

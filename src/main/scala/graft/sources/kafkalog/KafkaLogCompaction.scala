@@ -98,26 +98,54 @@ object KafkaLogCompaction {
     * Returns the per-partition report (every live partition appears,
     * compacted or skipped).
     */
+  /** Compact the log in place. `tombstone` marks DELETE records (Kafka's
+    * null-value tombstones, expressed as a predicate over the record so
+    * JSON-keyed payloads can carry deletes too): a key whose LATEST
+    * record matches it is dropped from the compacted partition entirely
+    * — Kafka's cleaner past `delete.retention.ms`. A tombstone overtaken
+    * by a later upsert has no effect (latest-wins resolves first). The
+    * default `None` keeps plain cleaner behavior and the original
+    * single-aggregate stats pass.
+    */
   def compact(
       spark: SparkSession,
       dir: String,
       keyExpr: Column = referenceKey,
-      minDirtyRatio: Double = 0.0): Seq[PartitionCompaction] = {
+      minDirtyRatio: Double = 0.0,
+      tombstone: Option[Column] = None): Seq[PartitionCompaction] = {
     recover(dir) // finish any interrupted swap before trusting listings
     val parts = KafkaLog.listPartitions(dir)
     if (parts.isEmpty) return Seq.empty
 
+    val tombstonesOn = tombstone.isDefined
+
     val keyed = spark.read.format(KafkaLog.SHORT_NAME).load(dir)
-      .select(col("partition"), col("offset"), col("value"), keyExpr.as("k"))
+      .select(col("partition"), col("offset"), col("value"), keyExpr.as("k"),
+        tombstone.getOrElse(lit(false)).as("tomb"))
 
     // Pass 1 — the dirty-ratio gate's stats: survivors per partition =
-    // distinct keys + null-key records. One small aggregate; the collect
-    // is |log partitions| rows.
-    val stats = keyed.groupBy("partition")
+    // distinct keys + null-key records, MINUS keys whose latest record
+    // is a tombstone. One small aggregate (plus, only when tombstones
+    // are enabled, a keyed argmax for the tombstoned-key count); the
+    // collect is |log partitions| rows.
+    val flat = keyed.groupBy("partition")
       .agg(
         count(lit(1)).as("before"),
         (count_distinct(col("k")) +
           count_if(col("k").isNull)).as("after"))
+    val statsDf =
+      if (!tombstonesOn) flat
+      else {
+        val tombKeys = keyed.where(col("k").isNotNull)
+          .groupBy("partition", "k")
+          .agg(max_by(col("tomb"), col("offset")).as("t"))
+          .where(col("t"))
+          .groupBy("partition").agg(count(lit(1)).as("n_tomb"))
+        flat.join(tombKeys, Seq("partition"), "left_outer")
+          .select(col("partition"), col("before"),
+            (col("after") - coalesce(col("n_tomb"), lit(0L))).as("after"))
+      }
+    val stats = statsDf
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
@@ -131,12 +159,16 @@ object KafkaLogCompaction {
     if (chosen.isEmpty) return report
 
     // Pass 2 — survivors of the chosen partitions: latest record per
-    // (partition, key), null-key records carried through untouched.
+    // (partition, key) — dropped entirely when that latest record is a
+    // tombstone — and null-key records carried through untouched (a
+    // keyless tombstone deletes nothing, as in Kafka).
     val survivors = keyed
       .where(col("partition").isInCollection(chosen))
       .where(col("k").isNotNull)
       .groupBy("partition", "k")
-      .agg(max_by(struct(col("offset"), col("value")), col("offset")).as("r"))
+      .agg(max_by(struct(col("offset"), col("value"), col("tomb")),
+        col("offset")).as("r"))
+      .where(!col("r.tomb"))
       .select(col("partition"), col("r.offset").as("offset"), col("r.value").as("value"))
       .unionByName(
         keyed.where(col("partition").isInCollection(chosen))

@@ -59,6 +59,40 @@ class KafkaLogCompactionSpec extends SparkSpec {
       (0, 1L, "not json"), (0, 2L, rec("a", 2)), (0, 3L, "{}")))
   }
 
+  test("tombstones: latest-record deletes drop the key; overtaken deletes do not") {
+    val dir = tmp("tomb")
+    writeLog(dir,
+      (0, 0L, rec("a", 1)),
+      (0, 1L, rec("b", 1)),
+      (0, 2L, """{"k":"a","del":1}"""), // latest for a → key vanishes
+      (0, 3L, """{"k":"b","del":1}"""),
+      (0, 4L, rec("b", 2)),             // overtakes b's tombstone
+      (0, 5L, "not json"))              // keyless record: carried, deletes nothing
+    val tomb = get_json_object(col("value"), "$.del").isNotNull
+    val report = KafkaLogCompaction.compact(spark, dir, keyOf, tombstone = Some(tomb))
+    assert(report.head.before == 6L && report.head.after == 2L,
+      s"stats must count tombstoned keys out: ${report.head}")
+    assert(readLog(dir).collect().toSet == Set(
+      (0, 4L, rec("b", 2)), (0, 5L, "not json")),
+      "compacted partition must hold exactly the live key and the keyless record")
+    // replaying the compacted log through latest-wins sees only live keys
+    val latest = Ingest.latestWins(
+      readLog(dir).toDF("partition", "offset", "value")
+        .withColumn("k", keyOf).where(col("k").isNotNull),
+      keys = Seq("k"), version = Seq("offset"))
+    assert(latest.select("k").as[String].collect().toSet == Set("b"))
+  }
+
+  test("tombstones off: the default predicate keeps plain cleaner behavior") {
+    val dir = tmp("tomboff")
+    writeLog(dir,
+      (0, 0L, rec("a", 1)), (0, 1L, """{"k":"a","del":1}"""))
+    KafkaLogCompaction.compact(spark, dir, keyOf)
+    // without the tombstone predicate the delete record is just a's
+    // latest value — retained, not interpreted
+    assert(readLog(dir).collect().toSet == Set((0, 1L, """{"k":"a","del":1}""")))
+  }
+
   test("dirty-ratio gate skips clean partitions and re-compaction is a no-op scan") {
     val dir = tmp("dirty")
     // p0: 4 records, 2 keys -> dirty 0.5; p1: all distinct -> dirty 0
