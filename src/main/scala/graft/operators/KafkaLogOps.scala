@@ -106,6 +106,28 @@ object KafkaLogOps {
       out
     })
 
+  /** Fifth fixture: the key-partitioned events log UNCOMPACTED, with
+    * 'error' events carried as Kafka-style null-value tombstones (the
+    * JSON writer omits null fields, so a tombstone payload is
+    * `{"id":N}`) — the input for the STREAMING tombstone upsert.
+    */
+  private val builtKeyed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  def keyedEventsLog(s: SparkSession, dir: String): (String, Long) =
+    builtKeyed.computeIfAbsent(dir, _ => {
+      val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events_keyed"
+      KafkaLog.fs(out).delete(new Path(out), true)
+      KafkaLog.write(Tables.t(s, dir, "events").select(
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        to_json(struct(col("user_id").as("id"),
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(col("event_type")).as("msg")))
+          .as("value")), out)
+      (out, Tables.t(s, dir, "events").count())
+    })
+
   /** readStream through the source with a cap forcing ≥4 micro-batches
     * at any scale factor — the admission-control path is part of every
     * run of these differentials, not just of the spec.
@@ -501,6 +523,60 @@ object KafkaLogOps {
         Ingest.latestWins(parsed, keys = Seq("id"), version = Seq("version"))
           .select(col("id"), col("msg"), col("version"))
           .orderBy("id")
+      },
+      Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
+             |       CAST(max(event_id) AS BIGINT) AS version
+             |FROM events GROUP BY user_id
+             |HAVING arg_max(event_type, event_id) <> 'error'
+             |ORDER BY id""".stripMargin)),
+
+    GQuery(
+      "streaming_kafkalog_tombstone_upsert",
+      (s, dir) => {
+        // STREAMING tombstone upsert (transformWithState + RocksDB):
+        // the uncompacted key-partitioned log replays through the
+        // tombstone-aware latest-wins processor under an admission cap
+        // (≥4 micro-batches), so deletes arrive INTERLEAVED with
+        // upserts across batches. State holds only the live value or
+        // the tiny delete marker per key; the final snapshot (fold of
+        // the update log, tombstone rows applied as deletes) must equal
+        // the full-history argmax with tombstoned winners absent — the
+        // same oracle the batch compaction differential uses, now
+        // certified through the streaming state machine.
+        import s.implicits._
+        val (path, n) = keyedEventsLog(s, dir)
+        val src = s.readStream.format("kafkalog")
+          .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
+          .load(path)
+          .select(
+            get_json_object(col("value"), "$.id").cast("long").as("id"),
+            get_json_object(col("value"), "$.msg").as("msg"),
+            col("offset").cast("long").as("version"))
+          .as[StreamingIngest.KeyedRecord]
+        val sink = "kafkalog_tombstone_upsert_sink"
+        s.catalog.dropTempView(sink)
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          StreamingIngest.withStateShards(s, 8) {
+            val q = StreamingIngest.latestWinsUpdatesTombstonesTws(src)
+              .writeStream.format("memory").queryName(sink)
+              .outputMode("update").start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+        Ingest.latestWins(s.table(sink), keys = Seq("id"), version = Seq("version"))
+          .where(col("msg").isNotNull) // final tombstone = deleted key
+          .select(col("id"), col("msg"), col("version"))
+          .orderBy("id")
+          .localCheckpoint()
       },
       Some("""SELECT user_id AS id, arg_max(event_type, event_id) AS msg,
              |       CAST(max(event_id) AS BIGINT) AS version

@@ -291,6 +291,65 @@ object StreamingIngest {
       .transformWithState(new LatestWinsProcessor, TimeMode.None(), OutputMode.Update)
   }
 
+  /** Latest-wins with KAFKA TOMBSTONE semantics in the state store: a
+    * record whose `msg` is NULL deletes its key. The live value and the
+    * delete marker live in SEPARATE state variables so the marker can
+    * carry its own TTL — the exact shape of Kafka's
+    * `delete.retention.ms`: the tombstone must stay remembered long
+    * enough to suppress LATE out-of-order upserts with older versions
+    * (without it, a straggler would resurrect the deleted key), yet
+    * must eventually leave the store so state is O(live keys), not
+    * O(ever-deleted keys). A tombstoned key holds only the tiny marker
+    * (the live value is cleared immediately); with a retention TTL the
+    * marker expires too. Emits every state CHANGE — upsert rows and
+    * tombstone rows — so a downstream snapshot can apply deletes.
+    */
+  class LatestWinsTombstoneProcessor(retention: TTLConfig)
+      extends StatefulProcessor[Long, KeyedRecord, KeyedRecord] {
+    @transient private var latest: ValueState[KeyedRecord] = _
+    @transient private var tomb: ValueState[KeyedRecord] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      latest = getHandle.getValueState[KeyedRecord](
+        "latest", org.apache.spark.sql.Encoders.product[KeyedRecord], TTLConfig.NONE)
+      tomb = getHandle.getValueState[KeyedRecord](
+        "tomb", org.apache.spark.sql.Encoders.product[KeyedRecord], retention)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedRecord],
+        tv: TimerValues): Iterator[KeyedRecord] = {
+      val prevVer = Seq(
+        (if (latest.exists()) Some(latest.get()) else None),
+        (if (tomb.exists()) Some(tomb.get()) else None))
+        .flatten.map(_.version).maxOption
+      // null-safe tiebreak: a tombstone (null msg) on a tied version
+      // sorts below any real payload instead of NPE-ing the comparator
+      rows.maxByOption(r => (r.version, Option(r.msg).getOrElse(""))) match {
+        case Some(b) if !prevVer.exists(_ >= b.version) =>
+          if (b.msg == null) { latest.clear(); tomb.update(b) }
+          else { latest.update(b); tomb.clear() }
+          Iterator.single(b)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** [[latestWinsUpdatesTws]] with tombstone deletes. `retention` is the
+    * delete-marker TTL (Kafka `delete.retention.ms`); the default NONE
+    * keeps markers forever (strongest late-data correctness) and runs
+    * in TimeMode.None — pass a TTL to bound marker state, which flips
+    * the query to processing-time mode.
+    */
+  def latestWinsUpdatesTombstonesTws(ds: Dataset[KeyedRecord],
+      retention: TTLConfig = TTLConfig.NONE): Dataset[KeyedRecord] = {
+    import ds.sparkSession.implicits._
+    val mode = if (retention == TTLConfig.NONE) TimeMode.None()
+               else TimeMode.ProcessingTime()
+    ds.groupByKey(_.id)
+      .transformWithState(new LatestWinsTombstoneProcessor(retention), mode,
+        OutputMode.Update)
+  }
+
   /** Latest-wins with BOOTSTRAPPED state — the pipeline-migration form:
     * a new streaming job takes over from an existing batch snapshot
     * without replaying history. `handleInitialState` seeds each key's

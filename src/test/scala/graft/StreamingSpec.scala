@@ -81,6 +81,46 @@ class StreamingSpec extends SparkSpec {
     assert(finalState == Map(1L -> "b", 2L -> "x2"))
   }
 
+  test("tombstone upsert: deletes clear keys, markers suppress late stragglers") {
+    // two state variables (live value + delete marker) = multiple column
+    // families, which needs the RocksDB provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[KeyedRecord]
+    val q = StreamingIngest.latestWinsUpdatesTombstonesTws(ms.toDS())
+      .writeStream.format("memory").queryName("lwt_test").outputMode("update").start()
+    try {
+      ms.addData(KeyedRecord(1, "a", 10), KeyedRecord(2, "x", 5))
+      q.processAllAvailable()
+      ms.addData(KeyedRecord(1, null, 15)) // tombstone: key 1 deleted
+      q.processAllAvailable()
+      ms.addData(KeyedRecord(1, "late", 12)) // older than the marker → suppressed
+      q.processAllAvailable()
+      ms.addData(KeyedRecord(2, null, 7), KeyedRecord(2, "back", 9)) // delete then re-insert
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val rows = spark.table("lwt_test").as[KeyedRecord].collect()
+      .sortBy(r => (r.id, r.version))
+    assert(rows.toSeq == Seq(
+      KeyedRecord(1, "a", 10), KeyedRecord(1, null, 15),
+      KeyedRecord(2, "x", 5), KeyedRecord(2, "back", 9)),
+      s"update log mismatch: ${rows.toSeq}")
+    // final snapshot: apply the log in version order, null msg deletes
+    val finalState = rows.groupBy(_.id).view
+      .mapValues(_.maxBy(_.version)).filter(_._2.msg != null).mapValues(_.msg).toMap
+    assert(finalState == Map(2L -> "back"),
+      "key 1 must stay deleted (late straggler suppressed by the marker); " +
+        "key 2 must be re-inserted past its tombstone")
+  }
+
   test("dedupWithinWatermark drops duplicate keys arriving within the horizon") {
     val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
     val df = ms.toDF().toDF("id", "ts", "payload")
