@@ -531,6 +531,58 @@ object KafkaLogOps {
              |ORDER BY id""".stripMargin)),
 
     GQuery(
+      "streaming_scd2_enrich",
+      (s, dir) => {
+        // STREAM-STATIC POINT-IN-TIME ENRICHMENT: each streamed record
+        // joins the SCD2 dimension version VALID AT ITS OWN version
+        // (equi on the key + validity-range residual) — the streaming
+        // twin of join_point_in_time, and the lookup every streaming
+        // feature pipeline needs to avoid future leakage (enriching
+        // with today's dim row would leak state the model couldn't
+        // have known). The static side is broadcast into every
+        // micro-batch: at 100 TB of DIM the answer is a key-partitioned
+        // dim with a stream-stream interval join or a state-store
+        // lookup; at the normal dims-are-small scale, broadcast is the
+        // plan you want. The oracle replays the same interval join in
+        // batch over full history — a record matched to a past or
+        // future version (off-by-one on either validity bound) fails
+        // the hash.
+        import s.implicits._
+        val scd2 = graft.SparkEntry.queries("ingest_scd2")(s, dir)
+          .select(col("user_id").as("d_user"), col("event_type").as("state"),
+            col("eff_from"), col("eff_to"))
+        val enriched = parsedGlobal(s, dir).toDF()
+          .join(broadcast(scd2),
+            col("id") === col("d_user") &&
+              col("version") >= col("eff_from") &&
+              (col("eff_to").isNull || col("version") < col("eff_to")))
+          .select(col("version").as("event_id"), col("id").as("user_id"),
+            col("state"))
+        val sink = "scd2_enrich_sink"
+        s.catalog.dropTempView(sink)
+        val q = enriched.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).orderBy("event_id").localCheckpoint()
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+             |                  lag(event_type) OVER (PARTITION BY user_id
+             |                     ORDER BY ts, event_id) AS prev
+             |           FROM events),
+             |     c AS (SELECT user_id, ts, event_id, event_type FROM o
+             |           WHERE prev IS NULL OR prev <> event_type),
+             |     scd AS (SELECT user_id, event_type AS state,
+             |                    event_id AS eff_from,
+             |                    lead(event_id) OVER (PARTITION BY user_id
+             |                       ORDER BY ts, event_id) AS eff_to
+             |             FROM c)
+             |SELECT e.event_id, e.user_id, s.state
+             |FROM events e JOIN scd s ON e.user_id = s.user_id
+             |  AND e.event_id >= s.eff_from
+             |  AND (s.eff_to IS NULL OR e.event_id < s.eff_to)
+             |ORDER BY e.event_id""".stripMargin)),
+
+    GQuery(
       "streaming_kafkalog_tombstone_upsert",
       (s, dir) => {
         // STREAMING tombstone upsert (transformWithState + RocksDB):
