@@ -111,6 +111,51 @@ object AuditOps {
              |GROUP BY 1 ORDER BY class""".stripMargin)),
 
     GQuery(
+      "versioned_time_travel",
+      (s, dir) => {
+        // TIME TRAVEL over the versioned-table commit core
+        // (sources/VersionedTable): v1 commits history before the cut,
+        // v2 APPENDS the delta; reading BOTH versions of the same table
+        // root must reproduce the two historical states exactly — the
+        // reproducibility primitive behind "train on the same corpus
+        // snapshot twice". The differential aggregates each version's
+        // yearly counts under a version tag; the oracle reconstructs
+        // both states from full history, so a manifest that leaks delta
+        // files into v1 or drops parent files from v2 fails the hash.
+        import graft.sources.VersionedTable
+        val orders = Tables.t(s, dir, "orders")
+        val cut = lit("1997-01-01").cast("timestamp")
+        val root = s"/tmp/graft_vtab/${new java.io.File(dir).getName}/orders"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        VersionedTable.append(
+          orders.where(col("o_orderdate") < cut)
+            .select("o_orderkey", "o_orderdate", "o_totalprice"), root)
+        VersionedTable.append(
+          orders.where(col("o_orderdate") >= cut)
+            .select("o_orderkey", "o_orderdate", "o_totalprice"), root)
+        def yearly(v: Long) = VersionedTable.read(s, root, Some(v))
+          .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("version", lit(v))
+        yearly(1).unionByName(yearly(2)).orderBy("version", "year")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       CAST(1 AS BIGINT) AS version
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1
+             |UNION ALL
+             |SELECT strftime(o_orderdate, '%Y') AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       CAST(2 AS BIGINT) AS version
+             |FROM orders GROUP BY 1
+             |ORDER BY version, year""".stripMargin)),
+
+    GQuery(
       "table_constraint_audit",
       (s, dir) => {
         // ONE-PASS CONSTRAINT AUDIT (Deequ-style analyzer batching):

@@ -1,0 +1,179 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** VERSIONED TABLE — a minimal manifest-based table format (the
+  * lakehouse commit core, scaled down to its load-bearing parts):
+  * immutable data files plus an ordered chain of manifest files, giving
+  * atomic commits, snapshot-isolated readers, TIME TRAVEL to any
+  * retained version, append/overwrite semantics, optimistic
+  * concurrency, and a vacuum that cannot break retained snapshots.
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<uuid>-part-*.parquet     immutable, never rewritten
+  *   _manifests/v<20-digit>        one line per data file (relative path)
+  *   _manifests/.v<...>.tmp        staged manifest (invisible)
+  * }}}
+  *
+  * COMMIT PROTOCOL (the crash-safety argument, same discipline as
+  * `kafkalog`'s compaction swap):
+  *
+  *  1. write the new data files under `data/` with a fresh UUID prefix —
+  *     unreferenced files are INVISIBLE to every reader (readers only
+  *     open files a manifest names);
+  *  2. stage the manifest as dot-prefixed `.v<N>.tmp` (listings skip it);
+  *  3. RENAME tmp → `v<N>` — the single atomicity point. Rename onto an
+  *     existing destination FAILS, so two writers racing to version N
+  *     cannot both win: the loser re-reads the now-longer chain, rebases
+  *     (append = parent files ∪ its files; overwrite = its files) and
+  *     retries at N+1 — optimistic concurrency with writer-side rebase.
+  *
+  * A crash before 3 leaves only invisible garbage (orphan data files and
+  * a tmp manifest), cleaned by the next [[vacuum]]; a crash after 3 IS a
+  * committed version. Readers never lock: [[read]] resolves the manifest
+  * chain once and reads an immutable file list — a concurrent commit
+  * cannot change what a running query sees (snapshot isolation).
+  *
+  * Scale stance: the manifest is a FILE LIST, so planning cost is
+  * O(files in the version), not O(files ever written); data files are
+  * normal parquet, so pushdown/pruning/bucketing all apply unchanged.
+  * What the real formats add beyond this core — column stats per file
+  * for manifest-level skipping, partition transforms, compaction of
+  * manifest chains — composes on top of exactly this commit protocol.
+  */
+object VersionedTable {
+
+  private def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+  private def dataDir(dir: String) = new Path(dir, "data")
+
+  private def versionName(v: Long) = f"v$v%020d"
+
+  /** Committed versions, ascending. */
+  def versions(dir: String): Seq[Long] = {
+    val f = fs(dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.length == 21)
+      .map(_.drop(1).toLong).sorted
+  }
+
+  def latestVersion(dir: String): Option[Long] = versions(dir).lastOption
+
+  private def readManifest(f: FileSystem, dir: String, v: Long): Seq[String] = {
+    val in = f.open(new Path(manifestDir(dir), versionName(v)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Read the table at `version` (default: latest). Fails with a clear
+    * message for unknown or vacuumed versions.
+    */
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"versioned table $dir has no committed versions")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (retained: ${vs.mkString(",")})")
+    val files = readManifest(fs(dir), dir, v).map(rel => s"$dir/$rel")
+    require(files.nonEmpty, s"version $v of $dir names no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** One (version, operation, file count) row per retained version. */
+  def history(dir: String): Seq[(Long, Int)] =
+    versions(dir).map(v => (v, readManifest(fs(dir), dir, v).size))
+
+  /** Stage `df`'s rows as new immutable data files; returns their
+    * table-relative paths. Files are invisible until a manifest names
+    * them.
+    */
+  private def stageData(df: DataFrame, dir: String): Seq[String] = {
+    val f = fs(dir)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = new Path(dir, s".stage_$uuid")
+    df.write.mode("overwrite").parquet(scratch.toString)
+    f.mkdirs(dataDir(dir))
+    val moved = f.listStatus(scratch).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .map { p =>
+        val tgt = new Path(dataDir(dir), s"$uuid-${p.getName}")
+        require(f.rename(p, tgt), s"versioned commit: could not stage $tgt")
+        s"data/${tgt.getName}"
+      }
+    f.delete(scratch, true)
+    moved
+  }
+
+  /** Atomically publish `files` (+ parent files when appending) as the
+    * next version; retries under concurrent committers by rebasing on
+    * the new tip.
+    */
+  private def publish(dir: String, files: Seq[String], append: Boolean): Long = {
+    val f = fs(dir)
+    f.mkdirs(manifestDir(dir))
+    var attempt = 0
+    while (attempt < 50) {
+      val parent = latestVersion(dir)
+      val v = parent.getOrElse(0L) + 1
+      val all =
+        if (append) parent.map(readManifest(f, dir, _)).getOrElse(Nil) ++ files
+        else files
+      val tmp = new Path(manifestDir(dir), s".${versionName(v)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(all.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // the atomicity point: rename fails if v<N> already exists (a
+      // concurrent writer won) → loop rebases on the new chain tip
+      if (f.rename(tmp, new Path(manifestDir(dir), versionName(v)))) return v
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"versioned commit: lost the publish race 50 times at $dir")
+  }
+
+  /** APPEND commit: new version = parent's files + df's files. */
+  def append(df: DataFrame, dir: String): Long =
+    publish(dir, stageData(df, dir), append = true)
+
+  /** OVERWRITE commit: new version = df's files only; older versions
+    * remain time-travelable until vacuumed.
+    */
+  def overwrite(df: DataFrame, dir: String): Long =
+    publish(dir, stageData(df, dir), append = false)
+
+  /** Drop all but the last `retainVersions` manifests, then delete every
+    * data file no RETAINED manifest references, plus staging leftovers.
+    * Returns (#manifests dropped, #data files deleted). Time travel to
+    * retained versions is untouched — their file lists survive intact.
+    */
+  def vacuum(dir: String, retainVersions: Int): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val f = fs(dir)
+    val vs = versions(dir)
+    val dropped = vs.dropRight(retainVersions)
+    dropped.foreach(v => f.delete(new Path(manifestDir(dir), versionName(v)), false))
+    val kept = versions(dir).flatMap(readManifest(f, dir, _)).toSet
+    var deleted = 0
+    if (f.exists(dataDir(dir)))
+      f.listStatus(dataDir(dir)).toSeq.map(_.getPath).foreach { p =>
+        if (!kept.contains(s"data/${p.getName}")) { f.delete(p, false); deleted += 1 }
+      }
+    // tmp manifests and orphan stage dirs from crashed commits
+    if (f.exists(manifestDir(dir)))
+      f.listStatus(manifestDir(dir)).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".tmp")).foreach { p => f.delete(p, false) }
+    f.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".stage_")).foreach(p => f.delete(p, true))
+    (dropped.size, deleted)
+  }
+}

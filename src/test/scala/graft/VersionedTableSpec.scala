@@ -1,0 +1,109 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The versioned-table commit core: append/overwrite chains, time
+  * travel, snapshot isolation of resolved readers, the crash points of
+  * the commit protocol (orphan data files, tmp manifests), the publish
+  * race, and vacuum's retained-snapshot guarantee.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"vtab_$name").toString + "/t"
+
+  private def nums(from: Int, to: Int) = (from to to).toDF("n")
+
+  test("append chain: each version sees the union so far; time travel sees the past") {
+    val dir = tmp("chain")
+    val v1 = VersionedTable.append(nums(1, 10), dir)
+    val v2 = VersionedTable.append(nums(11, 20), dir)
+    val v3 = VersionedTable.append(nums(21, 30), dir)
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, dir).count() == 30)
+    assert(VersionedTable.read(spark, dir, Some(2)).agg(sum("n")).as[Long].head() ==
+      (1 to 20).sum.toLong)
+    assert(VersionedTable.read(spark, dir, Some(1)).count() == 10)
+  }
+
+  test("overwrite starts a new file set; the pre-overwrite version stays readable") {
+    val dir = tmp("ovw")
+    VersionedTable.append(nums(1, 10), dir)
+    val v2 = VersionedTable.overwrite(nums(100, 104), dir)
+    assert(v2 == 2L)
+    assert(VersionedTable.read(spark, dir).count() == 5)
+    assert(VersionedTable.read(spark, dir, Some(1)).count() == 10)
+  }
+
+  test("snapshot isolation: a resolved reader is immune to later commits") {
+    val dir = tmp("iso")
+    VersionedTable.append(nums(1, 10), dir)
+    val snapshot = VersionedTable.read(spark, dir) // resolves v1's file list
+    VersionedTable.append(nums(11, 200), dir)
+    VersionedTable.overwrite(nums(0, 0), dir)
+    assert(snapshot.count() == 10, "reader must keep seeing its resolved snapshot")
+  }
+
+  test("crash garbage is invisible: orphan data files and tmp manifests don't read") {
+    val dir = tmp("crash")
+    VersionedTable.append(nums(1, 10), dir)
+    // crash between stage and publish: a data file no manifest names
+    nums(900, 999).write.mode("overwrite").parquet(s"$dir/.stage_dead")
+    val f = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val orphanSrc = f.listStatus(new Path(s"$dir/.stage_dead")).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    f.rename(orphanSrc, new Path(s"$dir/data/deadbeef-${orphanSrc.getName}"))
+    // crash between manifest stage and rename: a .tmp manifest
+    val out = f.create(new Path(s"$dir/_manifests/.v00000000000000000002.tmp"), true)
+    out.write("data/nonexistent.parquet".getBytes("UTF-8")); out.close()
+    assert(VersionedTable.read(spark, dir).count() == 10,
+      "orphans must be invisible to readers")
+    assert(VersionedTable.versions(dir) == Seq(1L),
+      "a tmp manifest is not a committed version")
+    val (_, deleted) = VersionedTable.vacuum(dir, retainVersions = 10)
+    assert(deleted == 1, "vacuum must collect exactly the orphan data file")
+    assert(VersionedTable.read(spark, dir).count() == 10)
+  }
+
+  test("publish race: concurrent appends both land, on distinct versions, none lost") {
+    val dir = tmp("race")
+    VersionedTable.append(nums(1, 10), dir)
+    val t1 = new Thread(() => VersionedTable.append(nums(11, 20), dir))
+    val t2 = new Thread(() => VersionedTable.append(nums(21, 30), dir))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(VersionedTable.versions(dir) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, dir).agg(sum("n")).as[Long].head() ==
+      (1 to 30).sum.toLong, "a lost update would drop one writer's rows")
+  }
+
+  test("vacuum drops old versions' exclusive files but never a retained snapshot's") {
+    val dir = tmp("vac")
+    VersionedTable.append(nums(1, 10), dir)       // v1
+    VersionedTable.overwrite(nums(11, 20), dir)   // v2: v1's files now exclusive to v1
+    VersionedTable.append(nums(21, 30), dir)      // v3 shares v2's files
+    val (droppedM, deletedF) = VersionedTable.vacuum(dir, retainVersions = 2)
+    assert(droppedM == 1 && deletedF >= 1,
+      s"v1 and its exclusive files must go (dropped=$droppedM deleted=$deletedF)")
+    assert(VersionedTable.versions(dir) == Seq(2L, 3L))
+    assert(VersionedTable.read(spark, dir, Some(2)).count() == 10,
+      "retained v2 must survive vacuum intact")
+    assert(VersionedTable.read(spark, dir, Some(3)).count() == 20)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, dir, Some(1))
+    }
+  }
+
+  test("history reports one row per retained version with its file count") {
+    val dir = tmp("hist")
+    VersionedTable.append(nums(1, 10), dir)
+    VersionedTable.append(nums(11, 20), dir)
+    val h = VersionedTable.history(dir)
+    assert(h.map(_._1) == Seq(1L, 2L))
+    assert(h(1)._2 > h(0)._2, "append must grow the file list")
+  }
+}
