@@ -156,6 +156,49 @@ object AuditOps {
              |ORDER BY version, year""".stripMargin)),
 
     GQuery(
+      "versioned_pruned_scan",
+      (s, dir) => {
+        // MANIFEST-LEVEL FILE SKIPPING: orders are committed
+        // range-clustered on the ISO order date with per-file [min,max]
+        // recorded in the manifest; a one-year query then PLANS only
+        // the overlapping files — at 100 TB this is the difference
+        // between opening days and opening the table, applied BEFORE
+        // any parquet footer is touched (manifest pruning composes with
+        // row-group pruning, it doesn't replace it). The emitted
+        // `pruned` flag asserts planned < total files and the oracle
+        // expects true, so silently-dead skipping fails the gate; the
+        // residual filter keeps results exact even for straddling
+        // files, which is what the hash compare certifies.
+        import graft.sources.VersionedTable
+        val orders = Tables.t(s, dir, "orders")
+        val root = s"/tmp/graft_vtab/${new java.io.File(dir).getName}/orders_stats"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        VersionedTable.appendWithStats(
+          orders.select(col("o_orderkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+            .repartitionByRange(8, col("od")),
+          root, "od")
+        val (pruned, planned, total) = VersionedTable.readPruned(
+          s, root, None, "od", "1997-01-01", "1997-12-31")
+        pruned
+          .groupBy(substring(col("od"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("pruned", lit(planned < total))
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS pruned
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "table_constraint_audit",
       (s, dir) => {
         // ONE-PASS CONSTRAINT AUDIT (Deequ-style analyzer batching):

@@ -145,6 +145,83 @@ object VersionedTable {
   def append(df: DataFrame, dir: String): Long =
     publish(dir, stageData(df, dir), append = true)
 
+  // ---- manifest-level file statistics & skipping ----
+
+  /** Manifest entry with per-file [min,max] of one stats column:
+    * `path\tcol\tmin\tmax` (stats-less lines stay plain paths — the two
+    * forms coexist in one chain, and skipping treats a stats-less file
+    * as always-overlapping). Values are rendered via `CAST(x AS STRING)`
+    * of an ORDER-PRESERVING image (see [[appendWithStats]]).
+    */
+  private def parseEntry(line: String): (String, Option[(String, String, String)]) =
+    line.split('\t') match {
+      case Array(p, c, mn, mx) => (p, Some((c, mn, mx)))
+      case other => (other.head, None)
+    }
+
+  /** APPEND with per-file min/max stats on `statsCol` recorded in the
+    * manifest — the lakehouse skipping core: a reader with a range
+    * predicate plans only the files whose [min,max] overlaps it, so a
+    * time-range query over years of commits opens days, not the table.
+    * The caller should range-partition `df` by `statsCol` before
+    * committing (tight per-file ranges are what make skipping bite —
+    * same discipline as clustering keys in the real formats).
+    *
+    * `statsCol` must be a column whose STRING rendering preserves its
+    * order (zero-padded numerics, ISO dates/timestamps) — the manifest
+    * stores strings and [[readPruned]] compares them lexicographically.
+    */
+  def appendWithStats(df: DataFrame, dir: String, statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val files = stageData(df, dir)
+    val spark = df.sparkSession
+    val byFile = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol).cast("string")).as("mn"),
+        max(col(statsCol).cast("string")).as("mx"))
+      .collect()
+      .map(r => (new Path(r.getString(0)).getName, (r.getString(1), r.getString(2))))
+      .toMap
+    val entries = files.map { rel =>
+      byFile.get(new Path(rel).getName) match {
+        case Some((mn, mx)) => s"$rel\t$statsCol\t$mn\t$mx"
+        case None => rel // an empty file has no stats rows; never skipped
+      }
+    }
+    publish(dir, entries, append = true)
+  }
+
+  /** Read `version` with MANIFEST-LEVEL SKIPPING for the predicate
+    * `statsCol BETWEEN lo AND hi` (string images, inclusive): only
+    * files whose recorded [min,max] overlaps the range are planned;
+    * the residual filter is applied on top, so skipping is purely a
+    * performance contract and can never change results. Files without
+    * stats (or with a different stats column) are conservatively read.
+    * Returns the frame plus the (planned, total) file counts so tests
+    * and operators can assert skipping actually bit.
+    */
+  def readPruned(spark: SparkSession, dir: String, version: Option[Long],
+      statsCol: String, lo: String, hi: String): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"versioned table $dir has no committed versions")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (retained: ${vs.mkString(",")})")
+    val entries = readManifest(fs(dir), dir, v).map(parseEntry)
+    val planned = entries.collect {
+      case (p, Some((c, mn, mx))) if c == statsCol && mx >= lo && mn <= hi => p
+      case (p, Some((c, _, _))) if c != statsCol => p
+      case (p, None) => p
+    }
+    val df =
+      if (planned.isEmpty)
+        read(spark, dir, Some(v)).where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(planned.map(rel => s"$dir/$rel"): _*)
+    (df.where(col(statsCol).cast("string").between(lo, hi)),
+      planned.size, entries.size)
+  }
+
   /** OVERWRITE commit: new version = df's files only; older versions
     * remain time-travelable until vacuumed.
     */

@@ -98,6 +98,36 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats skip files outside the range without changing results") {
+    val dir = tmp("stats")
+    // range-partitioned commit → tight per-file [min,max] spans
+    val df = (1 to 1000).toDF("n").withColumn("k", format_string("%06d", col("n")))
+      .repartitionByRange(8, col("k"))
+    VersionedTable.appendWithStats(df, dir, "k")
+    val (pruned, planned, total) =
+      VersionedTable.readPruned(spark, dir, None, "k", "000100", "000199")
+    assert(total == 8 && planned < total,
+      s"skipping must bite on range-clustered files (planned=$planned/$total)")
+    assert(pruned.count() == 100)
+    assert(pruned.agg(sum("n")).as[Long].head() == (100 to 199).sum.toLong)
+    // the residual filter keeps correctness even when a file straddles
+    val (all, _, _) = VersionedTable.readPruned(spark, dir, None, "k", "000001", "001000")
+    assert(all.count() == 1000)
+  }
+
+  test("stats-less and stats entries coexist; stats-less files are never skipped") {
+    val dir = tmp("mixed")
+    VersionedTable.append((1 to 50).toDF("n")
+      .withColumn("k", format_string("%06d", col("n"))), dir) // no stats
+    VersionedTable.appendWithStats((51 to 100).toDF("n")
+      .withColumn("k", format_string("%06d", col("n")))
+      .repartitionByRange(2, col("k")), dir, "k")
+    val (res, planned, total) =
+      VersionedTable.readPruned(spark, dir, None, "k", "000010", "000060")
+    assert(res.count() == 51, "rows from both the stats-less and stats files")
+    assert(planned < total, "at least one out-of-range stats file must skip")
+  }
+
   test("history reports one row per retained version with its file count") {
     val dir = tmp("hist")
     VersionedTable.append(nums(1, 10), dir)
