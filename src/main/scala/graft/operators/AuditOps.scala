@@ -199,6 +199,61 @@ object AuditOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "versioned_merge_upsert",
+      (s, dir) => {
+        // MERGE INTO the versioned table: one delta carrying updates
+        // (keys ≡0 mod 37, price shifted), inserts (a negative-keyed
+        // copy of keys ≡0 mod 43 — key 0 excluded, its negation is
+        // itself and would collide with its delete) and deletes (keys
+        // ≡0 mod 53, update
+        // set excluded so each key gets ONE delta op) lands as a single
+        // atomic copy-on-write version — and the PRE-merge version
+        // remains readable, which the differential proves by emitting
+        // both versions' (count, cents) summaries under version tags.
+        // The oracle reconstructs both states from raw history; a merge
+        // that loses an insert, resurrects a delete, or half-applies an
+        // update shifts a sum and fails the hash.
+        import graft.sources.VersionedTable
+        val orders = Tables.t(s, dir, "orders")
+        val base = orders.select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val root = s"/tmp/graft_vtab/${new java.io.File(dir).getName}/orders_merge"
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        f.delete(new org.apache.hadoop.fs.Path(root), true)
+        VersionedTable.append(base, root)
+        val delta = base.where(col("k") % 37 === 0 && col("k") % 53 =!= 0)
+          .select(col("k"), (col("cents") + 100).as("cents"))
+          .withColumn("del", lit(false))
+          .unionByName(base.where(col("k") % 43 === 0 && col("k") =!= 0)
+            .select((-col("k")).as("k"), col("cents")).withColumn("del", lit(false)))
+          .unionByName(base.where(col("k") % 53 === 0)
+            .select(col("k"), col("cents")).withColumn("del", lit(true)))
+        VersionedTable.merge(s, root, delta, Seq("k"), "del")
+        def summary(v: Long) = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+          .withColumn("version", lit(v))
+        summary(1).unionByName(summary(2)).orderBy("version")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |              FROM orders),
+             |     merged AS (
+             |       SELECT k, CASE WHEN k % 37 = 0 THEN cents + 100 ELSE cents END AS cents
+             |       FROM base WHERE k % 53 <> 0
+             |       UNION ALL
+             |       SELECT -k, cents FROM base WHERE k % 43 = 0 AND k <> 0)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS total_cents,
+             |       CAST(1 AS BIGINT) AS version
+             |FROM base
+             |UNION ALL
+             |SELECT CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+             |       CAST(2 AS BIGINT)
+             |FROM merged
+             |ORDER BY version""".stripMargin)),
+
+    GQuery(
       "table_constraint_audit",
       (s, dir) => {
         // ONE-PASS CONSTRAINT AUDIT (Deequ-style analyzer batching):

@@ -74,6 +74,12 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** Manifest lines that name data files — streaming commits prepend a
+    * `txn:` replay-identity line that every file-list consumer skips.
+    */
+  private def dataLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("txn:"))
+
   /** Read the table at `version` (default: latest). Fails with a clear
     * message for unknown or vacuumed versions.
     */
@@ -83,14 +89,15 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
       s"version $v of $dir does not exist (retained: ${vs.mkString(",")})")
-    val files = readManifest(fs(dir), dir, v).map(rel => s"$dir/$rel")
+    val files = dataLines(readManifest(fs(dir), dir, v))
+      .map(line => s"$dir/${line.split('\t').head}")
     require(files.nonEmpty, s"version $v of $dir names no files")
     spark.read.parquet(files: _*)
   }
 
-  /** One (version, operation, file count) row per retained version. */
+  /** One (version, file count) row per retained version. */
   def history(dir: String): Seq[(Long, Int)] =
-    versions(dir).map(v => (v, readManifest(fs(dir), dir, v).size))
+    versions(dir).map(v => (v, dataLines(readManifest(fs(dir), dir, v)).size))
 
   /** Stage `df`'s rows as new immutable data files; returns their
     * table-relative paths. Files are invisible until a manifest names
@@ -125,7 +132,8 @@ object VersionedTable {
       val parent = latestVersion(dir)
       val v = parent.getOrElse(0L) + 1
       val all =
-        if (append) parent.map(readManifest(f, dir, _)).getOrElse(Nil) ++ files
+        if (append)
+          parent.map(p => dataLines(readManifest(f, dir, p))).getOrElse(Nil) ++ files
         else files
       val tmp = new Path(manifestDir(dir), s".${versionName(v)}.tmp")
       val out = f.create(tmp, true)
@@ -208,7 +216,7 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
       s"version $v of $dir does not exist (retained: ${vs.mkString(",")})")
-    val entries = readManifest(fs(dir), dir, v).map(parseEntry)
+    val entries = dataLines(readManifest(fs(dir), dir, v)).map(parseEntry)
     val planned = entries.collect {
       case (p, Some((c, mn, mx))) if c == statsCol && mx >= lo && mn <= hi => p
       case (p, Some((c, _, _))) if c != statsCol => p
@@ -228,6 +236,75 @@ object VersionedTable {
   def overwrite(df: DataFrame, dir: String): Long =
     publish(dir, stageData(df, dir), append = false)
 
+  /** MERGE INTO (copy-on-write): delta rows REPLACE base rows that share
+    * their key, delta rows under `deleteFlag` DELETE them, unmatched
+    * delta rows INSERT — committed as one overwrite version, so the
+    * merge is atomic and the pre-merge version stays time-travelable.
+    * Resolution reuses the latest-wins aggregate (base tagged 0, delta
+    * 1): one shuffle on the key, no join ladder. Scale note: this
+    * rewrites the full table (copy-on-write at table granularity); the
+    * real formats bound the rewrite to the FILES whose [min,max] overlap
+    * the delta's keys — with range-clustered commits, [[readPruned]]'s
+    * planned list is exactly that bound, and everything outside it can
+    * be carried into the new manifest unrewritten.
+    */
+  def merge(spark: SparkSession, dir: String, delta: DataFrame,
+      keys: Seq[String], deleteFlag: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max_by, struct, not}
+    val base = read(spark, dir)
+      .withColumn(deleteFlag, lit(false)).withColumn("__src", lit(0L))
+    val d = delta.withColumn("__src", lit(1L))
+    val all = base.unionByName(d)
+    val payload = all.columns.filterNot(keys.contains)
+    val merged = all.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), col("__src")).as("__m"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__m.`$c`").as(c)): _*)
+      .where(not(col(deleteFlag)))
+      .drop(deleteFlag, "__src")
+    overwrite(merged, dir)
+  }
+
+  // ---- idempotent streaming commits ----
+
+  /** Streaming APPEND with REPLAY PROTECTION — the foreachBatch sink
+    * for this format. Structured Streaming's contract is at-least-once
+    * per batch: a crash between the commit and the checkpoint write
+    * replays the batch, and a plain append would double its rows. Each
+    * streaming commit therefore stamps `txn:<queryId>:<batchId>` as the
+    * manifest's first line; a replayed (queryId, batchId) already
+    * present in the retained chain is detected and SKIPPED — the same
+    * transactional-writer identity the production formats keep in their
+    * txn actions. Returns the committed version, or None for a detected
+    * replay. (Vacuuming past a txn manifest forgets its stamp — retain
+    * at least as many versions as the sink's possible replay window.)
+    */
+  def appendStream(df: DataFrame, dir: String, queryId: String,
+      batchId: Long): Option[Long] = {
+    val f = fs(dir)
+    val stamp = s"txn:$queryId:$batchId"
+    def seen(): Boolean =
+      versions(dir).exists(v => readManifest(f, dir, v).headOption.contains(stamp))
+    if (seen()) return None
+    val files = stageData(df, dir)
+    var attempt = 0
+    while (attempt < 50) {
+      val parent = latestVersion(dir)
+      if (seen()) return None // the race loser may discover the replay late
+      val v = parent.getOrElse(0L) + 1
+      val all = stamp +: (parent.map(readManifest(f, dir, _)).getOrElse(Nil)
+        .filterNot(_.startsWith("txn:")) ++ files)
+      val tmp = new Path(manifestDir(dir), s".${versionName(v)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(all.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.rename(tmp, new Path(manifestDir(dir), versionName(v)))) return Some(v)
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"versioned appendStream: lost the publish race 50 times at $dir")
+  }
+
   /** Drop all but the last `retainVersions` manifests, then delete every
     * data file no RETAINED manifest references, plus staging leftovers.
     * Returns (#manifests dropped, #data files deleted). Time travel to
@@ -239,7 +316,8 @@ object VersionedTable {
     val vs = versions(dir)
     val dropped = vs.dropRight(retainVersions)
     dropped.foreach(v => f.delete(new Path(manifestDir(dir), versionName(v)), false))
-    val kept = versions(dir).flatMap(readManifest(f, dir, _)).toSet
+    val kept = versions(dir).flatMap(v => dataLines(readManifest(f, dir, v)))
+      .map(_.split('\t').head).toSet
     var deleted = 0
     if (f.exists(dataDir(dir)))
       f.listStatus(dataDir(dir)).toSeq.map(_.getPath).foreach { p =>

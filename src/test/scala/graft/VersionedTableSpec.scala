@@ -128,6 +128,55 @@ class VersionedTableSpec extends SparkSpec {
     assert(planned < total, "at least one out-of-range stats file must skip")
   }
 
+  test("merge: updates replace, inserts add, deletes remove — atomically, time-travelably") {
+    val dir = tmp("merge")
+    VersionedTable.append(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "payload"), dir)
+    val delta = Seq(
+      (3L, "v3-new", false), // update
+      (11L, "v11", false),   // insert
+      (7L, "", true))        // delete
+      .toDF("k", "payload", "del")
+    val v2 = VersionedTable.merge(spark, dir, delta, Seq("k"), "del")
+    assert(v2 == 2L)
+    val state = VersionedTable.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(state.size == 10 && state(3L) == "v3-new" && state(11L) == "v11" &&
+      !state.contains(7L), s"merge state wrong: $state")
+    assert(VersionedTable.read(spark, dir, Some(1)).count() == 10,
+      "pre-merge snapshot must survive")
+  }
+
+  test("streaming commits are replay-idempotent per (queryId, batchId)") {
+    val dir = tmp("txn")
+    val b0 = (1 to 10).toDF("n")
+    assert(VersionedTable.appendStream(b0, dir, "q1", 0L).contains(1L))
+    // crash-before-checkpoint replay: same query, same batch → skipped
+    assert(VersionedTable.appendStream(b0, dir, "q1", 0L).isEmpty)
+    assert(VersionedTable.read(spark, dir).count() == 10, "no double rows")
+    // the next batch and a different query both commit
+    assert(VersionedTable.appendStream((11 to 20).toDF("n"), dir, "q1", 1L).contains(2L))
+    assert(VersionedTable.appendStream((21 to 25).toDF("n"), dir, "q2", 0L).contains(3L))
+    assert(VersionedTable.read(spark, dir).count() == 25)
+    // batch appends interleave fine and don't disturb replay detection
+    VersionedTable.append((26 to 30).toDF("n"), dir)
+    assert(VersionedTable.appendStream(b0, dir, "q1", 0L).isEmpty,
+      "replay stamp must survive an interleaved batch commit")
+    assert(VersionedTable.read(spark, dir).count() == 30)
+  }
+
+  test("vacuum keeps files referenced through STATS manifest entries") {
+    val dir = tmp("vacstats")
+    VersionedTable.appendWithStats((1 to 100).toDF("n")
+      .withColumn("k", format_string("%06d", col("n")))
+      .repartitionByRange(4, col("k")), dir, "k")
+    VersionedTable.append((101 to 110).toDF("n")
+      .withColumn("k", format_string("%06d", col("n"))), dir)
+    val (_, deleted) = VersionedTable.vacuum(dir, retainVersions = 2)
+    assert(deleted == 0, "no retained file may be vacuumed (stats entries included)")
+    assert(VersionedTable.read(spark, dir).count() == 110)
+    assert(VersionedTable.read(spark, dir, Some(1)).count() == 100)
+  }
+
   test("history reports one row per retained version with its file count") {
     val dir = tmp("hist")
     VersionedTable.append(nums(1, 10), dir)
