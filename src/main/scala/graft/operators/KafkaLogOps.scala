@@ -531,6 +531,52 @@ object KafkaLogOps {
              |ORDER BY id""".stripMargin)),
 
     GQuery(
+      "streaming_versioned_sink",
+      (s, dir) => {
+        // STREAM → VERSIONED TABLE, exactly-once: each micro-batch
+        // lands as one replay-stamped commit
+        // (VersionedTable.appendStream, txn:<query>:<batch> in the
+        // manifest), and after the drain the differential INJECTS the
+        // crash case — re-submitting the last batch id with different
+        // rows — which must be skipped. The final table then equals
+        // full history exactly: a duplicated batch inflates a count, a
+        // skipped-but-should-commit batch deflates one, and either
+        // fails the hash. This is the lakehouse sink contract
+        // (foreachBatch + transactional writer identity) driven by the
+        // real source's admission loop (≥4 micro-batches).
+        import graft.sources.VersionedTable
+        val (path, n) = eventsLog(s, dir)
+        val root = s"/tmp/graft_vtab/${new java.io.File(dir).getName}/events_stream"
+        val f = new Path(root).getFileSystem(new org.apache.hadoop.conf.Configuration())
+        f.delete(new Path(root), true)
+        val src = s.readStream.format("kafkalog")
+          .option("maxOffsetsPerTrigger", math.max(1L, n / 4))
+          .load(path)
+          .select(
+            get_json_object(col("value"), "$.id").cast("long").as("id"),
+            get_json_object(col("value"), "$.msg").as("msg"))
+        @volatile var lastBatch = -1L
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            VersionedTable.appendStream(batch.toDF(), root, "vsink", bid)
+            lastBatch = math.max(lastBatch, bid)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val replayed = VersionedTable.appendStream(
+          s.range(5).select(col("id"), lit("dup").as("msg")), root, "vsink", lastBatch)
+        VersionedTable.read(s, root)
+          .groupBy("msg")
+          .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_users"))
+          .withColumn("replay_skipped", lit(replayed.isEmpty))
+          .orderBy("msg")
+      },
+      Some("""SELECT event_type AS msg, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       true AS replay_skipped
+             |FROM events GROUP BY 1 ORDER BY msg""".stripMargin)),
+
+    GQuery(
       "streaming_scd2_enrich",
       (s, dir) => {
         // STREAM-STATIC POINT-IN-TIME ENRICHMENT: each streamed record
