@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout maintenance AS VERSIONED COMMITS — the operational layer on
+  * top of [[graft.sources.VersionedTable]]'s commit core. Where
+  * [[graft.sources.Layout]] maintains raw parquet directories with
+  * rename swaps (a reader racing the swap has a visibility window),
+  * these run the same jobs as atomic table versions: OPTIMIZE
+  * (bin-pack), OPTIMIZE ZORDER (multi-dimensional clustering with
+  * per-file stats recorded in the manifest), bloom-filter point-lookup
+  * skipping, and append-only incremental reads. Readers keep snapshot
+  * isolation throughout, and every maintenance step stays
+  * time-travelable.
+  *
+  * Scale stances:
+  *  - bin-pack is a coalesce (no shuffle) sized from actual on-disk
+  *    bytes; at 100 TB it runs per partition/time-slice, not table-wide,
+  *    but the commit protocol is identical;
+  *  - Z-order pays ONE range shuffle at write time to make every later
+  *    2-D box query open planned files only — manifest pruning happens
+  *    before any parquet footer I/O and composes with row-group stats;
+  *  - blooms answer point lookups on keys where [min,max] spans every
+  *    file (hash-distributed ids): ~8 KB of manifest per file buys
+  *    opening ~|matching files| instead of |files|;
+  *  - incremental read costs O(delta files), never O(history) — the
+  *    consumer-side contract a recurring 100 TB curation pipeline needs
+  *    to re-process only what arrived since its last run.
+  */
+object LakehouseOps {
+
+  private def root(dir: String, name: String): String = {
+    val r = s"/tmp/graft_vtab/${new java.io.File(dir).getName}/$name"
+    val f = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    f.delete(new org.apache.hadoop.fs.Path(r), true)
+    r
+  }
+
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "versioned_optimize_binpack",
+      (s, dir) => {
+        // OPTIMIZE (bin-pack) as an atomic commit: three appends leave
+        // 18 small files (the streaming-sink pathology in miniature);
+        // optimize coalesces them to ~1 MiB targets as version 4 while
+        // version 3 stays time-travelable. The differential emits the
+        // SAME yearly aggregate from the pre- and post-optimize
+        // versions — the oracle expects two identical copies, so a
+        // compaction that drops, duplicates, or mutates one row fails
+        // the hash — plus a `compacted` flag asserting files actually
+        // shrank (silently-dead maintenance must fail the gate, same
+        // discipline as versioned_pruned_scan).
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_binpack")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        (0 until 3).foreach(i =>
+          VersionedTable.append(base.where(pmod(col("k"), lit(3)) === i).repartition(6), r))
+        val (vNew, before, after) =
+          VersionedTable.optimizeBinPack(s, r, targetBytes = 1L << 20)
+        require(vNew == 4, s"expected optimize to commit version 4, got $vNew")
+        def yearly(v: Long) = VersionedTable.read(s, r, Some(v))
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("version", lit(v))
+        yearly(3).unionByName(yearly(4))
+          .withColumn("compacted", lit(after < before))
+          .orderBy("version", "year")
+      },
+      Some("""WITH y AS (
+             |  SELECT strftime(o_orderdate, '%Y') AS year,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1)
+             |SELECT year, n, cents, CAST(3 AS BIGINT) AS version, true AS compacted FROM y
+             |UNION ALL
+             |SELECT year, n, cents, CAST(4 AS BIGINT) AS version, true AS compacted FROM y
+             |ORDER BY version, year""".stripMargin)),
+
+    GQuery(
+      "versioned_zorder_scan",
+      (s, dir) => {
+        // OPTIMIZE ZORDER + 2-D manifest skipping: orders land hash-
+        // scattered (16 files, every file spanning the full custkey AND
+        // date domains — range stats useless on both), then one Z-order
+        // commit re-clusters on the Morton interleave of zero-padded
+        // (custkey, day-number) images and records per-file [min,max]
+        // for BOTH columns. A quarter-by-quarter box query then plans
+        // only the overlapping files: ~1/16 of the space, so pruning
+        // must bite (`pruned` flag, oracle-asserted true) while the
+        // residual range filters keep the result exact for straddling
+        // files — which the hash compare certifies against a plain SQL
+        // reconstruction. The custkey bound derives from the data
+        // (max/4) so the box selects ~25% per dimension at EVERY scale
+        // factor.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_zorder")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          lpad(col("o_custkey").cast("string"), 9, "0").as("ck9"),
+          lpad(datediff(col("o_orderdate"), lit("1995-01-01")).cast("string"), 5, "0")
+            .as("od5"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        VersionedTable.append(base.repartition(16), r)
+        VersionedTable.optimizeZorder(s, r, "ck9", "od5", files = 16)
+        val ckHi = orders(s, dir).agg(max("o_custkey")).head().getLong(0) / 4
+        val (df, planned, total) = VersionedTable.readPrunedMulti(
+          s, r, None, Seq(
+            ("ck9", "0" * 9, f"$ckHi%09d"),
+            // days 365..911 = [1996-01-01, 1997-07-01) against the 1995 epoch
+            ("od5", "00365", "00911")))
+        df.groupBy("month")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("pruned", lit(planned < total))
+          .orderBy("month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS pruned
+             |FROM orders
+             |WHERE o_custkey <= (SELECT max(o_custkey) // 4 FROM orders)
+             |  AND datediff('day', TIMESTAMP '1995-01-01', o_orderdate) BETWEEN 365 AND 911
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "versioned_bloom_lookup",
+      (s, dir) => {
+        // BLOOM-FILTER POINT LOOKUP: orders commit hash-distributed on
+        // the key (every file's [min,max] spans the whole key domain —
+        // range skipping is structurally useless here) with a per-file
+        // bloom on the key recorded in the manifest. A three-key lookup
+        // then plans only may-contain files: no false negatives (a file
+        // holding a key is always planned — the hash compare proves no
+        // row was lost), false positives only cost planned files, and
+        // with ~5k keys per 65536-bit filter the FP rate is <1%, so
+        // `pruned` (planned < total) holds at every scale factor. Files
+        // are sized by row count so the bloom density — not the file
+        // count — is the scale-invariant.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_bloom")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val nFiles = math.max(8,
+          math.ceil(base.count().toDouble / 5000).toInt)
+        VersionedTable.appendAnnotated(base.repartition(nFiles), r,
+          bloomCols = Seq("k"))
+        val (df, planned, total) = VersionedTable.readBloomPruned(
+          s, r, None, "k", Seq("1", "7", "33"))
+        df.select(col("k"), col("cents"))
+          .withColumn("pruned", lit(planned < total))
+          .orderBy("k")
+      },
+      Some("""SELECT o_orderkey AS k,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |       true AS pruned
+             |FROM orders WHERE o_orderkey IN (1, 7, 33)
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "versioned_incremental_read",
+      (s, dir) => {
+        // INCREMENTAL READ (append-only CDC): three appends split the
+        // history at 1996-07-01 and 1998-01-01; the consumer reads the
+        // CHANGES between version 1 and version 3 — exactly the files
+        // the later manifests added, never a re-scan of version 1's
+        // data. The yearly aggregate of the delta must equal a plain
+        // reconstruction of everything after the first cut: a diff that
+        // leaks v1 files (cost regression AND wrong rows) or drops a
+        // delta file shifts a count and fails the hash.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_incr")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate").as("od"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        val c1 = lit("1996-07-01").cast("timestamp")
+        val c2 = lit("1998-01-01").cast("timestamp")
+        VersionedTable.append(base.where(col("od") < c1).drop("od"), r)
+        VersionedTable.append(base.where(col("od") >= c1 && col("od") < c2).drop("od"), r)
+        VersionedTable.append(base.where(col("od") >= c2).drop("od"), r)
+        VersionedTable.readChanges(s, r, fromVersion = 1, toVersion = 3)
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .orderBy("year")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

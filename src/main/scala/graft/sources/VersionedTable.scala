@@ -236,6 +236,306 @@ object VersionedTable {
   def overwrite(df: DataFrame, dir: String): Long =
     publish(dir, stageData(df, dir), append = false)
 
+  // ---- tagged manifest entries: multi-column stats + bloom filters ----
+  //
+  // [[appendWithStats]]'s legacy 4-field form records ONE stats column.
+  // The tagged grammar generalizes it: after the path, each field is
+  //   S:<b64 col>:<b64 min>:<b64 max>     per-file [min,max] of a column
+  //   B:<b64 col>:<numHashes>:<b64 bits>  per-file bloom filter bitset
+  // All names/values are base64(UTF-8) so tabs/colons in data can never
+  // corrupt the line grammar. Both forms coexist in one chain; every
+  // consumer treats a file lacking the annotation it needs as
+  // always-planned, so annotations are purely a skipping accelerator
+  // and can never change results.
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Parsed manifest entry: per-column [min,max] string images and
+    * per-column bloom bitsets. Absent column ⇒ conservatively planned.
+    */
+  final case class FileMeta(
+      path: String,
+      stats: Map[String, (String, String)],
+      blooms: Map[String, (Int, Array[Byte])])
+
+  private def parseMeta(line: String): FileMeta = {
+    val f = line.split('\t')
+    def tagged(x: String) = x.startsWith("S:") || x.startsWith("B:")
+    if (f.length == 1) FileMeta(f(0), Map.empty, Map.empty)
+    else if (f.length == 4 && !tagged(f(1)))
+      FileMeta(f(0), Map(f(1) -> ((f(2), f(3)))), Map.empty) // legacy form
+    else {
+      val stats = Map.newBuilder[String, (String, String)]
+      val blooms = Map.newBuilder[String, (Int, Array[Byte])]
+      f.tail.foreach { field =>
+        field.split(':') match {
+          case Array("S", c, mn, mx) => stats += unb64(c) -> ((unb64(mn), unb64(mx)))
+          case Array("B", c, k, bits) =>
+            blooms += unb64(c) -> ((k.toInt, java.util.Base64.getDecoder.decode(bits)))
+          case _ => // unknown annotation kind: ignore (forward compatibility)
+        }
+      }
+      FileMeta(f(0), stats.result(), blooms.result())
+    }
+  }
+
+  /** Portable per-element bloom bit position, seed `i`: first 32 bits of
+    * md5("i:" ++ value) mod m — the same md5-derived hash family the
+    * dedup operators use, computable identically in Spark SQL (commit
+    * side) and on the JVM driver (probe side).
+    */
+  private def bloomPosCol(c: org.apache.spark.sql.Column, seed: Int, m: Int) = {
+    import org.apache.spark.sql.functions.{concat, conv, lit, md5, pmod, substring}
+    pmod(conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(m.toLong)).cast("int")
+  }
+
+  private def bloomPosLocal(v: String, seed: Int, m: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$seed:$v".getBytes(StandardCharsets.UTF_8))
+    val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (h % m).toInt
+  }
+
+  private def bitSet(bits: Array[Byte], p: Int): Boolean =
+    (bits(p >> 3) & (1 << (p & 7))) != 0
+
+  /** Annotate freshly-staged files with tagged stats/bloom entries.
+    * Stats columns must have ORDER-PRESERVING string images (zero-padded
+    * numerics, ISO dates) — skipping compares the stored strings
+    * lexicographically, exactly like [[appendWithStats]]. The stats and
+    * bloom passes each read the staged files once; collected results are
+    * metadata-sized (|files| rows for stats, ≤ |files|·bloomBits distinct
+    * positions for blooms), the same driver-side-bounded class as
+    * [[appendWithStats]]'s stats collect.
+    */
+  private def annotate(spark: SparkSession, dir: String, files: Seq[String],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      bloomBits: Int, bloomHashes: Int): Seq[String] = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return files
+    import org.apache.spark.sql.functions.{array, col, collect_list, explode, input_file_name, max, min}
+    val df = spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+    val statsByFile: Map[String, Seq[String]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("string")).as(s"__mn_$c"),
+          max(col(c).cast("string")).as(s"__mx_$c")))
+        df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = new Path(r.getString(0)).getName
+            name -> statsCols.flatMap { c =>
+              val mn = r.getAs[String](s"__mn_$c")
+              val mx = r.getAs[String](s"__mx_$c")
+              if (mn == null || mx == null) None // all-null column: no stats
+              else Some(s"S:${b64(c)}:${b64(mn)}:${b64(mx)}")
+            }
+          }.toMap
+      }
+    val bloomByFile: Map[String, Seq[String]] =
+      if (bloomCols.isEmpty) Map.empty
+      else bloomCols.map { c =>
+        val positions = (0 until bloomHashes)
+          .map(i => bloomPosCol(col(c).cast("string"), i, bloomBits))
+        df.where(col(c).isNotNull)
+          .select(input_file_name().as("__f"), explode(array(positions: _*)).as("__p"))
+          .distinct()
+          .groupBy("__f").agg(collect_list(col("__p")).as("__ps"))
+          .collect()
+          .map { r =>
+            val bits = new Array[Byte]((bloomBits + 7) / 8)
+            r.getAs[Seq[Int]]("__ps").foreach(p => bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte)
+            val name = new Path(r.getString(0)).getName
+            name -> s"B:${b64(c)}:$bloomHashes:${java.util.Base64.getEncoder.encodeToString(bits)}"
+          }.toMap
+      }.foldLeft(Map.empty[String, Seq[String]]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map(k => k -> (acc.getOrElse(k, Nil) ++ m.get(k).toSeq)).toMap
+      }
+    files.map { rel =>
+      val name = new Path(rel).getName
+      (rel +: (statsByFile.getOrElse(name, Nil) ++ bloomByFile.getOrElse(name, Nil)))
+        .mkString("\t")
+    }
+  }
+
+  /** APPEND with tagged annotations: per-file [min,max] on each of
+    * `statsCols` plus a per-file bloom filter on each of `bloomCols`.
+    * Stats serve RANGE skipping ([[readPrunedMulti]]); blooms serve
+    * POINT-lookup skipping on high-cardinality keys where every file's
+    * [min,max] spans the whole domain and range stats are useless
+    * ([[readBloomPruned]]). Size the bloom by expected rows per file:
+    * the default 65536 bits / 4 hashes holds ~5k keys per file under 1%
+    * false-positive — at 128 MB files scale `bloomBits` with the key
+    * density, the manifest cost is bits/8 bytes per file.
+    */
+  def appendAnnotated(df: DataFrame, dir: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 65536, bloomHashes: Int = 4): Long = {
+    val staged = stageData(df, dir)
+    publish(dir, annotate(df.sparkSession, dir, staged, statsCols, bloomCols,
+      bloomBits, bloomHashes), append = true)
+  }
+
+  /** [[read]] with MULTI-predicate manifest skipping: plan only files
+    * whose recorded [min,max] overlaps EVERY `(col, lo, hi)` range
+    * (string images, inclusive). Files lacking stats for a predicate
+    * column are conservatively planned; the residual filters keep
+    * results exact. This is what Z-order clustering feeds: after
+    * [[optimizeZorder]], both dimensions are locally dense per file, so
+    * a 2-D box prunes on BOTH predicates — a single-column sort can
+    * only ever prune its own column. Returns (frame, planned, total).
+    */
+  def readPrunedMulti(spark: SparkSession, dir: String, version: Option[Long],
+      preds: Seq[(String, String, String)]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"versioned table $dir has no committed versions")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (retained: ${vs.mkString(",")})")
+    val entries = dataLines(readManifest(fs(dir), dir, v)).map(parseMeta)
+    val planned = entries.filter(e => preds.forall { case (c, lo, hi) =>
+      e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }).map(_.path)
+    val base =
+      if (planned.isEmpty)
+        read(spark, dir, Some(v)).where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(planned.map(rel => s"$dir/$rel"): _*)
+    val df = preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.where(col(c).cast("string").between(lo, hi))
+    }
+    (df, planned.size, entries.size)
+  }
+
+  /** POINT-lookup read through per-file bloom filters: plan only files
+    * whose bloom on `keyCol` MAY contain at least one of `values`
+    * (no-false-negative guarantee: a file holding a sought key is always
+    * planned; false positives only cost extra planned files, and the
+    * residual IN-filter keeps results exact). Files without a bloom on
+    * `keyCol` are conservatively planned. Returns (frame, planned,
+    * total). At 100 TB this is the manifest-level answer to "fetch one
+    * document by id" on an unclustered key — open a handful of files,
+    * not the table, before any parquet footer is read.
+    */
+  def readBloomPruned(spark: SparkSession, dir: String, version: Option[Long],
+      keyCol: String, values: Seq[String]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"versioned table $dir has no committed versions")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $dir does not exist (retained: ${vs.mkString(",")})")
+    val entries = dataLines(readManifest(fs(dir), dir, v)).map(parseMeta)
+    val planned = entries.filter(e => e.blooms.get(keyCol).forall {
+      case (k, bits) =>
+        val m = bits.length * 8
+        values.exists(vv => (0 until k).forall(i => bitSet(bits, bloomPosLocal(vv, i, m))))
+    }).map(_.path)
+    val base =
+      if (planned.isEmpty)
+        read(spark, dir, Some(v)).where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(planned.map(rel => s"$dir/$rel"): _*)
+    (base.where(col(keyCol).cast("string").isin(values: _*)), planned.size, entries.size)
+  }
+
+  // ---- layout maintenance as atomic commits ----
+
+  /** OPTIMIZE (bin-pack): rewrite the latest version's files into
+    * ~`targetBytes` output files and commit the rewrite as a NEW
+    * version — rows unchanged, old version still time-travelable, and
+    * readers racing the optimize keep their snapshot (unlike an
+    * in-place directory swap, which has a visibility window). The
+    * rewrite is a coalesce — no shuffle; `statsCols` re-records
+    * per-file [min,max] for the compacted files (compaction merges
+    * ranges, so stale stats cannot be carried over). This is the
+    * maintenance job every streaming sink needs: one file per trigger
+    * per partition turns a year of minutely commits into ~half a
+    * million tiny files whose open/list overhead dominates scans.
+    * Returns (newVersion, filesBefore, filesAfter).
+    */
+  def optimizeBinPack(spark: SparkSession, dir: String, targetBytes: Long,
+      statsCols: Seq[String] = Nil): (Long, Int, Int) = {
+    val f = fs(dir)
+    val v = latestVersion(dir).getOrElse(
+      throw new IllegalArgumentException(s"versioned table $dir has no committed versions"))
+    val files = dataLines(readManifest(f, dir, v)).map(_.split('\t').head)
+    val bytes = files.map(rel => f.getFileStatus(new Path(s"$dir/$rel")).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staged = stageData(read(spark, dir, Some(v)).coalesce(nOut), dir)
+    val newV = publish(dir, annotate(spark, dir, staged, statsCols, Nil, 0, 0),
+      append = false)
+    (newV, files.size, staged.size)
+  }
+
+  /** OPTIMIZE ZORDER: re-cluster the latest version on the Morton
+    * interleave of two columns and commit as a new version with
+    * per-file [min,max] stats on BOTH columns. Each column must cast to
+    * double (for rank scaling) AND have an order-preserving string
+    * image (zero-padded digit strings satisfy both) — the same contract
+    * [[appendWithStats]] documents. After this commit a 2-D box query
+    * through [[readPrunedMulti]] prunes on both predicates; with a
+    * plain sort only the leading column's stats are selective. Returns
+    * (newVersion, files).
+    */
+  def optimizeZorder(spark: SparkSession, dir: String,
+      colA: String, colB: String, files: Int = 8): (Long, Int) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    graft.functions.InterleaveBits.register(spark)
+    val cur = read(spark, dir, None)
+    val st = cur.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def rank(c: String, lo: Double, hi: Double) =
+      (((col(c).cast("double") - lo) / math.max(hi - lo, 1e-12)) * 65535).cast("int")
+    val z = cur
+      .withColumn("__za", rank(colA, st.getDouble(0), st.getDouble(1)))
+      .withColumn("__zb", rank(colB, st.getDouble(2), st.getDouble(3)))
+      .withColumn("__z", graft.functions.InterleaveBits.z_interleave("__za", "__zb"))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__za", "__zb", "__z")
+    val staged = stageData(z, dir)
+    val newV = publish(dir, annotate(spark, dir, staged, Seq(colA, colB), Nil, 0, 0),
+      append = false)
+    (newV, staged.size)
+  }
+
+  /** INCREMENTAL READ (append-only CDC): the rows added between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive) — exactly
+    * the files `toVersion`'s manifest names that `fromVersion`'s does
+    * not. Requires the chain to be append-only across the span (an
+    * overwrite/merge/optimize rewrites files, so a file-list diff no
+    * longer means "added rows" — fails with a clear message; use the
+    * keyed snapshot diff for that case). This is the consumer-side
+    * primitive for "process only what's new since the last run": cost
+    * scales with the DELTA, never with table history.
+    */
+  def readChanges(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val vs = versions(dir)
+    Seq(fromVersion, toVersion).foreach(v => require(vs.contains(v),
+      s"version $v of $dir does not exist (retained: ${vs.mkString(",")})"))
+    require(fromVersion <= toVersion,
+      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val f = fs(dir)
+    val from = dataLines(readManifest(f, dir, fromVersion)).map(_.split('\t').head)
+    val to = dataLines(readManifest(f, dir, toVersion)).map(_.split('\t').head)
+    val fromSet = from.toSet
+    require(fromSet.subsetOf(to.toSet),
+      s"readChanges: versions $fromVersion..$toVersion of $dir are not append-only " +
+        s"(an overwrite/merge/optimize rewrote files); diff snapshots by key instead")
+    val added = to.filterNot(fromSet)
+    if (added.isEmpty)
+      read(spark, dir, Some(toVersion)).where(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(added.map(rel => s"$dir/$rel"): _*)
+  }
+
   /** MERGE INTO (copy-on-write): delta rows REPLACE base rows that share
     * their key, delta rows under `deleteFlag` DELETE them, unmatched
     * delta rows INSERT — committed as one overwrite version, so the
