@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runtime data-skipping at PLAN level — the three mechanisms that decide
+  * whether a 100 TB fact scan reads the whole table or only what the
+  * query can possibly touch:
+  *
+  *  - **dynamic partition pruning** (`join_dpp_prune`): the fact table is
+  *    laid out partitioned-by-year; the year predicate arrives only
+  *    THROUGH a join to a filtered dimension, so static pruning can't
+  *    see it. DPP re-uses the dimension's broadcast to inject the
+  *    surviving keys into the fact scan's partition filters — the scan
+  *    opens 2 of 7 year directories instead of all of them. At 100 TB
+  *    (date-partitioned facts, star-schema dashboards) this is THE
+  *    difference between a full scan and a slice.
+  *  - **runtime bloom-filter join pushdown** (`join_runtime_bloom`): for
+  *    a shuffle join whose build side is selectively filtered, the
+  *    optimizer plants a bloom filter built from the build-side keys as
+  *    a semi-join reduction on the probe side — probe rows that cannot
+  *    match are dropped BEFORE the probe shuffle, which is where a
+  *    shuffle join's cost lives at scale.
+  *  - **bucketed co-located join** (`join_bucketed_noshuffle`): both
+  *    sides are written bucketed on the join key (one file per bucket,
+  *    via a pre-repartition on the same key images bucketing hashes
+  *    with), so the sort-merge join consumes bucket-aligned splits
+  *    directly — ZERO exchanges before the join. The recurring-pipeline
+  *    contract: pay the key shuffle once at layout time, never again per
+  *    query.
+  *
+  * Each query derives a plan flag from its OWN pinned plan (the same
+  * discipline as [[IncrOps]]'s `used_mv`) and the oracle asserts `true`,
+  * so a mechanism that silently stops firing fails the differential —
+  * not just a benchmark.
+  *
+  * Conf scoping: confs are set, the QueryExecution is forced (lazy-val
+  * pinned) inside the scope, then confs are restored — same pattern the
+  * MV differentials use for `extraOptimizations`, safe under Verify's
+  * sequential drive.
+  */
+object RuntimeFilterOps {
+
+  /** Set `confs`, run `body`, restore previous values (unset → restore
+    * to Spark's default via `unset`).
+    */
+  private def withConfs[A](s: SparkSession, confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private def root(dir: String, name: String): String = {
+    val r = s"/tmp/graft_rtf/${new java.io.File(dir).getName}/$name"
+    val p = new org.apache.hadoop.fs.Path(r)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    r
+  }
+
+  /** Pin every phase of `df`'s QueryExecution while the scoping confs
+    * are still active — what Verify executes later is this frozen plan.
+    */
+  private def pin(df: DataFrame): DataFrame = { df.queryExecution.executedPlan; df }
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "join_dpp_prune",
+      (s, dir) => {
+        // Fact = orders re-laid-out partitioned by order year (7 year
+        // directories); dim = a tiny on-disk (year, pick) relation whose
+        // filter is the ONLY source of the year predicate. The join
+        // plans a broadcast of the filtered dim, and DPP injects its
+        // year set into the fact scan's partition filters — `used_dpp`
+        // reads the pinned physical plan for the injected
+        // dynamicpruning expression, and the oracle asserts it fired.
+        // Result audited per year so a scan that read a pruned (or
+        // dropped a kept) partition fails the hash. Two traps the plan
+        // had to dodge, kept as regression guards: the dim must live on
+        // disk (a filter over a LocalRelation constant-folds away and
+        // with it the "selective predicate" DPP requires), and the join
+        // key must match the INFERRED partition-column type (int — a
+        // string dim makes the key `cast(year)`, which defeats
+        // pruning-key extraction).
+        val r = root(dir, "orders_by_year")
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            year(col("o_orderdate")).as("year"))
+          .write.mode("overwrite").partitionBy("year").parquet(r)
+        val fact = s.read.parquet(r)
+        import s.implicits._
+        val rd = root(dir, "year_dim")
+        Seq((1996, 1), (1997, 0), (1998, 1), (1999, 0))
+          .toDF("year", "pick").write.mode("overwrite").parquet(rd)
+        val dim = s.read.parquet(rd)
+        val q = fact
+          .join(broadcast(dim.where(col("pick") === 1).select("year")),
+            Seq("year"))
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        val usedDpp = q.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning")
+        pin(q.select(col("year").cast("long").as("year"), col("n"),
+            col("cents"))
+          .withColumn("used_dpp", lit(usedDpp)).orderBy("year"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS used_dpp
+             |FROM orders
+             |WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1998)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "join_runtime_bloom",
+      (s, dir) => {
+        // Shuffle join lineitem ⋈ part with a selective build-side
+        // filter (p_size = 1 keeps ~2% of parts). Broadcast is disabled
+        // in scope so the join is the shuffle shape the optimization
+        // exists for, and the bloom thresholds are opened so the
+        // sf-sized fixture qualifies as "large probe side". The
+        // optimizer then guards the lineitem side with
+        // might_contain(<bloom of surviving p_partkey>) BEFORE the
+        // probe shuffle. `used_bloom` reads the pinned plan for the
+        // injected filter; correctness of the reduction is the hash
+        // (a bloom that dropped a true match would lose rows).
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val pt = Tables.t(s, dir, "part")
+          .where(col("p_size") === 1)
+          .select(col("p_partkey"), col("p_brand"))
+        withConfs(s,
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+          val q = li.join(pt, col("l_partkey") === col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(count(lit(1)).as("n"),
+              sum("cents").as("cents"),
+              round(avg("l_quantity"), 4).as("avg_qty"))
+          val usedBloom = q.queryExecution.optimizedPlan.toString
+            .contains("might_contain")
+          pin(q.withColumn("used_bloom", lit(usedBloom)).orderBy("p_brand"))
+        }
+      },
+      Some("""SELECT p_brand,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       true AS used_bloom
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 1
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    GQuery(
+      "join_bucketed_noshuffle",
+      (s, dir) => {
+        // Both sides land bucketed 8-ways on the join key. The
+        // pre-write repartition(8, key) uses the same murmur3 key
+        // images bucketing does, so each task holds exactly one
+        // bucket's rows → one file per bucket → the read satisfies the
+        // join's distribution AND ordering from the layout alone. With
+        // broadcast off and AQE off in scope (so the pinned plan is the
+        // static SMJ), `exchanges_before_join` counts shuffle exchanges
+        // under the join — the oracle asserts 0. The one remaining
+        // exchange in the whole plan is the final per-segment combine,
+        // which is the irreducible aggregate shuffle, not join cost.
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+        val base = new java.io.File(dir).getName.replace('.', '_')
+        val to = s"graft_bkt_orders_$base"
+        val tc = s"graft_bkt_customer_$base"
+        val ro = root(dir, "bkt_orders")
+        val rc = root(dir, "bkt_customer")
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tc")
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(8, col("o_custkey"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", ro).saveAsTable(to)
+        Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .repartition(8, col("c_custkey"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", rc).saveAsTable(tc)
+        withConfs(s,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false") {
+          val q = s.table(to)
+            .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+          val joinShuffles = q.queryExecution.executedPlan.collect {
+            case j: SortMergeJoinExec    => j
+            case j: ShuffledHashJoinExec => j
+          }.headOption.map(_.collect { case e: ShuffleExchangeExec => e }.size)
+          val out = q
+            .withColumn("exchanges_before_join",
+              lit(joinShuffles.getOrElse(-1).toLong))
+            .orderBy("c_mktsegment")
+          pin(out)
+        }
+      },
+      Some("""SELECT c_mktsegment,
+             |       CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       CAST(0 AS BIGINT) AS exchanges_before_join
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
