@@ -790,6 +790,43 @@ object CorpusOps {
              |       arg_max(event_type, event_id) AS event_type,
              |       arg_max(value, event_id)      AS value,
              |       arg_max(props, event_id)      AS props
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
+      "text_oov_rate",
+      (s, dir) => {
+        // TOKENIZER VOCABULARY COVERAGE — the go/no-go check before
+        // committing a corpus to a fixed-vocab tokenizer: build the
+        // top-1000 vocabulary from corpus frequencies (total order:
+        // count DESC, token ASC — rank-1000 ties must resolve the same
+        // everywhere), then measure per-source out-of-vocabulary token
+        // mass. Shape: one token-count aggregate, a top-k, and ONE
+        // re-scan with the 1000-row vocab BROADCAST left-joined on —
+        // the corpus never shuffles by token twice. Counts stay
+        // integers; only the final rate divides.
+        val tok = docs(s, dir)
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("tok")).limit(1000)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |             FROM documents),
+             |  vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+             |            ORDER BY cnt DESC, tok ASC LIMIT 1000)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+             |FROM tok LEFT JOIN vocab v USING (tok)
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

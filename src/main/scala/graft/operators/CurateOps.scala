@@ -491,6 +491,63 @@ object CurateOps {
              |       CAST(min(l_div) AS BIGINT) AS l_diversity,
              |       CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k5,
              |       CAST(count(*) AS BIGINT) AS n_groups
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    GQuery(
+      "privacy_t_closeness",
+      (s, dir) => {
+        // T-CLOSENESS AUDIT — the stricter sibling of the k/l gate
+        // above: per QI group (nation, balance band), the total-
+        // variation distance between the group's sensitive-attribute
+        // (market segment) distribution and the GLOBAL one. Segments
+        // absent from a group still contribute their global mass, via
+        // the identity  TV = ½·(1 + Σ_present(|p_g − p| − p))  — so the
+        // per-cell frame never needs a dense group×segment expand.
+        // Shape: one cell aggregate (|groups × present segments| rows),
+        // the 5-row global distribution broadcast onto it, one group
+        // rollup. tv is rounded to 6dp BEFORE max/threshold so cross-
+        // engine summation-order noise (≤5 double terms) cancels.
+        val c = Tables.t(s, dir, "customer")
+          .select(col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+            col("c_mktsegment").as("seg"))
+        val cells = c.groupBy("nk", "bal_band", "seg")
+          .agg(count(lit(1)).as("cnt"))
+        val gseg = c.groupBy("seg").agg(count(lit(1)).as("gcnt"))
+        val n = c.count()
+        val tv = cells
+          .withColumn("grp",
+            sum("cnt").over(Window.partitionBy("nk", "bal_band")))
+          .join(broadcast(gseg), "seg")
+          .groupBy("nk", "bal_band")
+          .agg(sum(abs(col("cnt") / col("grp") - col("gcnt") / lit(n.toDouble)) -
+            col("gcnt") / lit(n.toDouble)).as("delta"))
+          .select(col("nk"), col("bal_band"),
+            round((lit(1.0) + col("delta")) / 2, 6).as("tv"))
+        tv.agg(max("tv").as("max_t"),
+            sum(when(col("tv") > 0.2, 1L).otherwise(0L)).as("n_groups_above_t02"),
+            count(lit(1)).as("n_groups"))
+          .select(col("max_t"), col("n_groups_above_t02"), col("n_groups"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nk,
+             |                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |                  c_mktsegment AS seg
+             |           FROM customer),
+             |  cells AS (SELECT nk, bal_band, seg, CAST(count(*) AS BIGINT) AS cnt
+             |            FROM c GROUP BY 1, 2, 3),
+             |  gseg AS (SELECT seg, CAST(count(*) AS BIGINT) AS gcnt FROM c GROUP BY 1),
+             |  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM c),
+             |  wg AS (SELECT nk, bal_band, seg, cnt,
+             |                sum(cnt) OVER (PARTITION BY nk, bal_band) AS grp
+             |         FROM cells),
+             |  tvs AS (SELECT nk, bal_band,
+             |                 round((1.0 + sum(abs(cnt / grp - gcnt / n.n)
+             |                                  - gcnt / n.n)) / 2, 6) AS tv
+             |          FROM wg JOIN gseg USING (seg), n
+             |          GROUP BY nk, bal_band, n.n)
+             |SELECT max(tv) AS max_t,
+             |       CAST(sum(CASE WHEN tv > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_above_t02,
+             |       CAST(count(*) AS BIGINT) AS n_groups
+             |FROM tvs""".stripMargin))
   )
 }

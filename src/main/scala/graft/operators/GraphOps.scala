@@ -127,6 +127,61 @@ object GraphOps {
              |     w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
              |SELECT n_triangles, n_wedges,
              |       round(n_triangles * 3.0 / n_wedges, 6) AS global_cc
-             |FROM tri, w""".stripMargin))
+             |FROM tri, w""".stripMargin)),
+
+    GQuery(
+      "graph_weighted_khop",
+      (s, dir) => {
+        // WEIGHTED K-HOP SHORTEST PATHS (3 Bellman-Ford rounds) from
+        // the seed set {parts ≡ 0 mod 97} over the co-purchase graph,
+        // edge weight = co-occurring line pairs (integer — path costs
+        // stay exact). Each round is ONE join frontier⋈edges + ONE
+        // min-aggregate — the same Pregel-as-DataFrame shape as
+        // pagerank above, with the weighted edge list checkpointed once
+        // and reused by every round. Costs only ever shrink, so a
+        // bounded-round unrolling is deterministic; the oracle unrolls
+        // the identical three relaxations as CTEs.
+        val li = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val e0 = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val edges = e0.union(
+            e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .localCheckpoint()
+        var dist = Tables.t(s, dir, "part")
+          .where(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("node"), lit(0L).as("cost"))
+        (1 to 3).foreach { _ =>
+          val relaxed = dist.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+          dist = dist.union(relaxed)
+            .groupBy("node").agg(min("cost").as("cost"))
+        }
+        dist.orderBy("node")
+      },
+      Some("""WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             |                   CAST(count(*) AS BIGINT) AS w
+             |            FROM lineitem a JOIN lineitem b
+             |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |            GROUP BY 1, 2),
+             |  e AS (SELECT src, dst, w FROM e0
+             |        UNION ALL SELECT dst, src, w FROM e0),
+             |  d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS cost
+             |         FROM part WHERE p_partkey % 97 = 0),
+             |  d1 AS (SELECT node, min(cost) AS cost FROM (
+             |           SELECT node, cost FROM d0
+             |           UNION ALL SELECT e.dst, d0.cost + e.w FROM d0 JOIN e ON d0.node = e.src
+             |         ) GROUP BY 1),
+             |  d2 AS (SELECT node, min(cost) AS cost FROM (
+             |           SELECT node, cost FROM d1
+             |           UNION ALL SELECT e.dst, d1.cost + e.w FROM d1 JOIN e ON d1.node = e.src
+             |         ) GROUP BY 1),
+             |  d3 AS (SELECT node, min(cost) AS cost FROM (
+             |           SELECT node, cost FROM d2
+             |           UNION ALL SELECT e.dst, d2.cost + e.w FROM d2 JOIN e ON d2.node = e.src
+             |         ) GROUP BY 1)
+             |SELECT node, CAST(cost AS BIGINT) AS cost FROM d3 ORDER BY node""".stripMargin))
   )
 }

@@ -272,6 +272,55 @@ object StatOps {
              |       cents_a // n_a AS mean_cents_a,
              |       cents_b // n_b AS mean_cents_b,
              |       cents_b // n_b - cents_a // n_a AS mean_shift_cents
-             |FROM agg ORDER BY event_type""".stripMargin))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    GQuery(
+      "events_ks_test",
+      (s, dir) => {
+        // TWO-SAMPLE KOLMOGOROV-SMIRNOV over event values (view vs
+        // purchase): D = max_x |F1(x) - F2(x)|. Computed at
+        // distinct-value granularity (per-value counts first — ties
+        // must be absorbed BEFORE the sup, or mid-tie prefixes
+        // overstate D), then one ordered cumulative pass. The statistic
+        // is carried as the INTEGER cross-product |c1·n2 - c2·n1| —
+        // exact in both engines — and only the final D divides.
+        // Scale: the per-value aggregate shuffles |distinct values|
+        // rows; the cumulative needs a global order over those — a
+        // deliberate single-partition window over an already-reduced
+        // frame (same stance as the changepoint/autocorr family); at
+        // 100 TB swap the exact sup for a binned ECDF (the aggregate
+        // becomes per-bin, the window stays |bins|).
+        val pts = Tables.t(s, dir, "events")
+          .where(col("event_type").isin("view", "purchase"))
+          .groupBy("value")
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("d1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("d2"))
+        val wCum = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        pts.select(
+            sum("d1").over(wCum).as("c1"), sum("d2").over(wCum).as("c2"),
+            sum("d1").over(wAll).as("n1"), sum("d2").over(wAll).as("n2"))
+          .agg(first("n1").as("n1"), first("n2").as("n2"),
+            max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            round(col("d_num") / (col("n1") * col("n2")), 6).as("d"))
+      },
+      Some("""WITH pts AS (SELECT value,
+             |                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+             |             FROM events WHERE event_type IN ('view', 'purchase')
+             |             GROUP BY value),
+             |     c AS (SELECT sum(d1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1,
+             |                  sum(d2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c2,
+             |                  sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+             |           FROM pts)
+             |SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+             |       CAST(any_value(n2) AS BIGINT) AS n2,
+             |       CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+             |       round(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+             |             / (any_value(n1) * any_value(n2)), 6) AS d
+             |FROM c""".stripMargin))
   )
 }
