@@ -405,6 +405,43 @@ object EventOps {
              |       (sum(coalesce(n_new, 0)) OVER (ORDER BY dau.day
              |          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
              |FROM dau LEFT JOIN npd ON dau.day = npd.day
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    GQuery(
+      "events_activity_streaks",
+      (s, dir) => {
+        // GAPS-AND-ISLANDS: longest run of CONSECUTIVE active days per
+        // user. Classic anchor trick — on the distinct (user, day)
+        // frame, day_number − row_number is constant exactly within a
+        // consecutive run, so one per-user window + one aggregate
+        // recovers every island without self-joins. Shape: distinct
+        // aggregate, per-user window (partitioned — no global sort),
+        // two rollups; everything shuffles on user_id once.
+        val days = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days.withColumn("grp", col("day") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum("len").as("n_active_days"),
+            max("len").as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+             |                  date_diff('day', DATE '2024-01-01', ts::TIMESTAMP::DATE) AS day
+             |           FROM events),
+             |  g AS (SELECT user_id, day,
+             |               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |        FROM d),
+             |  runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+             |           FROM g GROUP BY 1, 2)
+             |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             |       CAST(max(len) AS BIGINT) AS longest_streak,
+             |       CAST(count(*) AS BIGINT) AS n_streaks
+             |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin))
   )
 }

@@ -327,6 +327,59 @@ object FuzzyOps {
              |              row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rn
              |       FROM sc)
              |SELECT qid, rn::BIGINT AS rn, vec_id, round(ip, 4) AS ip
-             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+             |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    GQuery(
+      "er_golden_record",
+      (s, dir) => {
+        // SURVIVORSHIP MERGE (the last step of entity resolution):
+        // matched records from two sources collapse to one golden
+        // record, each column independently taking the highest-priority
+        // NON-NULL value. The two source feeds are deterministic
+        // degradations of customer (CRM: names uppercased, every third
+        // balance missing; WEB: segment missing for even keys) so the
+        // merge has real per-column work to do. Per column the rule is
+        // min(struct(priority, value)) over non-null values — one hash
+        // aggregate for ALL columns at once; no per-column joins, no
+        // row explosion beyond |sources| × |entities|.
+        val c = Tables.t(s, dir, "customer")
+        val crm = c.select(col("c_custkey").as("k"), lit(1L).as("rk"),
+          upper(col("c_name")).as("name"),
+          when(col("c_custkey") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"),
+          col("c_mktsegment").as("seg"))
+        val web = c.select(col("c_custkey").as("k"), lit(2L).as("rk"),
+          col("c_name").as("name"),
+          col("c_acctbal").as("bal"),
+          when(col("c_custkey") % 2 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        crm.unionByName(web)
+          .groupBy("k")
+          .agg(
+            min(when(col("name").isNotNull, struct(col("rk"), col("name"))))
+              .getField("name").as("name"),
+            min(when(col("bal").isNotNull, struct(col("rk"), col("bal"))))
+              .getField("bal").as("bal"),
+            min(when(col("seg").isNotNull, struct(col("rk"), col("seg"))))
+              .getField("seg").as("seg"),
+            count(lit(1)).as("n_sources"))
+          .select(col("k"), col("name"), round(col("bal"), 2).as("bal"),
+            col("seg"), col("n_sources"))
+          .orderBy("k")
+      },
+      Some("""WITH crm AS (SELECT c_custkey AS k, 1 AS rk, upper(c_name) AS name,
+             |                    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal,
+             |                    c_mktsegment AS seg
+             |             FROM customer),
+             |  web AS (SELECT c_custkey AS k, 2 AS rk, c_name AS name, c_acctbal AS bal,
+             |                 CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END AS seg
+             |          FROM customer),
+             |  u AS (SELECT * FROM crm UNION ALL SELECT * FROM web)
+             |SELECT k,
+             |       arg_min(name, rk) FILTER (name IS NOT NULL) AS name,
+             |       round(arg_min(bal, rk) FILTER (bal IS NOT NULL), 2) AS bal,
+             |       arg_min(seg, rk) FILTER (seg IS NOT NULL) AS seg,
+             |       CAST(count(*) AS BIGINT) AS n_sources
+             |FROM u GROUP BY k ORDER BY k""".stripMargin))
   )
 }

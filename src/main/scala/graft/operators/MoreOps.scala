@@ -13,6 +13,69 @@ object MoreOps {
   val all: Seq[GQuery] = Seq(
 
     GQuery(
+      "agg_bitmap_distinct",
+      (s, dir) => {
+        // EXACT distributed COUNT DISTINCT via fixed-width BITMAP
+        // BLOCKS (the ClickHouse/Doris bitmap-index pattern): user ids
+        // fold into 64-bit blocks with bit_or — an aggregate that
+        // combines map-side — then popcounts sum per group. Unlike
+        // count(DISTINCT), which expands to a two-phase distinct
+        // shuffle of EVERY (group, user) pair, this shuffles at most
+        // |groups × touched blocks| longs regardless of row count, and
+        // unlike approx_count_distinct it is exact. The oracle IS
+        // count(DISTINCT …) — the bitmap must reproduce it bit-perfect.
+        Tables.t(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+          .groupBy(col("event_type"),
+            (col("user_id") / 64).cast("long").as("blk"))
+          .agg(bit_or(expr("shiftleft(1L, cast(pmod(user_id, 64) as int))"))
+            .as("bits"))
+          .groupBy("event_type")
+          .agg(sum(bit_count(col("bits"))).cast("long").as("n_users"),
+            count(lit(1)).as("n_blocks"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       count(DISTINCT user_id) AS n_users,
+             |       count(DISTINCT user_id // 64) AS n_blocks
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "parts_pareto_frontier",
+      (s, dir) => {
+        // PARETO FRONTIER (2-D skyline): parts not dominated on
+        // (price ↓, size ↑). The naive skyline is an O(n²) dominance
+        // self-join; sorted by (price ASC, size DESC, key ASC) it
+        // collapses to ONE window pass — a row survives iff its size
+        // strictly exceeds every earlier row's (running max), because
+        // any earlier row has price <= ours. Equal (price, size)
+        // duplicates resolve to the smallest key (the running max
+        // absorbs the first copy). One sort, zero joins.
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.t(s, dir, "part")
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+            col("p_size").cast("long").as("p_size"))
+        val w = Window
+          .orderBy(col("price_cents"), col("p_size").desc, col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        p.withColumn("prev_max", max("p_size").over(w))
+          .where(col("prev_max").isNull || col("p_size") > col("prev_max"))
+          .select(col("p_partkey"), col("price_cents"), col("p_size"))
+          .orderBy("price_cents", "p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+             |                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             |                  CAST(p_size AS BIGINT) AS p_size
+             |           FROM part),
+             |  r AS (SELECT *, max(p_size) OVER (ORDER BY price_cents, p_size DESC, p_partkey
+             |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |        FROM p)
+             |SELECT p_partkey, price_cents, p_size
+             |FROM r WHERE prev_max IS NULL OR p_size > prev_max
+             |ORDER BY price_cents, p_partkey""".stripMargin)),
+
+    GQuery(
       "scalar_regex",
       (s, dir) => {
         Tables.t(s, dir, "customer")

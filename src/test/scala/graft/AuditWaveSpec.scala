@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, CurateOps, GraphOps, StatOps}
+import graft.operators.{CorpusOps, CurateOps, EventOps, FuzzyOps, GraphOps, MoreOps, StatOps}
 import org.apache.spark.sql.functions._
 
 /** Invariant gates for the round-10 stats/curation wave (the oracle
@@ -57,5 +57,71 @@ class AuditWaveSpec extends SparkSpec {
     // reachability grows: every non-seed row must cost at least the
     // smallest edge weight (>= 1)
     assert(rows.filterNot(r => seeds(r.getLong(0))).forall(_.getLong(1) >= 1))
+  }
+
+  test("agg_bitmap_distinct: bitmap popcount equals count_distinct exactly") {
+    val out = run(MoreOps.all, "agg_bitmap_distinct").collect()
+    val exact = Tables.t(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+  }
+
+  test("parts_pareto_frontier: survivors undominated, non-survivors dominated") {
+    val all = Tables.t(spark, sf, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(x: (Long, Long, Long)) = all.exists { o =>
+      o._1 != x._1 && o._2 <= x._2 && o._3 >= x._3 &&
+        (o._2 < x._2 || o._3 > x._3 || o._1 < x._1) // ties keep lowest key
+    }
+    val front = run(MoreOps.all, "parts_pareto_frontier")
+      .collect().map(_.getLong(0)).toSet
+    all.foreach(p => assert(front(p._1) == !dominated(p),
+      s"part ${p._1}: frontier=${front(p._1)} dominated=${dominated(p)}"))
+  }
+
+  test("events_activity_streaks: streak bounds and one user re-derived") {
+    val out = run(EventOps.all, "events_activity_streaks").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // longest <= active days
+      assert(r.getLong(3) >= 1 && r.getLong(2) >= 1)
+    }
+    val u = out.head.getLong(0)
+    val days = Tables.t(spark, sf, "events")
+      .where(col("user_id") === u)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toLocalDate.toEpochDay).sorted
+    var best = 1L; var cur = 1L
+    days.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1L
+        best = math.max(best, cur)
+      case _ =>
+    }
+    assert(out.head.getLong(2) == best)
+    assert(out.head.getLong(1) == days.length.toLong)
+  }
+
+  test("er_golden_record: per-column survivorship honors priority and nulls") {
+    val out = run(FuzzyOps.all, "er_golden_record").collect()
+    val cust = Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out.length == cust.size)
+    out.foreach { r =>
+      val k = r.getLong(0)
+      val (name, bal, seg) = cust(k)
+      assert(r.getString(1) == name.toUpperCase) // CRM name always wins
+      // CRM drops bal for k%3==0 → WEB supplies it; either way = source bal
+      assert(math.abs(r.getDouble(2) - math.rint(bal * 100) / 100) < 1e-9)
+      assert(r.getString(3) == seg) // seg from CRM (always present there)
+      assert(r.getLong(4) == 2L)
+    }
   }
 }
