@@ -548,6 +548,117 @@ object CurateOps {
              |SELECT max(tv) AS max_t,
              |       CAST(sum(CASE WHEN tv > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_above_t02,
              |       CAST(count(*) AS BIGINT) AS n_groups
-             |FROM tvs""".stripMargin))
+             |FROM tvs""".stripMargin)),
+
+    GQuery(
+      "privacy_dp_geometric",
+      (s, dir) => {
+        // DIFFERENTIALLY-PRIVATE HISTOGRAM via the (two-sided) GEOMETRIC
+        // MECHANISM, made oracle-deterministic: the per-cell noise draw
+        // is inverse-CDF sampling where (a) the uniform comes from the
+        // portable md5 hash of the cell key — identical in both engines
+        // — and (b) the CDF thresholds are computed ONCE at plan-build
+        // time and inlined as the same literal doubles into the Spark
+        // plan AND the generated oracle SQL (the SimilarityOps.srpSigns
+        // discipline). ε=0.5 (α=e^-½), support clamped to ±15 (tail
+        // mass ~1e-4 folded into +15). Scale: pure map-side over an
+        // already-aggregated |cells| frame; the release never touches
+        // row-level data twice.
+        val alpha = math.exp(-0.5)
+        val p0 = (1 - alpha) / (1 + alpha)
+        val ks = (-15 to 15).toSeq
+        val cdf = ks.map(k => p0 * math.pow(alpha, math.abs(k)))
+          .scanLeft(0.0)(_ + _).tail
+        val g = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_true"))
+          .withColumn("u",
+            DedupOps.portableHash(
+              concat(col("event_type"), lit("|"), col("day")), 7) /
+              lit(4294967296.0))
+        val noise = ks.zip(cdf).reverse.foldLeft(lit(15L)) {
+          case (els, (k, t)) =>
+            when(col("u") < lit(t), lit(k.toLong)).otherwise(els)
+        }
+        g.withColumn("noise", noise)
+          .select(col("event_type"), col("day"), col("n_true"),
+            col("noise"), (col("n_true") + col("noise")).as("n_noisy"))
+          .orderBy("event_type", "day")
+      },
+      Some {
+        val alpha = math.exp(-0.5)
+        val p0 = (1 - alpha) / (1 + alpha)
+        val ks = (-15 to 15).toSeq
+        val cdf = ks.map(k => p0 * math.pow(alpha, math.abs(k)))
+          .scanLeft(0.0)(_ + _).tail
+        val cases = ks.zip(cdf)
+          .map { case (k, t) => s"WHEN u < $t THEN $k" }
+          .mkString(" ")
+        s"""WITH g AS (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+           |                  CAST(count(*) AS BIGINT) AS n_true
+           |           FROM events GROUP BY 1, 2),
+           |  u AS (SELECT *,
+           |               ('0x' || substring(md5('7:' || event_type || '|' || day), 1, 8))::BIGINT
+           |                 / 4294967296.0 AS u
+           |        FROM g),
+           |  n AS (SELECT *, CAST(CASE $cases ELSE 15 END AS BIGINT) AS noise FROM u)
+           |SELECT event_type, day, n_true, noise, n_true + noise AS n_noisy
+           |FROM n ORDER BY event_type, day""".stripMargin
+      }),
+
+    GQuery(
+      "docs_rendezvous_shard",
+      (s, dir) => {
+        // RENDEZVOUS (highest-random-weight) SHARDING — the elastic
+        // alternative to mod-hashing (`docs_shuffle_shard`): each doc
+        // goes to the shard with the max portable hash(doc, shard).
+        // Growing 8 → 9 shards must move ONLY docs whose new argmax IS
+        // the new shard — n_moved_in is forced to 0 for every old shard
+        // and equals n9 on shard 8, and the oracle asserts exactly
+        // that (mod-hashing would reshuffle ~8/9 of the corpus). Ties
+        // break on shard index IN the comparison tuple, so both
+        // engines argmax identically. Shape: per-doc argmax over an
+        // inline 9-element array — no explode, no shuffle before the
+        // 9-row aggregate.
+        val scores = array((0 until 9).map(i =>
+          struct(
+            DedupOps.portableHash(
+              concat(col("doc_id").cast("string"), lit(":"), lit(i.toString)), 11)
+              .as("h"),
+            lit(i.toLong).as("i"))): _*)
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), scores.as("sc"))
+          .select(col("doc_id"),
+            array_max(slice(col("sc"), 1, 8)).getField("i").as("shard8"),
+            array_max(col("sc")).getField("i").as("shard9"))
+        val n8 = d.groupBy(col("shard8").as("shard"))
+          .agg(count(lit(1)).as("n8"))
+        val n9 = d.groupBy(col("shard9").as("shard"))
+          .agg(count(lit(1)).as("n9"),
+            sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+              .as("n_moved_in"))
+        n8.join(n9, Seq("shard"), "full_outer")
+          .select(col("shard"),
+            coalesce(col("n8"), lit(0L)).as("n8"),
+            coalesce(col("n9"), lit(0L)).as("n9"),
+            coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+          .orderBy("shard")
+      },
+      Some("""WITH s AS (SELECT doc_id, i,
+             |                  ('0x' || substring(md5('11:' || doc_id || ':' || i), 1, 8))::BIGINT AS h
+             |           FROM documents, range(9) t(i)),
+             |  a AS (SELECT doc_id,
+             |               arg_max(i, h * 16 + i) FILTER (i < 8) AS shard8,
+             |               arg_max(i, h * 16 + i) AS shard9
+             |        FROM s GROUP BY 1),
+             |  n8 AS (SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n8 FROM a GROUP BY 1),
+             |  n9 AS (SELECT shard9 AS shard, CAST(count(*) AS BIGINT) AS n9,
+             |                CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+             |         FROM a GROUP BY 1)
+             |SELECT shard, coalesce(n8, 0) AS n8, coalesce(n9, 0) AS n9,
+             |       coalesce(n_moved_in, 0) AS n_moved_in
+             |FROM n8 FULL JOIN n9 USING (shard)
+             |ORDER BY shard""".stripMargin))
   )
 }

@@ -321,6 +321,55 @@ object StatOps {
              |       CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
              |       round(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
              |             / (any_value(n1) * any_value(n2)), 6) AS d
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    GQuery(
+      "events_cuped_adjust",
+      (s, dir) => {
+        // CUPED VARIANCE REDUCTION — the experimentation-platform
+        // estimator: per-user post-period value adjusted by the
+        // pre-period covariate, y' = y − θ·(x − x̄) with pooled
+        // θ = cov(x,y)/var(x). Arms = user parity; pre/post = halves of
+        // the event span (midpoint of [min,max] — rederivable by the
+        // oracle). Shape: one per-user aggregate, a 1-row θ broadcast
+        // back on, one per-arm rollup; var_pop of the adjusted metric
+        // must shrink vs raw whenever pre and post correlate. All
+        // ratios rounded to 4dp (central-moment merge order differs
+        // across engines at ~1e-10 relative).
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            col("ts").cast("timestamp").cast("long").as("sec"))
+        val mid = ev.agg(((min("sec") + max("sec")) / 2).cast("long"))
+          .head().getLong(0)
+        val perUser = ev.groupBy("user_id")
+          .agg(sum(when(col("sec") < mid, col("value")).otherwise(0.0)).as("x"),
+            sum(when(col("sec") >= mid, col("value")).otherwise(0.0)).as("y"))
+        val theta = perUser.agg(
+          (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
+          avg("x").as("mx"))
+        perUser.crossJoin(broadcast(theta))
+          .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("mx")))
+          .groupBy((col("user_id") % 2).as("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avg("y"), 4).as("mean_post"),
+            round(avg("y_adj"), 4).as("mean_adj"),
+            round(var_pop(col("y")), 4).as("var_post"),
+            round(var_pop(col("y_adj")), 4).as("var_adj"))
+          .orderBy("arm")
+      },
+      Some("""WITH ev AS (SELECT user_id, value, epoch(ts::TIMESTAMP)::BIGINT AS sec FROM events),
+             |  m AS (SELECT ((min(sec) + max(sec)) // 2)::BIGINT AS mid FROM ev),
+             |  pu AS (SELECT user_id,
+             |                sum(CASE WHEN sec < mid THEN value ELSE 0.0 END) AS x,
+             |                sum(CASE WHEN sec >= mid THEN value ELSE 0.0 END) AS y
+             |         FROM ev, m GROUP BY user_id),
+             |  th AS (SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mx FROM pu)
+             |SELECT user_id % 2 AS arm,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       round(avg(y), 4) AS mean_post,
+             |       round(avg(y - theta * (x - mx)), 4) AS mean_adj,
+             |       round(var_pop(y), 4) AS var_post,
+             |       round(var_pop(y - theta * (x - mx)), 4) AS var_adj
+             |FROM pu, th GROUP BY 1 ORDER BY arm""".stripMargin))
   )
 }

@@ -124,4 +124,41 @@ class AuditWaveSpec extends SparkSpec {
       assert(r.getLong(4) == 2L)
     }
   }
+
+  test("privacy_dp_geometric: noise bounded, arithmetic consistent, replay-stable") {
+    val a = run(CurateOps.all, "privacy_dp_geometric").collect()
+    a.foreach { r =>
+      assert(r.getLong(3) >= -15 && r.getLong(3) <= 15)
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3))
+    }
+    // hash-seeded draws: a second plan build yields byte-identical noise
+    val b = run(CurateOps.all, "privacy_dp_geometric").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("docs_rendezvous_shard: growth moves docs ONLY into the new shard") {
+    val out = run(CurateOps.all, "docs_rendezvous_shard").collect()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+    assert(out.map(_.getLong(2)).sum == nDocs)
+    out.filter(_.getLong(0) < 8).foreach(r => assert(r.getLong(3) == 0L))
+    val s8 = out.find(_.getLong(0) == 8L).get
+    assert(s8.getLong(1) == 0L && s8.getLong(3) == s8.getLong(2))
+    // elasticity: the moved fraction tracks 1/9, never the ~8/9 a
+    // mod-hash reshard would force
+    assert(s8.getLong(2).toDouble / nDocs < 2.0 / 9.0)
+  }
+
+  test("events_cuped_adjust: arms partition users; adjustment preserves scale") {
+    val out = run(StatOps.all, "events_cuped_adjust").collect()
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.t(spark, sf, "events").select("user_id").distinct().count())
+    out.foreach { r =>
+      assert(r.getDouble(4) >= 0 && r.getDouble(5) >= 0) // variances
+      // theta-adjustment recenters but must not shift an arm's mean by
+      // more than the cross-arm covariate imbalance allows (loose 20%)
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) <=
+        0.2 * math.abs(r.getDouble(2)) + 1e-9)
+    }
+  }
 }
