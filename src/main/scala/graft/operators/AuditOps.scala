@@ -303,6 +303,77 @@ object AuditOps {
              |  UNION ALL SELECT 'returnflag_out_of_domain', returnflag_out_of_domain FROM a
              |  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM a
              |  UNION ALL SELECT 'duplicate_line_keys', duplicate_line_keys FROM a)
-             |ORDER BY rule""".stripMargin))
+             |ORDER BY rule""".stripMargin)),
+
+    GQuery(
+      "table_sort_advisor",
+      (s, dir) => {
+        // SORT-KEY / RLE ADVISOR: for each candidate clustering key,
+        // how many value RUNS would each payload column have after
+        // sorting by (key, o_orderkey)? Runs ≈ RLE symbols ≈ encoded
+        // size, so fewer runs = better compression AND tighter per-page
+        // min/max stats. Adjacency is evaluated per candidate-key
+        // PARTITION (lag within the key's groups — partition-parallel,
+        // no global sort; cross-group boundaries add exactly |groups|,
+        // folded in as the group count). The advisor output is the
+        // run count per (candidate, column) — the min row is the
+        // layout decision.
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        def runsUnder(key: String, payloads: Seq[String]) = {
+          val w = Window.partitionBy(key).orderBy("o_orderkey")
+          val flags = payloads.map(p =>
+            sum(when(lag(col(p), 1).over(w).isNull ||
+              lag(col(p), 1).over(w) =!= col(p), 1L).otherwise(0L))
+              .as(s"runs_$p"))
+          o.withColumn("k", col(key))
+            .select((Seq(col(key)) ++ payloads.map(col)): _*)
+            .agg(flags.head, flags.tail: _*)
+            .withColumn("candidate", lit(key))
+        }
+        runsUnder("prio", Seq("status", "month"))
+          .unionByName(runsUnder("status", Seq("prio", "month")))
+          .unionByName(runsUnder("month", Seq("prio", "status")),
+            allowMissingColumns = true)
+          .select(col("candidate"),
+            coalesce(col("runs_prio"), lit(-1L)).as("runs_prio"),
+            coalesce(col("runs_status"), lit(-1L)).as("runs_status"),
+            coalesce(col("runs_month"), lit(-1L)).as("runs_month"))
+          .orderBy("candidate")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio, o_orderstatus AS status,
+             |                  strftime(o_orderdate, '%Y-%m') AS month
+             |           FROM orders),
+             |  rp AS (SELECT 'prio' AS candidate, CAST(NULL AS BIGINT) AS runs_prio,
+             |                CAST(sum(CASE WHEN ls IS NULL OR ls <> status THEN 1 ELSE 0 END) AS BIGINT) AS runs_status,
+             |                CAST(sum(CASE WHEN lm IS NULL OR lm <> month THEN 1 ELSE 0 END) AS BIGINT) AS runs_month
+             |         FROM (SELECT status, month,
+             |                      lag(status) OVER (PARTITION BY prio ORDER BY o_orderkey) AS ls,
+             |                      lag(month) OVER (PARTITION BY prio ORDER BY o_orderkey) AS lm
+             |               FROM o)),
+             |  rs AS (SELECT 'status' AS candidate,
+             |                CAST(sum(CASE WHEN lp IS NULL OR lp <> prio THEN 1 ELSE 0 END) AS BIGINT) AS runs_prio,
+             |                CAST(NULL AS BIGINT) AS runs_status,
+             |                CAST(sum(CASE WHEN lm IS NULL OR lm <> month THEN 1 ELSE 0 END) AS BIGINT) AS runs_month
+             |         FROM (SELECT prio, month,
+             |                      lag(prio) OVER (PARTITION BY status ORDER BY o_orderkey) AS lp,
+             |                      lag(month) OVER (PARTITION BY status ORDER BY o_orderkey) AS lm
+             |               FROM o)),
+             |  rm AS (SELECT 'month' AS candidate,
+             |                CAST(sum(CASE WHEN lp IS NULL OR lp <> prio THEN 1 ELSE 0 END) AS BIGINT) AS runs_prio,
+             |                CAST(sum(CASE WHEN ls IS NULL OR ls <> status THEN 1 ELSE 0 END) AS BIGINT) AS runs_status,
+             |                CAST(NULL AS BIGINT) AS runs_month
+             |         FROM (SELECT prio, status,
+             |                      lag(prio) OVER (PARTITION BY month ORDER BY o_orderkey) AS lp,
+             |                      lag(status) OVER (PARTITION BY month ORDER BY o_orderkey) AS ls
+             |               FROM o))
+             |SELECT candidate, coalesce(runs_prio, -1) AS runs_prio,
+             |       coalesce(runs_status, -1) AS runs_status,
+             |       coalesce(runs_month, -1) AS runs_month
+             |FROM (SELECT * FROM rp UNION ALL SELECT * FROM rs UNION ALL SELECT * FROM rm)
+             |ORDER BY candidate""".stripMargin))
   )
 }

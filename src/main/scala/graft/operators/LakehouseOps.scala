@@ -201,6 +201,58 @@ object LakehouseOps {
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders
              |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "orders_bitemporal_asof",
+      (s, dir) => {
+        // BITEMPORAL AS-OF: valid time (when the order was effective)
+        // × transaction time (when the fact was recorded). Batch 2
+        // retroactively corrects prices for every 50th order, valid
+        // from the ORIGINAL order date — so "as known at t1" and "as
+        // known at t2" disagree about the same valid-time slice. The
+        // reconstruction is latest-transaction-wins per key within
+        // txn <= t (the versioned-table time-travel rule), THEN the
+        // valid-time filter — composing the engine's two temporal axes
+        // (SCD2 handles valid time, VersionedTable transaction time) in
+        // one query. Shape per reconstruction: one max_by aggregate +
+        // one rollup; nothing scans history twice.
+        val base = Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate").as("valid_from"), lit(1L).as("txn"))
+        val corr = base.where(col("k") % 50 === 0)
+          .withColumn("cents", col("cents") + 50000L)
+          .withColumn("txn", lit(2L))
+        val facts = base.unionByName(corr)
+        def asKnown(t: Int) = facts.where(col("txn") <= t)
+          .groupBy("k")
+          .agg(max(struct(col("txn"), col("cents"))).getField("cents").as("cents"),
+            first("priority").as("priority"), first("valid_from").as("valid_from"))
+          .where(col("valid_from") < lit("1998-01-01"))
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .withColumn("known_at_txn", lit(t.toLong))
+        asKnown(1).unionByName(asKnown(2))
+          .select(col("known_at_txn"), col("priority"), col("n"), col("cents"))
+          .orderBy("known_at_txn", "priority")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS priority,
+             |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |                     o_orderdate AS valid_from, 1 AS txn
+             |              FROM orders),
+             |  corr AS (SELECT k, priority, cents + 50000, valid_from, 2 FROM base WHERE k % 50 = 0),
+             |  facts AS (SELECT * FROM base UNION ALL SELECT * FROM corr),
+             |  k1 AS (SELECT 1 AS known_at_txn, priority, k, arg_max(cents, txn) AS cents,
+             |                any_value(valid_from) AS valid_from
+             |         FROM facts WHERE txn <= 1 GROUP BY priority, k),
+             |  k2 AS (SELECT 2 AS known_at_txn, priority, k, arg_max(cents, txn) AS cents,
+             |                any_value(valid_from) AS valid_from
+             |         FROM facts WHERE txn <= 2 GROUP BY priority, k),
+             |  u AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+             |SELECT CAST(known_at_txn AS BIGINT) AS known_at_txn, priority,
+             |       CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+             |FROM u WHERE valid_from < TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2 ORDER BY known_at_txn, priority""".stripMargin))
   )
 }

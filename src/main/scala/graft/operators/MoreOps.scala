@@ -41,6 +41,82 @@ object MoreOps {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "agg_kmv_intersect",
+      (s, dir) => {
+        // SET-EXPRESSION CARDINALITY from MERGEABLE KMV (k-minimum-
+        // values / theta-sketch family) sketches: the distinct-user
+        // sets "viewers" and "buyers" each reduce to their k=64
+        // smallest portable hashes; the MERGED sketch estimates
+        // |A∪B| = (k−1)·2³²/h_k and Jaccard = (fraction of the union
+        // sketch in both), so |A∩B| needs only the two k-value
+        // sketches — never the sets. Hash-seeded, so the "estimate" is
+        // bit-reproducible cross-engine, and the exact intersection
+        // rides along for the error check. Scale: each sketch is a
+        // per-set top-k (map-side combinable); the merge touches 2k
+        // rows. The global orderings below run on ≤|distinct users|
+        // rows — already reduced frames.
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val ev = Tables.t(s, dir, "events")
+          .where(col("event_type").isin("view", "purchase"))
+          .select(col("event_type").as("t"), col("user_id")).distinct()
+          .withColumn("h",
+            DedupOps.portableHash(col("user_id").cast("string"), 3))
+        val w = Window.partitionBy("t").orderBy("h")
+        val sk = ev.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          .select(col("t"), col("h"))
+        val merged = sk.groupBy("h")
+          .agg(max(when(col("t") === "view", 1L).otherwise(0L)).as("in_a"),
+            max(when(col("t") === "purchase", 1L).otherwise(0L)).as("in_b"))
+        val wu = Window.orderBy("h")
+        val top = merged.withColumn("rn", row_number().over(wu))
+          .where(col("rn") <= k)
+        val est = top.agg(
+          max("h").as("hk"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+            .as("n_both"))
+          .select(
+            round(lit((k - 1).toDouble) * lit(4294967296.0) / col("hk"), 2)
+              .as("est_union"),
+            round(col("n_both") / lit(k.toDouble) *
+              (lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")), 2)
+              .as("est_intersect"))
+        val exact = ev.groupBy("user_id")
+          .agg(max(when(col("t") === "view", 1L).otherwise(0L)).as("a"),
+            max(when(col("t") === "purchase", 1L).otherwise(0L)).as("b"))
+          .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("exact_intersect"))
+        est.crossJoin(exact)
+          .select(lit(k.toLong).as("k"), col("exact_intersect"),
+            col("est_intersect"), col("est_union"))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT event_type AS t, user_id FROM events
+             |            WHERE event_type IN ('view', 'purchase')),
+             |  h AS (SELECT t, user_id,
+             |               ('0x' || substring(md5('3:' || user_id), 1, 8))::BIGINT AS h
+             |        FROM ev),
+             |  sk AS (SELECT t, h FROM (
+             |           SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h)
+             |         WHERE rn <= 64),
+             |  m AS (SELECT h, max(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS in_a,
+             |               max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS in_b
+             |        FROM sk GROUP BY h),
+             |  top AS (SELECT * FROM (
+             |            SELECT *, row_number() OVER (ORDER BY h) AS rn FROM m)
+             |          WHERE rn <= 64),
+             |  est AS (SELECT round(63.0 * 4294967296.0 / max(h), 2) AS est_union,
+             |                 round(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) / 64.0
+             |                       * (63.0 * 4294967296.0 / max(h)), 2) AS est_intersect
+             |          FROM top),
+             |  ex AS (SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |                  AS exact_intersect
+             |         FROM (SELECT user_id, max(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS a,
+             |                      max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS b
+             |               FROM h GROUP BY user_id))
+             |SELECT CAST(64 AS BIGINT) AS k, exact_intersect, est_intersect, est_union
+             |FROM est, ex""".stripMargin)),
+
+    GQuery(
       "parts_pareto_frontier",
       (s, dir) => {
         // PARETO FRONTIER (2-D skyline): parts not dominated on

@@ -217,6 +217,35 @@ object RuntimeFilterOps {
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
              |       CAST(0 AS BIGINT) AS exchanges_before_join
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "scan_agg_pushdown",
+      (s, dir) => {
+        // PARQUET AGGREGATE PUSHDOWN: COUNT/MIN/MAX answered from
+        // parquet FOOTER STATISTICS — zero data pages read. Needs the
+        // DSv2 parquet path (v1 scans can't push aggregates), scoped via
+        // useV1SourceList; `used_footer` reads the pinned plan for the
+        // PushedAggregation marker and the oracle asserts it. At 100 TB
+        // this is the difference between a metadata-only operation and
+        // a full-table scan for every "how many rows / what's the id
+        // range" operational query.
+        withConfs(s,
+          "spark.sql.parquet.aggregatePushdown" -> "true",
+          "spark.sql.sources.useV1SourceList" -> "") {
+          val q = s.read.parquet(s"$dir/orders.parquet")
+            .agg(count(lit(1)).as("n_rows"),
+              min("o_orderkey").as("min_key"),
+              max("o_orderkey").as("max_key"))
+          val pushed = q.queryExecution.executedPlan.toString
+            .contains("PushedAggregation: [COUNT(*)")
+          pin(q.withColumn("used_footer", lit(pushed)))
+        }
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       min(o_orderkey) AS min_key,
+             |       max(o_orderkey) AS max_key,
+             |       true AS used_footer
+             |FROM orders""".stripMargin))
   )
 }
