@@ -48,12 +48,22 @@ object AuditOps {
           .withColumn("o_orderkey", -col("o_orderkey")))
   }
 
-  private def rowHash(prefix: String): org.apache.spark.sql.Column =
+  /** Every hashed column is coalesced to a sentinel BEFORE the
+    * concat: concat_ws silently skips NULLs, so without it
+    * (a, NULL, b) and (a, b, NULL) would collide — and diverge from
+    * engines whose '||' nulls the whole hash. With the sentinel the
+    * hash is injective over nullable rows and engine-portable (the
+    * oracle mirrors the same coalesce).
+    */
+  private def rowHash(prefix: String): org.apache.spark.sql.Column = {
+    def c(x: org.apache.spark.sql.Column) =
+      coalesce(x.cast("string"), lit("~NULL~"))
     md5(concat_ws("|",
-      col(s"${prefix}o_custkey"),
-      round(col(s"${prefix}o_totalprice") * 100).cast("long"),
-      col(s"${prefix}o_orderpriority"),
-      date_format(col(s"${prefix}o_orderdate"), "yyyy-MM-dd")))
+      c(col(s"${prefix}o_custkey")),
+      c(round(col(s"${prefix}o_totalprice") * 100).cast("long")),
+      c(col(s"${prefix}o_orderpriority")),
+      c(date_format(col(s"${prefix}o_orderdate"), "yyyy-MM-dd"))))
+  }
 
   val all: Seq[GQuery] = Seq(
 
@@ -90,16 +100,16 @@ object AuditOps {
              |  SELECT -o_orderkey, o_totalprice, o_custkey, o_orderpriority, o_orderdate
              |  FROM orders WHERE o_orderkey % 43 = 0),
              |     ho AS (SELECT o_orderkey AS k,
-             |                   md5(o_custkey || '|' ||
-             |                       CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
-             |                       o_orderpriority || '|' ||
-             |                       strftime(o_orderdate, '%Y-%m-%d')) AS h_old
+             |                   md5(coalesce(CAST(o_custkey AS VARCHAR), '~NULL~') || '|' ||
+             |                       coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '~NULL~') || '|' ||
+             |                       coalesce(o_orderpriority, '~NULL~') || '|' ||
+             |                       coalesce(strftime(o_orderdate, '%Y-%m-%d'), '~NULL~')) AS h_old
              |            FROM v_old),
              |     hn AS (SELECT o_orderkey AS k,
-             |                   md5(o_custkey || '|' ||
-             |                       CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
-             |                       o_orderpriority || '|' ||
-             |                       strftime(o_orderdate, '%Y-%m-%d')) AS h_new
+             |                   md5(coalesce(CAST(o_custkey AS VARCHAR), '~NULL~') || '|' ||
+             |                       coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '~NULL~') || '|' ||
+             |                       coalesce(o_orderpriority, '~NULL~') || '|' ||
+             |                       coalesce(strftime(o_orderdate, '%Y-%m-%d'), '~NULL~')) AS h_new
              |            FROM orders)
              |SELECT CASE WHEN h_old IS NULL THEN 'added'
              |            WHEN h_new IS NULL THEN 'deleted'
@@ -324,18 +334,25 @@ object AuditOps {
           col("o_orderstatus").as("status"),
           date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         def runsUnder(key: String, payloads: Seq[String]) = {
+          // Two steps: (1) a windowed SELECT computes the run-break
+          // flag while o_orderkey (the window's order column) is still
+          // in scope; (2) a plain agg sums the flag columns. Folding
+          // the lag into .agg() directly is invalid — the analyzer
+          // would have to resolve the window after the order column
+          // was projected away.
           val w = Window.partitionBy(key).orderBy("o_orderkey")
-          val flags = payloads.map(p =>
-            sum(when(lag(col(p), 1).over(w).isNull ||
-              lag(col(p), 1).over(w) =!= col(p), 1L).otherwise(0L))
-              .as(s"runs_$p"))
-          o.withColumn("k", col(key))
-            .select((Seq(col(key)) ++ payloads.map(col)): _*)
-            .agg(flags.head, flags.tail: _*)
+          val flagged = o.select(payloads.map(p =>
+            when(lag(col(p), 1).over(w).isNull ||
+              lag(col(p), 1).over(w) =!= col(p), 1L).otherwise(0L)
+              .as(s"flag_$p")): _*)
+          val sums = payloads.map(p =>
+            sum(col(s"flag_$p")).as(s"runs_$p"))
+          flagged.agg(sums.head, sums.tail: _*)
             .withColumn("candidate", lit(key))
         }
         runsUnder("prio", Seq("status", "month"))
-          .unionByName(runsUnder("status", Seq("prio", "month")))
+          .unionByName(runsUnder("status", Seq("prio", "month")),
+            allowMissingColumns = true)
           .unionByName(runsUnder("month", Seq("prio", "status")),
             allowMissingColumns = true)
           .select(col("candidate"),

@@ -44,7 +44,11 @@ import java.nio.charset.StandardCharsets
   * driver except the per-log-partition report (bounded by the topic's
   * partition count, like every partition listing in this package). Each
   * surviving partition is then written as one sorted segment by a
-  * distributed text write. Two scans of the log total (stats + rewrite):
+  * distributed text write. Two scans of the log total (stats + rewrite)
+  * when tombstones are off; enabling tombstones adds ONE more full-log
+  * pass — a keyed argmax computing the tombstoned-key count for the
+  * dirty-ratio stats, on top of the flat stats aggregate and the
+  * survivor materialization:
   * the survivor aggregate is persisted before the per-partition rewrite
   * loop, so each partition's segment write reads the materialized
   * |surviving keys| rows, not the log again — the same IO shape as
