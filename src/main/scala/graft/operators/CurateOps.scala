@@ -659,6 +659,51 @@ object CurateOps {
              |SELECT shard, coalesce(n8, 0) AS n8, coalesce(n9, 0) AS n9,
              |       coalesce(n_moved_in, 0) AS n_moved_in
              |FROM n8 FULL JOIN n9 USING (shard)
-             |ORDER BY shard""".stripMargin))
+             |ORDER BY shard""".stripMargin)),
+
+    GQuery(
+      "docs_curriculum_schedule",
+      (s, dir) => {
+        // CURRICULUM ORDERING: bucket documents into difficulty
+        // quartiles (length as the difficulty proxy, doc_id tiebreak
+        // so the cut is deterministic), then emit the round-robin
+        // interleave position pos = (rank_in_bucket − 1)·4 + bucket —
+        // every training window of 4 consecutive positions sees one
+        // doc per difficulty tier. The audit output proves the
+        // stratification: per bucket, the positions occupy disjoint
+        // residues with identical spread. Two windows over the
+        // |docs|-sized frame (range-partitioned sorts at scale — the
+        // raw corpus is never wider than (doc_id, difficulty) here;
+        // the schedule ships as a doc_id→pos map, not moved data).
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val b = d.withColumn("bucket",
+          ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id")))
+            .cast("long"))
+        val sched = b.withColumn("pos",
+          (row_number().over(Window.partitionBy("bucket")
+            .orderBy(col("n_chars"), col("doc_id"))).cast("long") - 1)
+            * 4 + col("bucket"))
+        sched.groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("pos").as("min_pos"), max("pos").as("max_pos"),
+            round(avg(col("pos")), 4).as("avg_pos"),
+            round(avg(col("n_chars")), 2).as("avg_chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars,
+             |                  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+             |           FROM documents),
+             | sched AS (SELECT bucket, n_chars,
+             |                  (CAST(row_number() OVER (PARTITION BY bucket
+             |                     ORDER BY n_chars, doc_id) AS BIGINT) - 1) * 4 + bucket AS pos
+             |           FROM b)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(min(pos) AS BIGINT) AS min_pos,
+             |       CAST(max(pos) AS BIGINT) AS max_pos,
+             |       round(avg(pos), 4) AS avg_pos,
+             |       round(avg(n_chars), 2) AS avg_chars
+             |FROM sched GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -182,6 +182,78 @@ object GraphOps {
              |           SELECT node, cost FROM d2
              |           UNION ALL SELECT e.dst, d2.cost + e.w FROM d2 JOIN e ON d2.node = e.src
              |         ) GROUP BY 1)
-             |SELECT node, CAST(cost AS BIGINT) AS cost FROM d3 ORDER BY node""".stripMargin))
+             |SELECT node, CAST(cost AS BIGINT) AS cost FROM d3 ORDER BY node""".stripMargin)),
+
+    GQuery(
+      "graph_scc",
+      (s, dir) => {
+        // STRONGLY CONNECTED COMPONENTS of the directed nation trade
+        // graph (supplier nation → customer nation, edges kept when
+        // the lane ships at least the mean lane volume — a relative
+        // threshold, so the graph sparsifies the same way at every
+        // SF). The 100 TB pattern this encodes: CONTRACT the raw
+        // edge stream to a small quotient graph first (one aggregate),
+        // then run the closure on the quotient — transitive closure
+        // by PATH DOUBLING, ⌈log₂ diameter⌉ = 5 self-join rounds,
+        // never an unbounded driver loop. SCC id = min mutually-
+        // reachable node (identity edges make self-reach explicit);
+        // component size falls out of the same mutual-pair frame.
+        val li = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val ord = Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val cust = Tables.t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = Tables.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val lanes = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("src") =!= col("dst"))
+        val mean = lanes.agg(avg(col("w")).as("mw"))
+        val e = lanes.crossJoin(broadcast(mean))
+          .where(col("w") >= col("mw")).select("src", "dst")
+          .localCheckpoint()
+        val nodes = e.select(col("src").as("v"))
+          .union(e.select(col("dst"))).distinct()
+        var r = e.union(nodes.select(col("v").as("src"), col("v").as("dst")))
+          .distinct()
+        for (_ <- 1 to 5) {
+          r = r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src"), col("b.dst"))
+            .union(r).distinct().localCheckpoint()
+        }
+        val mutual = r.as("f")
+          .join(r.as("g"),
+            col("f.src") === col("g.dst") && col("f.dst") === col("g.src"))
+          .select(col("f.src").cast("long").as("node"),
+            col("f.dst").cast("long").as("peer"))
+          .distinct()
+        mutual.groupBy("node")
+          .agg(min("peer").as("scc_id"), count(lit(1)).as("scc_size"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE lanes AS (
+             |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             |         CAST(count(*) AS BIGINT) AS w
+             |  FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  WHERE s.s_nationkey <> c.c_nationkey
+             |  GROUP BY 1, 2),
+             | e AS (SELECT src, dst FROM lanes
+             |       WHERE w >= (SELECT avg(w) FROM lanes)),
+             | nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+             | reach(s, d) AS (
+             |   SELECT v, v FROM nodes
+             |   UNION
+             |   SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src),
+             | mutual AS (
+             |   SELECT DISTINCT a.s AS node, a.d AS peer
+             |   FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s)
+             |SELECT CAST(node AS BIGINT) AS node,
+             |       CAST(min(peer) AS BIGINT) AS scc_id,
+             |       CAST(count(*) AS BIGINT) AS scc_size
+             |FROM mutual GROUP BY node ORDER BY node""".stripMargin))
   )
 }

@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 surface wave: rank-based hypothesis testing
+  * (Mann-Whitney U — the nonparametric sibling of
+  * [[LabOps]]'s Welch t), the entropy/recursive tiers of l-diversity
+  * (the stricter middle between `privacy_k_anonymity`'s distinct-count
+  * l and `privacy_t_closeness`'s TV distance), a NEAREST as-of join
+  * (either-direction completion of the backward/forward pair in
+  * [[graft.plans.AsOfJoin]]), and fixed-width record ingest (the
+  * mainframe/COBOL feed format the JSON/CSV/XML parsers don't cover).
+  *
+  * Scale stances:
+  *  - Mann-Whitney runs in HISTOGRAM form: ranks are derived from
+  *    per-distinct-value cohort counts, so the global window orders
+  *    |distinct values| aggregated rows, never the raw stream — the
+  *    same "aggregate first, window the summary" shape as
+  *    `hist_equidepth`. All rank sums are multiples of 0.5 far below
+  *    2^53, so they are EXACT in IEEE double regardless of summation
+  *    order; only the final z (a sqrt chain) is transcendental and is
+  *    emitted floor-scaled per the GQuery convention.
+  *  - l-diversity is two keyed aggregates (cells → groups) plus a
+  *    1-row summary — a pure map-side-combine shape at any scale.
+  *  - the nearest as-of is ONE exchange: the right side enters the
+  *    union-merged timeline TWICE (a backward-tagged and a
+  *    forward-tagged copy, sides 0 and 2 around the probe's 1), and
+  *    both direction candidates come from two frames over the SAME
+  *    window sort — no second shuffle, no join of two as-of results.
+  *  - fixed-width parse is map-only: render and parse are both
+  *    substring arithmetic inside whole-stage codegen.
+  */
+object HypoOps {
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "stats_mann_whitney",
+      (s, dir) => {
+        // MANN-WHITNEY U (normal approximation, tie-corrected, no
+        // continuity correction): purchase vs click cohorts on event
+        // value. Histogram form: group by the measured VALUE first,
+        // carry per-cohort counts, then derive average ranks from the
+        // running total over distinct values — rank arithmetic touches
+        // |distinct values| rows, the raw stream is aggregated once.
+        val h = Tables.t(s, dir, "events")
+          .where(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .groupBy("value")
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+        val wb = Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = h.withColumn("t", col("ca") + col("cb"))
+          .withColumn("cumbefore", coalesce(sum(col("t")).over(wb), lit(0L)))
+        val a = r.agg(
+          sum("ca").as("n1"), sum("cb").as("n2"),
+          sum(col("ca") * (col("cumbefore") + (col("t") + lit(1)) / lit(2.0))).as("r1"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+        val u1 = col("r1") - col("n1") * (col("n1") + lit(1)) / lit(2.0)
+        val n = col("n1") + col("n2")
+        val sigma = sqrt(col("n1") * col("n2") / lit(12.0) *
+          ((n + lit(1)) - col("tie3") / (n * (n - lit(1)) * lit(1.0))))
+        a.select(
+          col("n1"), col("n2"),
+          round(u1, 2).as("u1"),
+          floor((u1 - col("n1") * col("n2") / lit(2.0)) / sigma * 10000)
+            .cast("long").as("z_e4"))
+      },
+      Some("""WITH h AS (SELECT value,
+             |                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |           FROM events
+             |           WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+             |           GROUP BY value),
+             | r AS (SELECT ca, cb, ca + cb AS t,
+             |              coalesce(sum(ca + cb) OVER (ORDER BY value
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbefore
+             |       FROM h),
+             | a AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2,
+             |              sum(ca * (cumbefore + (t + 1) / 2.0)) AS r1,
+             |              CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+             |       FROM r)
+             |SELECT n1, n2,
+             |       round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+             |       CAST(floor((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+             |              sqrt(n1 * n2 / 12.0 *
+             |                   ((n1 + n2 + 1) - tie3 / ((n1 + n2) * (n1 + n2 - 1) * 1.0))) * 10000)
+             |            AS BIGINT) AS z_e4
+             |FROM a""".stripMargin)),
+
+    GQuery(
+      "privacy_l_diversity_entropy",
+      (s, dir) => {
+        // ENTROPY + RECURSIVE l-DIVERSITY: per QI group (nation,
+        // balance band), entropy-l = exp(H) of the sensitive
+        // (market-segment) distribution, and the recursive (c=2, l=2)
+        // test (most frequent segment < c × rest). Distinct-count l
+        // (privacy_k_anonymity) passes groups that are 99% one
+        // segment; these tiers catch them. H folds from per-cell
+        // counts alone: H = ln(n) − Σ c·ln(c)/n, the same no-
+        // probability-column identity as text_entropy; entropy-l is
+        // floor-scaled so the transcendental tail can't flake the
+        // hash.
+        val cells = Tables.t(s, dir, "customer")
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+          .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+          .agg(count(lit(1)).as("c"))
+        val g = cells.groupBy("c_nationkey", "bal_band")
+          .agg(sum("c").as("n"),
+            sum(col("c").cast("double") * log(col("c"))).as("sclog"),
+            max("c").as("maxc"))
+          .select(col("n"), col("maxc"),
+            floor(exp(log(col("n")) - col("sclog") / col("n")) * 10000)
+              .cast("long").as("entl_e4"))
+        g.agg(
+          min(col("entl_e4")).as("min_entropy_l_e4"),
+          sum(when(col("entl_e4") < 20000, 1L).otherwise(0L))
+            .as("groups_entropy_below_2"),
+          sum(when(col("maxc") >= lit(2) * (col("n") - col("maxc")), 1L)
+            .otherwise(0L)).as("groups_recursive_fail"),
+          count(lit(1)).as("n_groups"))
+      },
+      Some("""WITH cells AS (SELECT c_nationkey,
+             |                      CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |                      c_mktsegment, CAST(count(*) AS BIGINT) AS c
+             |               FROM customer GROUP BY 1, 2, 3),
+             | g AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |              sum(c::DOUBLE * ln(c::DOUBLE)) AS sclog,
+             |              CAST(max(c) AS BIGINT) AS maxc
+             |       FROM cells GROUP BY c_nationkey, bal_band),
+             | e AS (SELECT n, maxc,
+             |              CAST(floor(exp(ln(n::DOUBLE) - sclog / n) * 10000) AS BIGINT) AS entl_e4
+             |       FROM g)
+             |SELECT CAST(min(entl_e4) AS BIGINT) AS min_entropy_l_e4,
+             |       CAST(sum(CASE WHEN entl_e4 < 20000 THEN 1 ELSE 0 END) AS BIGINT) AS groups_entropy_below_2,
+             |       CAST(sum(CASE WHEN maxc >= 2 * (n - maxc) THEN 1 ELSE 0 END) AS BIGINT) AS groups_recursive_fail,
+             |       CAST(count(*) AS BIGINT) AS n_groups
+             |FROM e""".stripMargin)),
+
+    GQuery(
+      "asof_join_nearest",
+      (s, dir) => {
+        // NEAREST as-of join: each event gets the customer's CLOSEST
+        // order in time, either direction, ties (equal distance, and
+        // same-date) resolving to the at-or-before side. ONE exchange:
+        // orders enter the merged timeline twice — a backward copy
+        // (side 0, before probes at equal time) and a forward copy
+        // (side 2, after probes) — and the two candidates are a
+        // last() over [-inf, current] and a first() over
+        // [current, +inf] on the SAME window sort, so Spark plans one
+        // shuffle + one sort with two frames, never two as-of passes
+        // joined back together. Same-date tiebreaks inside the sort:
+        // backward takes max o_orderkey (last over ascending),
+        // forward min (first over ascending) — mirroring
+        // asof_join / asof_join_forward.
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id").as("k"), col("ts").as("t"),
+            lit(1).as("side"), col("event_id"),
+            lit(null).cast("long").as("pk"), lit(null).cast("timestamp_ntz").as("pd"),
+            lit(null).cast("long").as("nk"), lit(null).cast("timestamp_ntz").as("nd"),
+            lit(null).cast("long").as("okey"))
+        val ord = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        def tagged(side: Int, asPrev: Boolean) = ord.select(
+          col("o_custkey").as("k"),
+          col("o_orderdate").cast("timestamp_ntz").as("t"),
+          lit(side).as("side"), lit(null).cast("long").as("event_id"),
+          (if (asPrev) col("o_orderkey") else lit(null).cast("long")).as("pk"),
+          (if (asPrev) col("o_orderdate") else lit(null).cast("timestamp_ntz")).as("pd"),
+          (if (asPrev) lit(null).cast("long") else col("o_orderkey")).as("nk"),
+          (if (asPrev) lit(null).cast("timestamp_ntz") else col("o_orderdate")).as("nd"),
+          col("o_orderkey").as("okey"))
+        val sortCols = Seq(col("t"), col("side"), col("okey"))
+        val wB = Window.partitionBy("k").orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy("k").orderBy(sortCols: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val merged = ev
+          .unionByName(tagged(0, asPrev = true))
+          .unionByName(tagged(2, asPrev = false))
+          .select(col("side"), col("event_id"), col("k"), col("t"),
+            last(col("pk"), ignoreNulls = true).over(wB).as("pk"),
+            last(col("pd"), ignoreNulls = true).over(wB).as("pd"),
+            first(col("nk"), ignoreNulls = true).over(wF).as("nk"),
+            first(col("nd"), ignoreNulls = true).over(wF).as("nd"))
+          .where(col("side") === 1)
+        val tsS = col("t").cast("timestamp").cast("long")
+        val db = tsS - col("pd").cast("timestamp").cast("long")
+        val df = col("nd").cast("timestamp").cast("long") - tsS
+        val dirn = when(col("pk").isNull && col("nk").isNull, "none")
+          .when(col("nk").isNull || (col("pk").isNotNull && db <= df), "prev")
+          .otherwise("next")
+        merged.select(col("event_id"), col("k").as("user_id"),
+            dirn.as("direction"),
+            when(dirn === "prev", col("pk"))
+              .when(dirn === "next", col("nk")).as("o_orderkey"),
+            when(dirn === "prev", db).when(dirn === "next", df).as("diff_s"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |       CASE WHEN p.pk IS NULL AND f.nk IS NULL THEN 'none'
+             |            WHEN f.nk IS NULL OR (p.pk IS NOT NULL AND
+             |                 CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(p.pd::TIMESTAMP)) AS BIGINT)
+             |                 <= CAST(floor(epoch(f.nd::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT))
+             |            THEN 'prev' ELSE 'next' END AS direction,
+             |       CASE WHEN p.pk IS NULL AND f.nk IS NULL THEN NULL
+             |            WHEN f.nk IS NULL OR (p.pk IS NOT NULL AND
+             |                 CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(p.pd::TIMESTAMP)) AS BIGINT)
+             |                 <= CAST(floor(epoch(f.nd::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT))
+             |            THEN p.pk ELSE f.nk END AS o_orderkey,
+             |       CASE WHEN p.pk IS NULL AND f.nk IS NULL THEN NULL
+             |            WHEN f.nk IS NULL OR (p.pk IS NOT NULL AND
+             |                 CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(p.pd::TIMESTAMP)) AS BIGINT)
+             |                 <= CAST(floor(epoch(f.nd::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT))
+             |            THEN CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(p.pd::TIMESTAMP)) AS BIGINT)
+             |            ELSE CAST(floor(epoch(f.nd::TIMESTAMP)) AS BIGINT) - CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT)
+             |            END AS diff_s
+             |FROM events e
+             |LEFT JOIN LATERAL (
+             |  SELECT o_orderkey AS pk, o_orderdate AS pd FROM orders o
+             |  WHERE o.o_custkey = e.user_id AND o.o_orderdate::TIMESTAMP <= e.ts::TIMESTAMP
+             |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) p ON true
+             |LEFT JOIN LATERAL (
+             |  SELECT o_orderkey AS nk, o_orderdate AS nd FROM orders o
+             |  WHERE o.o_custkey = e.user_id AND o.o_orderdate::TIMESTAMP >= e.ts::TIMESTAMP
+             |  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) f ON true
+             |ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "ingest_fixed_width_parse",
+      (s, dir) => {
+        // FIXED-WIDTH record ingest (the mainframe feed format):
+        // render orders as 47-char fixed-layout lines (key 12
+        // zero-padded | priority 15 space-padded | date yyyyMMdd |
+        // cents 12 zero-padded), then parse the lines back by column
+        // OFFSETS — substring + trim + cast, no delimiters — and
+        // aggregate the parsed fields. Money stays integer cents
+        // end-to-end so the round-trip is bit-exact. Map-only: both
+        // render and parse are codegen'd string slicing; at 100 TB
+        // this is the schema-on-read path for fixed-layout text
+        // landed in object storage.
+        val lines = Tables.t(s, dir, "orders").select(concat(
+          lpad(col("o_orderkey").cast("string"), 12, "0"),
+          rpad(col("o_orderpriority"), 15, " "),
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          lpad(round(col("o_totalprice") * 100).cast("long").cast("string"),
+            12, "0")).as("line"))
+        val parsed = lines.select(
+          substring(col("line"), 1, 12).cast("long").as("okey"),
+          trim(substring(col("line"), 13, 15)).as("prio"),
+          to_date(substring(col("line"), 28, 8), "yyyyMMdd").as("d"),
+          substring(col("line"), 36, 12).cast("long").as("cents"))
+        parsed.groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("okey").as("min_key"), max("okey").as("max_key"),
+            count_distinct(col("d")).as("n_days"))
+          .orderBy("prio")
+      },
+      Some("""WITH lines AS (SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') ||
+             |                      rpad(o_orderpriority, 15, ' ') ||
+             |                      strftime(o_orderdate, '%Y%m%d') ||
+             |                      lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')
+             |                      AS line
+             |               FROM orders),
+             | parsed AS (SELECT CAST(substr(line, 1, 12) AS BIGINT) AS okey,
+             |                   trim(substr(line, 13, 15)) AS prio,
+             |                   strptime(substr(line, 28, 8), '%Y%m%d')::DATE AS d,
+             |                   CAST(substr(line, 36, 12) AS BIGINT) AS cents
+             |            FROM lines)
+             |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(min(okey) AS BIGINT) AS min_key,
+             |       CAST(max(okey) AS BIGINT) AS max_key,
+             |       CAST(count(DISTINCT d) AS BIGINT) AS n_days
+             |FROM parsed GROUP BY prio ORDER BY prio""".stripMargin))
+  )
+}

@@ -360,6 +360,60 @@ object LabOps {
              |              row_number() OVER (ORDER BY d2 DESC, vec_id) AS rn
              |       FROM d2)
              |SELECT vec_id, label, d2, rn::BIGINT AS rn
-             |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin))
+             |FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    GQuery(
+      "events_mann_kendall",
+      (s, dir) => {
+        // MANN-KENDALL trend test per event type: S = Σ_{i<j}
+        // sign(c_j − c_i) over the DAILY count series, tie-corrected
+        // normal variance, continuity-corrected z. The pairwise stage
+        // runs on the AGGREGATED per-day series (bounded by calendar
+        // days — ~730 rows per type, ≤1.6M pairs), never the raw
+        // event stream; S and the tie terms are pure integers, so only
+        // z (a sqrt chain) is transcendental → floor-scaled. At larger
+        // n the same S folds from an O(n log n) inversion count; the
+        // O(n²) form is kept because the series is calendar-bounded.
+        val d = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = d.as("a").join(d.as("b"),
+            col("a.et") === col("b.et") && col("a.day") < col("b.day"))
+          .groupBy(col("a.et").as("et"))
+          .agg(sum(when(col("b.c") > col("a.c"), 1L)
+            .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s_stat"))
+        val ties = d.groupBy("et", "c").agg(count(lit(1)).as("t"))
+          .groupBy("et")
+          .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"),
+            sum(col("t")).as("n"))
+        val z = {
+          val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt")) / lit(18.0)
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(varS))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(varS))
+            .otherwise(lit(0.0))
+        }
+        pairs.join(ties, "et")
+          .select(col("et"), col("n"), col("s_stat"),
+            floor(z * 10000).cast("long").as("z_e4"))
+          .orderBy("et")
+      },
+      Some("""WITH d AS (SELECT event_type AS et, ts::DATE AS day,
+             |                  CAST(count(*) AS BIGINT) AS c
+             |           FROM events GROUP BY 1, 2),
+             | p AS (SELECT a.et,
+             |              CAST(sum(CASE WHEN b.c > a.c THEN 1
+             |                            WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             |       FROM d a JOIN d b ON a.et = b.et AND a.day < b.day
+             |       GROUP BY 1),
+             | t AS (SELECT et, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt,
+             |              CAST(sum(t) AS BIGINT) AS n
+             |       FROM (SELECT et, c, count(*) AS t FROM d GROUP BY 1, 2)
+             |       GROUP BY 1)
+             |SELECT p.et, n, s_stat,
+             |       CAST(floor(CASE
+             |         WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+             |         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+             |         ELSE 0.0 END * 10000) AS BIGINT) AS z_e4
+             |FROM p JOIN t ON p.et = t.et ORDER BY p.et""".stripMargin))
   )
 }

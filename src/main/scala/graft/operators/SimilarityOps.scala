@@ -979,6 +979,55 @@ object SimilarityOps {
              |       CAST(list_sum(list_transform(em, x -> CAST(round(x / scale * 127) AS BIGINT))) AS BIGINT) AS q_sum,
              |       round(list_max(list_transform(em, x ->
              |             abs(x - round(x / scale * 127) * scale / 127))), 6) AS max_err
-             |FROM s ORDER BY vec_id""".stripMargin))
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    GQuery(
+      "emb_kmeans_iter",
+      (s, dir) => {
+        // ONE LLOYD (k-means) ITERATION, k=4: seeds are the 4
+        // smallest-vec_id embeddings (a data-derived seed SET, not a
+        // literal — both engines select it with the same subquery),
+        // every vector assigns to its max-cosine centroid (ties to
+        // the smaller centroid id), and the audit emits per-cluster
+        // size, mean assignment cosine, and the element-sum of the
+        // recomputed centroid. The centroid element-sum needs NO
+        // per-dimension explode: Σ_dims avg_members = (Σ_members
+        // Σ_dims x)/n, so one scalar per vector folds it. Scale:
+        // centroids broadcast (k rows), assignment is map-side, the
+        // recompute is one |k|-group aggregate — the standard
+        // distributed-kmeans step with the k×dims explode avoided.
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val cents = e.orderBy("vec_id").limit(4)
+          .select(row_number().over(Window.orderBy("vec_id"))
+            .cast("long").as("cid"), col("em").as("ce"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"), col("em"),
+            cosine(col("em"), col("ce")).as("cos"))
+        val wv = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))
+        scored.withColumn("rn", row_number().over(wv))
+          .where(col("rn") === 1)
+          .withColumn("elemsum",
+            aggregate(col("em"), lit(0.0), (a, x) => a + x))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("cos")), 4).as("avg_cos"),
+            round(sum(col("elemsum")) / count(lit(1)), 4).as("centroid_sum"))
+          .orderBy("cid")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             | c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, em AS ce
+             |       FROM e ORDER BY vec_id LIMIT 4),
+             | sc AS (SELECT e.vec_id, c.cid, e.em,
+             |               list_cosine_similarity(e.em, c.ce) AS cos
+             |        FROM e, c),
+             | a AS (SELECT vec_id, cid, em, cos,
+             |              row_number() OVER (PARTITION BY vec_id
+             |                                 ORDER BY cos DESC, cid) AS rn
+             |       FROM sc)
+             |SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n,
+             |       round(avg(cos), 4) AS avg_cos,
+             |       round(sum(list_sum(em)) / count(*), 4) AS centroid_sum
+             |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin))
   )
 }
