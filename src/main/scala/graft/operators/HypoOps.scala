@@ -278,6 +278,193 @@ object HypoOps {
              |       CAST(min(okey) AS BIGINT) AS min_key,
              |       CAST(max(okey) AS BIGINT) AS max_key,
              |       CAST(count(DISTINCT d) AS BIGINT) AS n_days
-             |FROM parsed GROUP BY prio ORDER BY prio""".stripMargin))
+             |FROM parsed GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    GQuery(
+      "stats_benjamini_hochberg",
+      (s, dir) => {
+        // BENJAMINI-HOCHBERG FDR correction over a FAMILY of tests:
+        // one-vs-rest Welch z per event type, two-sided p from the
+        // Abramowitz-Stegun 7.1.26 erf polynomial (the SAME literal
+        // coefficient chain evaluated in both engines — no erf
+        // builtin assumed anywhere), then the BH step-up adjustment
+        // as a running min over the p-ranked family. Scale: the test
+        // statistics fold from one moment aggregate (n, Σx, Σx² per
+        // group — rest-of-family stats are COMPLEMENTS of the grand
+        // totals, so no second scan); the BH window runs over m =
+        // |tests| rows, a deliberately driver-sized frame.
+        val g = Tables.t(s, dir, "events")
+          .where(col("value").isNotNull)
+          .groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum("value").as("sx"),
+            sum(col("value") * col("value")).as("sxx"))
+        val tot = g.agg(sum("n").as("tn"), sum("sx").as("tsx"),
+          sum("sxx").as("tsxx"), count(lit(1)).as("m"))
+        val r = g.crossJoin(broadcast(tot))
+          .withColumn("rn", col("tn") - col("n"))
+          .withColumn("rsx", col("tsx") - col("sx"))
+          .withColumn("rsxx", col("tsxx") - col("sxx"))
+        val mg = col("sx") / col("n")
+        val mr = col("rsx") / col("rn")
+        val vg = (col("sxx") - col("n") * mg * mg) / (col("n") - 1)
+        val vr = (col("rsxx") - col("rn") * mr * mr) / (col("rn") - 1)
+        val z = (mg - mr) / sqrt(vg / col("n") + vr / col("rn"))
+        // p = 1 - erf(|z|/sqrt(2)), erf via A&S 7.1.26
+        val x = abs(z) / sqrt(lit(2.0))
+        val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+        val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+          lit(1.421413741)) * t + lit(-0.284496736)) * t +
+          lit(0.254829592)) * t
+        val pval = poly * exp(-x * x)
+        val scored = r.select(col("et"), col("m"),
+          floor(z * 10000).cast("long").as("z_e4"), pval.as("p"))
+        val wRank = Window.orderBy(col("p"), col("et"))
+        val wAdj = Window.orderBy(col("p"), col("et"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        scored
+          .withColumn("rk", row_number().over(wRank).cast("long"))
+          .withColumn("adj", least(min(col("p") * col("m") / col("rk"))
+            .over(wAdj), lit(1.0)))
+          .select(col("et"), col("rk"), col("z_e4"),
+            floor(col("p") * 10000).cast("long").as("p_e4"),
+            floor(col("adj") * 10000).cast("long").as("adj_p_e4"),
+            (floor(col("adj") * 10000) <= 1000).as("reject_fdr10"))
+          .orderBy("rk")
+      },
+      Some("""WITH g AS (SELECT event_type AS et, count(*)::DOUBLE AS n,
+             |                  sum(value) AS sx, sum(value * value) AS sxx
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+             | tot AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sxx) AS tsxx,
+             |                CAST(count(*) AS BIGINT) AS m
+             |         FROM g),
+             | st AS (SELECT et, m,
+             |               (sx / n - (tsx - sx) / (tn - n)) /
+             |               sqrt(((sxx - n * (sx / n) * (sx / n)) / (n - 1)) / n +
+             |                    (((tsxx - sxx) - (tn - n) * ((tsx - sx) / (tn - n)) * ((tsx - sx) / (tn - n))) / ((tn - n) - 1)) / (tn - n)) AS z
+             |        FROM g, tot),
+             | pp AS (SELECT et, m, z,
+             |               (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) + -1.453152027)
+             |                   * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) + 1.421413741)
+             |                   * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) + -0.284496736)
+             |                   * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) + 0.254829592)
+             |                   * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))))
+             |               * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))) AS p
+             |        FROM st),
+             | rk AS (SELECT et, m, z, p,
+             |               CAST(row_number() OVER (ORDER BY p, et) AS BIGINT) AS rk
+             |        FROM pp),
+             | adj AS (SELECT et, rk, z, p,
+             |                least(min(p * m / rk) OVER (ORDER BY p, et
+             |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS a
+             |         FROM rk)
+             |SELECT et, rk,
+             |       CAST(floor(z * 10000) AS BIGINT) AS z_e4,
+             |       CAST(floor(p * 10000) AS BIGINT) AS p_e4,
+             |       CAST(floor(a * 10000) AS BIGINT) AS adj_p_e4,
+             |       floor(a * 10000) <= 1000 AS reject_fdr10
+             |FROM adj ORDER BY rk""".stripMargin)),
+
+    GQuery(
+      "orders_priority_markov",
+      (s, dir) => {
+        // MARKOV STATIONARY DISTRIBUTION of order-priority
+        // transitions: per customer, consecutive orders (date order,
+        // orderkey tiebreak) emit a prio→prio transition; the counts
+        // row-normalize into a 5×5 chain and 8 power iterations from
+        // the uniform start converge it. The iteration state is a
+        // |states|-row vector and each step is one tiny join+agg —
+        // the transition EXTRACTION is the only full-data pass
+        // (one window over orders partitioned by customer). The
+        // convergence witness (L1 delta of the last step) ships in
+        // the output so a non-converged chain fails loudly.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val tr = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority").as("p_from"))
+          .withColumn("p_to", lead(col("p_from"), 1).over(w))
+          .where(col("p_to").isNotNull)
+          .groupBy("p_from", "p_to").agg(count(lit(1)).as("c"))
+        val pm = tr.withColumn("rowsum",
+            sum("c").over(Window.partitionBy("p_from")))
+          .select(col("p_from"), col("p_to"),
+            (col("c").cast("double") / col("rowsum")).as("p"))
+          .localCheckpoint()
+        var v = pm.select(col("p_from").as("prio")).distinct()
+          .withColumn("v", lit(0.2))
+        var prev = v
+        for (_ <- 1 to 8) {
+          prev = v
+          v = pm.join(v, col("prio") === col("p_from"))
+            .groupBy(col("p_to").as("prio"))
+            .agg(sum(col("v") * col("p")).as("v"))
+        }
+        val delta = v.select(col("prio"), col("v").as("v8"))
+          .join(prev.select(col("prio"), col("v").as("v7")), "prio")
+          .agg(floor(sum(abs(col("v8") - col("v7"))) * 10000)
+            .cast("long").as("l1_delta_e4"))
+        v.crossJoin(broadcast(delta))
+          .select(col("prio"), floor(col("v") * 10000).cast("long")
+            .as("pi_e4"), col("l1_delta_e4"))
+          .orderBy("prio")
+      },
+      Some("""WITH seq AS (SELECT o_custkey, o_orderpriority AS p_from,
+             |                    lead(o_orderpriority) OVER (PARTITION BY o_custkey
+             |                      ORDER BY o_orderdate, o_orderkey) AS p_to
+             |             FROM orders),
+             | tr AS (SELECT p_from, p_to, count(*)::DOUBLE AS c
+             |        FROM seq WHERE p_to IS NOT NULL GROUP BY 1, 2),
+             | pm AS (SELECT p_from, p_to, c / sum(c) OVER (PARTITION BY p_from) AS p
+             |        FROM tr),
+             | v0 AS (SELECT DISTINCT p_from AS prio, 0.2 AS v FROM pm),
+             | v1 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v0 JOIN pm ON prio = p_from GROUP BY 1),
+             | v2 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v1 JOIN pm ON prio = p_from GROUP BY 1),
+             | v3 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v2 JOIN pm ON prio = p_from GROUP BY 1),
+             | v4 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v3 JOIN pm ON prio = p_from GROUP BY 1),
+             | v5 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v4 JOIN pm ON prio = p_from GROUP BY 1),
+             | v6 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v5 JOIN pm ON prio = p_from GROUP BY 1),
+             | v7 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v6 JOIN pm ON prio = p_from GROUP BY 1),
+             | v8 AS (SELECT p_to AS prio, sum(v * p) AS v FROM v7 JOIN pm ON prio = p_from GROUP BY 1),
+             | d AS (SELECT CAST(floor(sum(abs(v8.v - v7.v)) * 10000) AS BIGINT) AS l1_delta_e4
+             |       FROM v8 JOIN v7 USING (prio))
+             |SELECT v8.prio, CAST(floor(v8.v * 10000) AS BIGINT) AS pi_e4, d.l1_delta_e4
+             |FROM v8, d ORDER BY v8.prio""".stripMargin)),
+
+    GQuery(
+      "events_poisson_rate_test",
+      (s, dir) => {
+        // TWO-SAMPLE POISSON RATE TEST (weekday vs weekend event
+        // arrival): counts and exposure times are exact integers, the
+        // unconditional z = (λ1−λ2)/√(λ1/t1+λ2/t2) is one scalar
+        // chain. The whole readout is a 2-cell aggregate — at any
+        // scale this is a map-side count, the canonical "did the
+        // arrival rate change" monitor.
+        val e = Tables.t(s, dir, "events")
+          .select((dayofweek(to_date(col("ts"))) - 1).as("dow"))
+          .withColumn("is_wkend",
+            col("dow") === 0 || col("dow") === 6)
+        val agg = e.groupBy("is_wkend").agg(count(lit(1)).as("c"))
+        // exposure: weekdays 5 day-slots, weekend 2 (rate per slot)
+        val wide = agg.agg(
+          sum(when(col("is_wkend"), col("c")).otherwise(0L)).as("cw"),
+          sum(when(!col("is_wkend"), col("c")).otherwise(0L)).as("cd"))
+        val l1 = col("cw") / lit(2.0)
+        val l2 = col("cd") / lit(5.0)
+        wide.select(col("cw"), col("cd"),
+          floor((l1 - l2) / sqrt(l1 / lit(2.0) + l2 / lit(5.0)) * 10000)
+            .cast("long").as("z_e4"))
+      },
+      Some("""WITH e AS (SELECT CASE WHEN dayofweek(ts::DATE) IN (0, 6)
+             |                       THEN true ELSE false END AS is_wkend
+             |           FROM events),
+             | a AS (SELECT CAST(sum(CASE WHEN is_wkend THEN 1 ELSE 0 END) AS BIGINT) AS cw,
+             |              CAST(sum(CASE WHEN NOT is_wkend THEN 1 ELSE 0 END) AS BIGINT) AS cd
+             |       FROM e)
+             |SELECT cw, cd,
+             |       CAST(floor((cw / 2.0 - cd / 5.0) /
+             |              sqrt((cw / 2.0) / 2.0 + (cd / 5.0) / 5.0) * 10000) AS BIGINT) AS z_e4
+             |FROM a""".stripMargin))
   )
 }

@@ -133,6 +133,37 @@ class HypoWaveSpec extends SparkSpec {
     }
   }
 
+  test("stats_benjamini_hochberg: BH adjustment is a monotone step-up, bounds hold") {
+    val out = run(HypoOps.all, "stats_benjamini_hochberg").collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).toSeq == (1L to out.length).toSeq)
+    var prevAdj = Long.MinValue
+    out.foreach { r =>
+      val (p, adj) = (r.getLong(3), r.getLong(4))
+      assert(p >= 0 && p <= 10000 && adj >= 0 && adj <= 10000)
+      assert(adj >= p - 1) // step-up never drops below raw p (floor slack 1)
+      assert(adj >= prevAdj) // running-min from behind => monotone in rank
+      prevAdj = adj
+      assert(r.getBoolean(5) == (adj <= 1000))
+    }
+  }
+
+  test("orders_priority_markov: stationary vector is a distribution, converged") {
+    val out = run(HypoOps.all, "orders_priority_markov").collect()
+    assert(out.length == 5)
+    val mass = out.map(_.getLong(1)).sum
+    assert(mass >= 9995 && mass <= 10000, s"pi mass $mass")  // floor loss < 5
+    out.foreach(r => assert(r.getLong(2) <= 10, s"L1 delta ${r.getLong(2)}"))
+  }
+
+  test("events_poisson_rate_test: z reproduces from the two counts") {
+    val r = run(HypoOps.all, "events_poisson_rate_test").head()
+    val (cw, cd, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val l1 = cw / 2.0; val l2 = cd / 5.0
+    val expect = math.floor((l1 - l2) / math.sqrt(l1 / 2.0 + l2 / 5.0) * 10000).toLong
+    assert(z == expect)
+  }
+
   test("emb_kmeans_iter: partition of the corpus, cosine bounds") {
     val out = run(SimilarityOps.all, "emb_kmeans_iter").collect()
     assert(out.length == 4)
