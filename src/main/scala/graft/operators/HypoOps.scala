@@ -465,6 +465,74 @@ object HypoOps {
              |SELECT cw, cd,
              |       CAST(floor((cw / 2.0 - cd / 5.0) /
              |              sqrt((cw / 2.0) / 2.0 + (cd / 5.0) / 5.0) * 10000) AS BIGINT) AS z_e4
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    GQuery(
+      "stats_poisson_bootstrap",
+      (s, dir) => {
+        // POISSON BOOTSTRAP confidence interval for the mean purchase
+        // value — THE distributed bootstrap: resample b includes row i
+        // with multiplicity ~ Poisson(1) drawn from a deterministic
+        // per-(row, replica) hash, so no replica ever needs the global
+        // row count or a shared sample — each partition resamples
+        // independently and the replica means fold in one aggregate.
+        // 50 replicas, inverse-CDF thresholds inlined as literals
+        // (tail collapsed into m=5). The hash is a deliberately
+        // PORTABLE linear-congruential mix (both engines replay it
+        // bit-for-bit in BIGINT); production would swap xxhash64 —
+        // same plan shape, engine-specific bits (the established
+        // dedup_minhash_fast trade-off). Scale: |rows|×B expansion is
+        // map-side (generated, never shuffled); the only exchange
+        // carries B replica partials.
+        val src = Tables.t(s, dir, "events")
+          .where(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("event_id"), col("value"))
+        val ex = src.select(col("event_id"), col("value"),
+          explode(sequence(lit(0L), lit(49L))).as("b"))
+        val u = ((col("event_id") * lit(2654435761L) +
+          col("b") * lit(1013904223L) + lit(1442695040888963407L))
+          % lit(2147483647L)).cast("double") / lit(2147483647.0)
+        val m = when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L)
+          .otherwise(5L)
+        val reps = ex.withColumn("m", m)
+          .groupBy("b")
+          .agg((sum(col("m") * col("value")) / sum(col("m"))).as("mb"))
+        val ci = reps.agg(
+          round(percentile(col("mb"), lit(0.025)), 4).as("ci_lo"),
+          round(percentile(col("mb"), lit(0.975)), 4).as("ci_hi"))
+        val base = src.agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("mean"))
+        base.crossJoin(broadcast(ci))
+          .select(col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+      },
+      Some("""WITH src AS (SELECT event_id, value FROM events
+             |             WHERE event_type = 'purchase' AND value IS NOT NULL),
+             | ex AS (SELECT event_id, value, b
+             |        FROM src, unnest(generate_series(0, 49)) AS t(b)),
+             | mm AS (SELECT value, b,
+             |          CASE WHEN u < 0.36787944117144233 THEN 0
+             |               WHEN u < 0.7357588823428847 THEN 1
+             |               WHEN u < 0.9196986029286058 THEN 2
+             |               WHEN u < 0.9810118431238462 THEN 3
+             |               WHEN u < 0.9963401531726563 THEN 4
+             |               ELSE 5 END AS m
+             |        FROM (SELECT value, b,
+             |                CAST((event_id * 2654435761 + b * 1013904223 +
+             |                      1442695040888963407) % 2147483647 AS DOUBLE)
+             |                / 2147483647.0 AS u
+             |              FROM ex)),
+             | reps AS (SELECT b, sum(m * value) / sum(m) AS mb
+             |          FROM mm GROUP BY b),
+             | ci AS (SELECT round(quantile_cont(mb, 0.025), 4) AS ci_lo,
+             |               round(quantile_cont(mb, 0.975), 4) AS ci_hi
+             |        FROM reps),
+             | base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |                 round(avg(value), 4) AS mean
+             |          FROM src)
+             |SELECT n, mean, ci_lo, ci_hi FROM base, ci""".stripMargin))
   )
 }

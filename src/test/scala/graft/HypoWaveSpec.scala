@@ -164,6 +164,16 @@ class HypoWaveSpec extends SparkSpec {
     assert(z == expect)
   }
 
+  test("stats_poisson_bootstrap: CI brackets the sample mean") {
+    val r = run(HypoOps.all, "stats_poisson_bootstrap").head()
+    val (n, mean, lo, hi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0)
+    assert(lo < hi)
+    assert(lo <= mean && mean <= hi,
+      s"mean $mean outside bootstrap CI [$lo, $hi]")
+  }
+
   test("emb_kmeans_iter: partition of the corpus, cosine bounds") {
     val out = run(SimilarityOps.all, "emb_kmeans_iter").collect()
     assert(out.length == 4)
