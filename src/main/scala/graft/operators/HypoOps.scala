@@ -533,6 +533,60 @@ object HypoOps {
              | base AS (SELECT CAST(count(*) AS BIGINT) AS n,
              |                 round(avg(value), 4) AS mean
              |          FROM src)
-             |SELECT n, mean, ci_lo, ci_hi FROM base, ci""".stripMargin))
+             |SELECT n, mean, ci_lo, ci_hi FROM base, ci""".stripMargin)),
+
+    GQuery(
+      "agg_tdigest_quantiles",
+      (s, dir) => {
+        // MERGEABLE QUANTILE SKETCH (t-digest, δ=100) as a typed
+        // Aggregator vs the exact percentile: per-partition partial
+        // digests merge through Spark's aggregate machinery — the
+        // percentile path that never sorts the stream. Centroid layout
+        // is merge-order dependent, so the HASH-STABLE output is the
+        // agreement row: the exact value (oracle-recomputed) plus the
+        // deterministic-when-in-spec rank-error check |rank(est) − q|
+        // ≤ 0.025 (δ=100 worst case ≈ 0.01 at the median). Same
+        // pattern as the xxhash64 MinHash production variant. One
+        // extra scan scores the estimates' true ranks.
+        import graft.functions.TDigestAggregator
+        import org.apache.spark.sql.Encoders
+        val qs = Seq(0.1, 0.5, 0.9, 0.99)
+        val tdU = udaf(TDigestAggregator.digest(qs), Encoders.scalaDouble)
+        val price = Tables.t(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("x"))
+        val one = price.agg(
+          tdU(col("x")).as("est"),
+          percentile(col("x"), lit(0.1)).as("e10"),
+          percentile(col("x"), lit(0.5)).as("e50"),
+          percentile(col("x"), lit(0.9)).as("e90"),
+          percentile(col("x"), lit(0.99)).as("e99"),
+          count(lit(1)).cast("double").as("n"))
+        val ranked = price.crossJoin(broadcast(one)).agg(
+          sum(when(col("x") <= col("est")(0), 1L).otherwise(0L)).as("r10"),
+          sum(when(col("x") <= col("est")(1), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("x") <= col("est")(2), 1L).otherwise(0L)).as("r90"),
+          sum(when(col("x") <= col("est")(3), 1L).otherwise(0L)).as("r99"),
+          first(col("e10")).as("e10"), first(col("e50")).as("e50"),
+          first(col("e90")).as("e90"), first(col("e99")).as("e99"),
+          first(col("n")).as("n"))
+        def rowFor(q: Double, e: String, r: String) = struct(
+          lit(q).as("q"), round(col(e), 4).as("exact"),
+          (abs(col(r) / col("n") - lit(q)) <= 0.025).as("rank_ok"))
+        ranked.select(explode(array(
+            rowFor(0.1, "e10", "r10"), rowFor(0.5, "e50", "r50"),
+            rowFor(0.9, "e90", "r90"), rowFor(0.99, "e99", "r99")))
+            .as("s"))
+          .select(col("s.q"), col("s.exact"), col("s.rank_ok"))
+          .orderBy("q")
+      },
+      Some("""SELECT q, exact, true AS rank_ok FROM (
+             |  SELECT 0.1 AS q, round(quantile_cont(l_extendedprice, 0.1), 4) AS exact FROM lineitem
+             |  UNION ALL
+             |  SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem
+             |  UNION ALL
+             |  SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
+             |  UNION ALL
+             |  SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem)
+             |ORDER BY q""".stripMargin))
   )
 }

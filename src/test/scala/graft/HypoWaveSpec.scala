@@ -174,6 +174,28 @@ class HypoWaveSpec extends SparkSpec {
       s"mean $mean outside bootstrap CI [$lo, $hi]")
   }
 
+  test("agg_tdigest_quantiles: rank error well inside spec across partitionings") {
+    import graft.functions.TDigestAggregator
+    import org.apache.spark.sql.Encoders
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val tdU = udaf(TDigestAggregator.digest(qs), Encoders.scalaDouble)
+    val xs = Tables.t(spark, sf, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val sorted = xs.collect().map(_.getDouble(0)).sorted
+    val n = sorted.length.toDouble
+    // two different partitionings => different merge orders; both must
+    // land within HALF the query's 0.025 budget
+    for (parts <- Seq(3, 17)) {
+      val est = xs.repartition(parts).agg(tdU(col("x")))
+        .head().getSeq[Double](0)
+      qs.zip(est).foreach { case (q, v) =>
+        val rank = sorted.count(_ <= v) / n
+        assert(math.abs(rank - q) <= 0.0125,
+          s"q=$q parts=$parts: rank $rank est $v")
+      }
+    }
+  }
+
   test("emb_kmeans_iter: partition of the corpus, cosine bounds") {
     val out = run(SimilarityOps.all, "emb_kmeans_iter").collect()
     assert(out.length == 4)
