@@ -587,6 +587,103 @@ object HypoOps {
              |  SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4) FROM lineitem
              |  UNION ALL
              |  SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem)
-             |ORDER BY q""".stripMargin))
+             |ORDER BY q""".stripMargin)),
+
+    GQuery(
+      "text_heaps_law",
+      (s, dir) => {
+        // HEAPS' LAW GROWTH CURVE: cumulative vocabulary size vs
+        // cumulative token count across corpus deciles, plus the
+        // per-decile Heaps exponent proxy β = ln V / ln N. The corpus
+        // never re-scans per decile: each type contributes through its
+        // FIRST-occurrence doc only (one min aggregate), per-decile
+        // news and token counts fold to a 10-row frame, and the
+        // cumulative curve is a window over those 10 rows. The
+        // flattening of β across deciles is the dedup/quality signal
+        // (a corpus whose vocabulary stops growing is repeating
+        // itself).
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val dec = docs.select(col("doc_id"),
+          ntile(10).over(Window.orderBy("doc_id")).cast("long").as("decile"))
+        val tok = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val tokPerDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+        val newTypes = tok.groupBy("w").agg(min("doc_id").as("first_doc"))
+          .join(dec.withColumnRenamed("doc_id", "first_doc"), "first_doc")
+          .groupBy("decile").agg(count(lit(1)).as("new_types"))
+        val decTok = tokPerDoc.join(dec, "doc_id")
+          .groupBy("decile").agg(sum("ntok").as("toks"))
+        val wc = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        decTok.join(newTypes, Seq("decile"), "left")
+          .select(col("decile"), col("toks"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .select(col("decile"),
+            sum(col("toks")).over(wc).as("cum_tokens"),
+            sum(col("new_types")).over(wc).as("cum_types"))
+          .select(col("decile"), col("cum_tokens"), col("cum_types"),
+            floor(log(col("cum_types")) / log(col("cum_tokens")) * 10000)
+              .cast("long").as("beta_e4"))
+          .orderBy("decile")
+      },
+      Some("""WITH dec AS (SELECT doc_id,
+             |                    CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS decile
+             |             FROM documents),
+             | tok AS (SELECT doc_id,
+             |                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |         FROM documents),
+             | tpd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok FROM tok GROUP BY 1),
+             | nt AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_types
+             |        FROM (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w) f
+             |        JOIN dec ON f.first_doc = dec.doc_id GROUP BY 1),
+             | dt AS (SELECT decile, CAST(sum(ntok) AS BIGINT) AS toks
+             |        FROM tpd JOIN dec USING (doc_id) GROUP BY 1),
+             | cur AS (SELECT dt.decile,
+             |                sum(dt.toks) OVER (ORDER BY dt.decile) AS cum_tokens,
+             |                sum(coalesce(nt.new_types, 0)) OVER (ORDER BY dt.decile) AS cum_types
+             |         FROM dt LEFT JOIN nt USING (decile))
+             |SELECT decile, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |       CAST(cum_types AS BIGINT) AS cum_types,
+             |       CAST(floor(ln(cum_types::DOUBLE) / ln(cum_tokens::DOUBLE) * 10000) AS BIGINT) AS beta_e4
+             |FROM cur ORDER BY decile""".stripMargin)),
+
+    GQuery(
+      "supplier_herfindahl",
+      (s, dir) => {
+        // HERFINDAHL-HIRSCHMAN concentration INDEX of supplier revenue
+        // within each part brand — the "is this slice of the corpus
+        // dominated by one source" monitor, same math as a training-
+        // mix concentration audit. Revenue folds once per (brand,
+        // supplier); shares and HHI fold from that |brands×suppliers|
+        // frame — the raw lineitem stream is touched exactly once.
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val part = Tables.t(s, dir, "part").select("p_partkey", "p_brand")
+        val bs = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("l_suppkey"))
+          .agg(sum("rev").as("rev"))
+        val tot = bs.groupBy("p_brand").agg(sum("rev").as("brand_rev"),
+          count(lit(1)).as("n_suppliers"))
+        bs.join(tot, "p_brand")
+          .groupBy(col("p_brand"), col("n_suppliers"))
+          .agg(round(sum(pow(col("rev") / col("brand_rev"), 2)), 6).as("hhi"))
+          .select(col("p_brand"), col("n_suppliers"), col("hhi"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH bs AS (SELECT p.p_brand, l.l_suppkey,
+             |                   sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev
+             |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |            GROUP BY 1, 2),
+             | tot AS (SELECT p_brand, sum(rev) AS brand_rev,
+             |                CAST(count(*) AS BIGINT) AS n_suppliers
+             |         FROM bs GROUP BY 1)
+             |SELECT bs.p_brand, tot.n_suppliers,
+             |       round(sum(pow(bs.rev / tot.brand_rev, 2)), 6) AS hhi
+             |FROM bs JOIN tot USING (p_brand)
+             |GROUP BY bs.p_brand, tot.n_suppliers
+             |ORDER BY bs.p_brand""".stripMargin))
   )
 }

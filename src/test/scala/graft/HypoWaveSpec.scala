@@ -196,6 +196,33 @@ class HypoWaveSpec extends SparkSpec {
     }
   }
 
+  test("text_heaps_law: cumulative curve monotone, totals match the corpus") {
+    val out = run(HypoOps.all, "text_heaps_law").collect()
+    assert(out.length == 10)
+    var (pt, pv) = (0L, 0L)
+    out.foreach { r =>
+      val (tok, ty, beta) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tok >= pt && ty >= pv) // cumulative => monotone
+      assert(ty <= tok)             // vocab can't exceed tokens
+      assert(beta > 0 && beta <= 10000) // sublinear growth
+      pt = tok; pv = ty
+    }
+    val totalTok = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").count()
+    assert(out.last.getLong(1) == totalTok)
+  }
+
+  test("supplier_herfindahl: HHI within [1/n, 1]") {
+    val out = run(HypoOps.all, "supplier_herfindahl").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(2))
+      assert(hhi <= 1.000001, s"${r.getString(0)}: hhi $hhi")
+      assert(hhi >= 1.0 / n - 1e-6, s"${r.getString(0)}: hhi $hhi below 1/$n")
+    }
+  }
+
   test("emb_kmeans_iter: partition of the corpus, cosine bounds") {
     val out = run(SimilarityOps.all, "emb_kmeans_iter").collect()
     assert(out.length == 4)
