@@ -696,6 +696,139 @@ object HypoOps {
              |       round(sum(pow(bs.rev / tot.brand_rev, 2)), 6) AS hhi
              |FROM bs JOIN tot USING (p_brand)
              |GROUP BY bs.p_brand, tot.n_suppliers
-             |ORDER BY bs.p_brand""".stripMargin))
+             |ORDER BY bs.p_brand""".stripMargin)),
+
+    GQuery(
+      "docs_mix_waterfill",
+      (s, dir) => {
+        // WATER-FILLING MIX PLANNER: distribute a 0.7-of-corpus token
+        // budget across languages with an equal-share target; languages
+        // smaller than their share are taken WHOLE (rate 1) and their
+        // unused budget redistributes among the rest — the classic
+        // water-fill, unrolled to |groups| rounds (allocation is
+        // monotone, so capped groups stay capped and |groups| rounds
+        // is the fixpoint bound). The corpus is touched once for the
+        // per-language sizes; every round is arithmetic on a
+        // |languages|-row frame. Output: per-language sampling rate
+        // and sampled mass — the plan a downstream weighted sampler
+        // (docs_mix_weighted) executes.
+        val l = Tables.t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(sum("n_chars").cast("double").as("toks"))
+          .localCheckpoint()
+        val base = l.agg((sum("toks") * 0.7).as("b"),
+          count(lit(1)).cast("double").as("k"))
+        var alloc = base.select((col("b") / col("k")).as("alloc"), col("b"))
+        for (_ <- 1 to 4) {
+          alloc = l.crossJoin(broadcast(alloc)).agg(
+            first(col("b")).as("b"),
+            sum(when(col("toks") <= col("alloc"), col("toks"))
+              .otherwise(0.0)).as("capped_mass"),
+            sum(when(col("toks") <= col("alloc"), 0.0)
+              .otherwise(1.0)).as("k_open"))
+            .select(((col("b") - col("capped_mass")) / col("k_open"))
+              .as("alloc"), col("b"))
+        }
+        l.crossJoin(broadcast(alloc))
+          .select(col("lang"), col("toks").cast("long").as("chars"),
+            floor(when(col("toks") <= col("alloc"), 1.0)
+              .otherwise(col("alloc") / col("toks")) * 1000000)
+              .cast("long").as("rate_e6"),
+            floor(least(col("toks"), col("alloc"))).cast("long")
+              .as("sampled_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH l AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS toks
+             |           FROM documents GROUP BY 1),
+             | base AS (SELECT sum(toks) * 0.7 AS b,
+             |                 CAST(count(*) AS DOUBLE) AS k FROM l),
+             | a0 AS (SELECT b / k AS alloc, b FROM base),
+             | a1 AS (SELECT (any_value(a0.b) - sum(CASE WHEN l.toks <= a0.alloc THEN l.toks ELSE 0 END)) /
+             |               sum(CASE WHEN l.toks <= a0.alloc THEN 0 ELSE 1 END) AS alloc,
+             |               any_value(a0.b) AS b
+             |        FROM l, a0),
+             | a2 AS (SELECT (any_value(a1.b) - sum(CASE WHEN l.toks <= a1.alloc THEN l.toks ELSE 0 END)) /
+             |               sum(CASE WHEN l.toks <= a1.alloc THEN 0 ELSE 1 END) AS alloc,
+             |               any_value(a1.b) AS b
+             |        FROM l, a1),
+             | a3 AS (SELECT (any_value(a2.b) - sum(CASE WHEN l.toks <= a2.alloc THEN l.toks ELSE 0 END)) /
+             |               sum(CASE WHEN l.toks <= a2.alloc THEN 0 ELSE 1 END) AS alloc,
+             |               any_value(a2.b) AS b
+             |        FROM l, a2),
+             | a4 AS (SELECT (any_value(a3.b) - sum(CASE WHEN l.toks <= a3.alloc THEN l.toks ELSE 0 END)) /
+             |               sum(CASE WHEN l.toks <= a3.alloc THEN 0 ELSE 1 END) AS alloc,
+             |               any_value(a3.b) AS b
+             |        FROM l, a3)
+             |SELECT lang, CAST(toks AS BIGINT) AS chars,
+             |       CAST(floor(CASE WHEN toks <= alloc THEN 1.0
+             |                       ELSE alloc / toks END * 1000000) AS BIGINT) AS rate_e6,
+             |       CAST(floor(least(toks, alloc)) AS BIGINT) AS sampled_chars
+             |FROM l, a4 ORDER BY lang""".stripMargin)),
+
+    GQuery(
+      "dedup_cascade_funnel",
+      (s, dir) => {
+        // DEDUP CASCADE ROI REPORT: the funnel a production corpus
+        // pipeline runs tier by tier — exact text hash, then
+        // bag-of-words fingerprint (md5 of the SORTED token list:
+        // catches token-permuted copies exact hashing misses), then
+        // 80-char prefix (catches template/boilerplate families).
+        // Each tier keeps the min doc_id per key among the PREVIOUS
+        // tier's survivors, so the report shows the marginal yield of
+        // each tier — the number that justifies (or kills) the next,
+        // more expensive dedup stage. Every tier is one hash
+        // aggregate; the text column never shuffles (only its
+        // fingerprint does).
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            md5(col("text")).as("h_exact"),
+            md5(concat_ws(" ", array_sort(TextOps.tokens(col("text")))))
+              .as("h_bag"),
+            md5(substring(col("text"), 1, 80)).as("h_prefix"))
+          .localCheckpoint()
+        def survivors(in: org.apache.spark.sql.DataFrame, key: String) =
+          in.join(
+            in.groupBy(col(key)).agg(min("doc_id").as("doc_id"))
+              .select("doc_id"),
+            Seq("doc_id"), "semi")
+        val s1 = survivors(d, "h_exact")
+        val s2 = survivors(s1, "h_bag")
+        val s3 = survivors(s2, "h_prefix")
+        def stage(df: org.apache.spark.sql.DataFrame, id: Int, nm: String) =
+          df.agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+            .select(lit(id).as("stage"), lit(nm).as("tier"),
+              col("docs"), col("chars"))
+        stage(d, 0, "raw")
+          .unionByName(stage(s1, 1, "exact"))
+          .unionByName(stage(s2, 2, "bag_of_words"))
+          .unionByName(stage(s3, 3, "prefix80"))
+          .select(col("stage").cast("long").as("stage"), col("tier"),
+            col("docs"), col("chars"))
+          .orderBy("stage")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |                  md5(text) AS h_exact,
+             |                  md5(array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' ')) AS h_bag,
+             |                  md5(substr(text, 1, 80)) AS h_prefix
+             |           FROM documents),
+             | s1 AS (SELECT d.* FROM d
+             |        JOIN (SELECT h_exact, min(doc_id) AS keep FROM d GROUP BY 1) k
+             |          ON d.doc_id = k.keep),
+             | s2 AS (SELECT s1.* FROM s1
+             |        JOIN (SELECT h_bag, min(doc_id) AS keep FROM s1 GROUP BY 1) k
+             |          ON s1.doc_id = k.keep),
+             | s3 AS (SELECT s2.* FROM s2
+             |        JOIN (SELECT h_prefix, min(doc_id) AS keep FROM s2 GROUP BY 1) k
+             |          ON s2.doc_id = k.keep)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS tier, CAST(count(*) AS BIGINT) AS docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS chars FROM d
+             |  UNION ALL
+             |  SELECT 1, 'exact', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM s1
+             |  UNION ALL
+             |  SELECT 2, 'bag_of_words', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM s2
+             |  UNION ALL
+             |  SELECT 3, 'prefix80', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM s3)
+             |ORDER BY stage""".stripMargin))
   )
 }

@@ -223,6 +223,36 @@ class HypoWaveSpec extends SparkSpec {
     }
   }
 
+  test("docs_mix_waterfill: budget exhausted exactly, rates in (0,1]") {
+    val out = run(HypoOps.all, "docs_mix_waterfill").collect()
+    assert(out.nonEmpty)
+    val totalChars = out.map(_.getLong(1)).sum
+    val sampled = out.map(_.getLong(3)).sum
+    // capped languages contribute whole mass, open ones exactly alloc:
+    // the plan exhausts the budget up to floor loss per language
+    assert(math.abs(sampled - 0.7 * totalChars) <= out.length + 1,
+      s"sampled $sampled vs budget ${0.7 * totalChars}")
+    out.foreach { r =>
+      val (chars, rate, sc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate > 0 && rate <= 1000000)
+      assert(sc <= chars)
+      if (rate == 1000000) assert(sc == chars) // capped => taken whole
+    }
+  }
+
+  test("dedup_cascade_funnel: monotone survivor funnel anchored at the corpus") {
+    val out = run(HypoOps.all, "dedup_cascade_funnel").collect()
+    assert(out.length == 4)
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(out.head.getLong(2) == total)
+    var (pd, pc) = (Long.MaxValue, Long.MaxValue)
+    out.foreach { r =>
+      val (d, c) = (r.getLong(2), r.getLong(3))
+      assert(d <= pd && c <= pc, s"stage ${r.getLong(0)} grew")
+      pd = d; pc = c
+    }
+  }
+
   test("emb_kmeans_iter: partition of the corpus, cosine bounds") {
     val out = run(SimilarityOps.all, "emb_kmeans_iter").collect()
     assert(out.length == 4)
