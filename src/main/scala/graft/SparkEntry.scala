@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AttribOps, AuditOps, CorpusOps, CurateOps, DedupOps, EventOps, Extras, FeatureOps, FuzzyOps, GeoOps, GraphOps, HypoOps, IncrOps, Ingest, KafkaLogOps, LabOps, LakehouseOps, MoreOps, NetOps, PathOps, PipelineOps, Relational, RetrievalOps, RuntimeFilterOps, SimilarityOps, StreamEdgeOps, SignalOps, StatOps, SurvOps, TextOps, TimeOps, TpchOps, TpchOps2, WaveOps}
+import graft.operators.{AttribOps, AuditOps, CorpusOps, CurateOps, DedupOps, EvalOps, EventOps,Extras, FeatureOps, FuzzyOps, GeoOps, GraphOps, HypoOps, IncrOps, Ingest, KafkaLogOps, LabOps, LakehouseOps, MoreOps, NetOps, PathOps, PipelineOps, Relational, RetrievalOps, RuntimeFilterOps, SimilarityOps, StreamEdgeOps, SignalOps, StatOps, SurvOps, TextOps, TimeOps, TpchOps, TpchOps2, WaveOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,7 @@ object SparkEntry {
     Ingest.all ++ Relational.all ++ MoreOps.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ EventOps.all ++ Extras.all ++
       CorpusOps.all ++ GraphOps.all ++ StatOps.all ++ CurateOps.all ++
-      PipelineOps.all ++ FuzzyOps.all ++ WaveOps.all ++ TpchOps.all ++ SignalOps.all ++ LabOps.all ++ PathOps.all ++ TpchOps2.all ++ FeatureOps.all ++ SurvOps.all ++ AttribOps.all ++ TimeOps.all ++ KafkaLogOps.all ++ NetOps.all ++ IncrOps.all ++ RetrievalOps.all ++ GeoOps.all ++ AuditOps.all ++ LakehouseOps.all ++ RuntimeFilterOps.all ++ StreamEdgeOps.all ++ HypoOps.all
+      PipelineOps.all ++ FuzzyOps.all ++ WaveOps.all ++ TpchOps.all ++ SignalOps.all ++ LabOps.all ++ PathOps.all ++ TpchOps2.all ++ FeatureOps.all ++ SurvOps.all ++ AttribOps.all ++ TimeOps.all ++ KafkaLogOps.all ++ NetOps.all ++ IncrOps.all ++ RetrievalOps.all ++ GeoOps.all ++ AuditOps.all ++ LakehouseOps.all ++ RuntimeFilterOps.all ++ StreamEdgeOps.all ++ HypoOps.all ++ EvalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one "query": latest-state snapshot per key
