@@ -204,6 +204,68 @@ object LakehouseOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "versioned_concurrent_commit",
+      (s, dir) => {
+        // OPTIMISTIC CONCURRENCY, the three-writer differential. Two
+        // appends leave the table with disjoint file groups A (v1) and
+        // B (v2-only). Writers X and Y both read snapshot v2, then each
+        // compacts ITS group via a conflict-detected replace commit:
+        // disjoint read sets, so both MUST land (X at v3; Y loses the
+        // tip to X but rebases and lands at v4 — commit order is
+        // immaterial, which is what "serialized replay equals
+        // either-order outcome" means for disjoint transactions).
+        // Writer Z then replays a STALE plan — replacing one of A's
+        // original files, which X already rewrote — and must abort with
+        // CommitConflictException rather than resurrect superseded
+        // rows; its retry from a fresh snapshot commits v5. The final
+        // yearly aggregate must equal the plain table (no row lost,
+        // duplicated, or resurrected across the whole schedule), and
+        // the three asserted flags make a silently-skipped conflict or
+        // a refused disjoint commit fail the oracle, not just a spec.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_occ")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        VersionedTable.append(base.where(col("k") % 2 === 0).repartition(3), r)
+        val (_, groupA) = VersionedTable.currentSnapshot(r)
+        VersionedTable.append(base.where(col("k") % 2 === 1).repartition(3), r)
+        val (v2, allFiles) = VersionedTable.currentSnapshot(r)
+        val groupB = allFiles.filterNot(groupA.toSet)
+        // Both writers derive their outputs from snapshot v2 BEFORE
+        // either commits — the read-set overlap rule, not luck of
+        // scheduling, is what lets both land.
+        def slice(files: Seq[String]) =
+          s.read.parquet(files.map(p => s"$r/$p"): _*)
+        val dfA = slice(groupA).coalesce(1)
+        val dfB = slice(groupB).coalesce(1)
+        val vX = VersionedTable.replaceFiles(dfA, r, groupA)
+        val vY = VersionedTable.replaceFiles(dfB, r, groupB)
+        val conflicted =
+          try { VersionedTable.replaceFiles(slice(Seq(groupA.head)), r, Seq(groupA.head)); false }
+          catch { case _: VersionedTable.CommitConflictException => true }
+        val (_, tipFiles) = VersionedTable.currentSnapshot(r)
+        val vZ = VersionedTable.replaceFiles(
+          VersionedTable.read(s, r).coalesce(1), r, tipFiles)
+        VersionedTable.read(s, r)
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("disjoint_commits_ok", lit(vX == v2 + 1 && vY == v2 + 2))
+          .withColumn("conflict_detected", lit(conflicted))
+          .withColumn("retry_committed", lit(vZ == v2 + 3))
+          .orderBy("year")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS disjoint_commits_ok,
+             |       true AS conflict_detected,
+             |       true AS retry_committed
+             |FROM orders
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "orders_bitemporal_asof",
       (s, dir) => {
         // BITEMPORAL AS-OF: valid time (when the order was effective)

@@ -25,7 +25,9 @@ import java.nio.charset.StandardCharsets
   *  1. write the new data files under `data/` with a fresh UUID prefix —
   *     unreferenced files are INVISIBLE to every reader (readers only
   *     open files a manifest names);
-  *  2. stage the manifest as dot-prefixed `.v<N>.tmp` (listings skip it);
+  *  2. stage the manifest as dot-prefixed `.v<N>.<writer>.tmp`
+  *     (listings skip it; the writer-unique suffix keeps two racers to
+  *     the same N from overwriting each other's staged bytes);
   *  3. RENAME tmp → `v<N>` — the single atomicity point. Rename onto an
   *     existing destination FAILS, so two writers racing to version N
   *     cannot both win: the loser re-reads the now-longer chain, rebases
@@ -135,23 +137,105 @@ object VersionedTable {
         if (append)
           parent.map(p => dataLines(readManifest(f, dir, p))).getOrElse(Nil) ++ files
         else files
-      val tmp = new Path(manifestDir(dir), s".${versionName(v)}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(all.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
       // the atomicity point: rename fails if v<N> already exists (a
-      // concurrent writer won) → loop rebases on the new chain tip
-      if (f.rename(tmp, new Path(manifestDir(dir), versionName(v)))) return v
-      f.delete(tmp, false)
+      // concurrent writer won) → loop rebases on the new chain tip.
+      // The tmp name carries a writer-unique suffix so two in-process
+      // writers racing to the same N stage DISTINCT tmp files — a shared
+      // tmp path would let the loser overwrite the winner's staged bytes
+      // between its create and its rename.
+      if (stageAndSwap(f, dir, v, all)) return v
       attempt += 1
     }
     throw new IllegalStateException(
       s"versioned commit: lost the publish race 50 times at $dir")
   }
 
+  /** Write `lines` as a writer-unique tmp manifest, then rename it to
+    * `v<N>` — true iff this writer won version N. The rename is the
+    * single atomicity point (fails when the destination exists).
+    */
+  private def stageAndSwap(f: FileSystem, dir: String, v: Long,
+      lines: Seq[String]): Boolean = {
+    val tmp = new Path(manifestDir(dir),
+      s".${versionName(v)}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.rename(tmp, new Path(manifestDir(dir), versionName(v)))) true
+    else { f.delete(tmp, false); false }
+  }
+
   /** APPEND commit: new version = parent's files + df's files. */
   def append(df: DataFrame, dir: String): Long =
     publish(dir, stageData(df, dir), append = true)
+
+  /** Thrown when a [[replaceFiles]] commit loses a WRITE-WRITE conflict:
+    * a concurrent commit already removed (rewrote or deleted) one of the
+    * files this transaction planned to replace, so its staged output was
+    * derived from data that is no longer current. The caller must
+    * re-read the new snapshot and redo the work — retrying the same
+    * staged files would silently resurrect superseded rows.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Latest version and the table-relative data files it names. The
+    * file list is a replace-transaction's read set: pass the subset it
+    * rewrites to [[replaceFiles]] as `removed`.
+    */
+  def currentSnapshot(dir: String): (Long, Seq[String]) = {
+    val v = latestVersion(dir).getOrElse(throw new IllegalArgumentException(
+      s"versioned table $dir has no committed versions"))
+    (v, dataLines(readManifest(fs(dir), dir, v)).map(_.split('\t').head))
+  }
+
+  /** REPLACE-FILES commit with OPTIMISTIC-CONCURRENCY CONFLICT
+    * DETECTION — the file-granular transaction under compaction, MERGE
+    * and z-order. The writer read some snapshot, derived `df` from the
+    * files in `removed`, and commits (tip − removed + df's files).
+    *
+    * Conflict rule (checked on EVERY publish attempt, so a rename-race
+    * rebase re-validates against the new tip): all of `removed` must
+    * still be named by the CURRENT tip manifest. Two concurrent
+    * replaces over DISJOINT file sets therefore both commit — the loser
+    * of the rename race rebases onto the winner's manifest and succeeds
+    * at N+1 — while OVERLAPPING replaces abort with
+    * [[CommitConflictException]]: the survivor of the overlap already
+    * rewrote the loser's inputs, and blindly rebasing would re-add rows
+    * the winner superseded. Appends never conflict with anything
+    * (their read set is empty). This is exactly the serializable-commit
+    * discipline of the production table formats; at 100 TB it is what
+    * lets a compactor, a MERGE writer and N streaming appenders share
+    * one table without a table lock. An aborted transaction's staged
+    * files are invisible orphans; [[vacuum]] reclaims them.
+    */
+  def replaceFiles(df: DataFrame, dir: String, removed: Seq[String]): Long = {
+    require(removed.nonEmpty, "replaceFiles: empty removed set — use append")
+    commitReplace(dir, removed, stageData(df, dir))
+  }
+
+  private def commitReplace(dir: String, removed: Seq[String],
+      added: Seq[String]): Long = {
+    val f = fs(dir)
+    val removedSet = removed.toSet
+    var attempt = 0
+    while (attempt < 50) {
+      val parent = latestVersion(dir).getOrElse(throw new IllegalArgumentException(
+        s"versioned table $dir has no committed versions"))
+      val tipLines = dataLines(readManifest(f, dir, parent))
+      val gone = removed.filterNot(tipLines.map(_.split('\t').head).toSet)
+      if (gone.nonEmpty)
+        throw new CommitConflictException(
+          s"write-write conflict at $dir v$parent: concurrent commit already " +
+            s"replaced ${gone.size}/${removed.size} input file(s) " +
+            s"(first: ${gone.head}); re-read the snapshot and redo the work")
+      val all = tipLines.filterNot(l => removedSet(l.split('\t').head)) ++ added
+      if (stageAndSwap(f, dir, parent + 1, all)) return parent + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"versioned replaceFiles: lost the publish race 50 times at $dir")
+  }
 
   // ---- manifest-level file statistics & skipping ----
 
@@ -593,12 +677,7 @@ object VersionedTable {
       val v = parent.getOrElse(0L) + 1
       val all = stamp +: (parent.map(readManifest(f, dir, _)).getOrElse(Nil)
         .filterNot(_.startsWith("txn:")) ++ files)
-      val tmp = new Path(manifestDir(dir), s".${versionName(v)}.tmp")
-      val out = f.create(tmp, true)
-      try out.write(all.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      if (f.rename(tmp, new Path(manifestDir(dir), versionName(v)))) return Some(v)
-      f.delete(tmp, false)
+      if (stageAndSwap(f, dir, v, all)) return Some(v)
       attempt += 1
     }
     throw new IllegalStateException(

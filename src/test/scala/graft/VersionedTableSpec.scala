@@ -185,4 +185,64 @@ class VersionedTableSpec extends SparkSpec {
     assert(h.map(_._1) == Seq(1L, 2L))
     assert(h(1)._2 > h(0)._2, "append must grow the file list")
   }
+
+  // ---- replace commits: optimistic-concurrency conflict detection ----
+
+  test("disjoint replaces from the same snapshot both commit, either order") {
+    val dir = tmp("occ_disjoint")
+    VersionedTable.append(nums(1, 10).repartition(2), dir)
+    VersionedTable.append(nums(11, 20).repartition(2), dir)
+    val (_, all) = VersionedTable.currentSnapshot(dir)
+    val (a, b) = all.splitAt(all.size / 2)
+    def slice(fs: Seq[String]) = spark.read.parquet(fs.map(p => s"$dir/$p"): _*)
+    // both derive their outputs from the SAME snapshot before either commits
+    val dfA = slice(a).coalesce(1)
+    val dfB = slice(b).coalesce(1)
+    val vX = VersionedTable.replaceFiles(dfA, dir, a)
+    val vY = VersionedTable.replaceFiles(dfB, dir, b) // rebases over vX
+    assert(vY == vX + 1, "disjoint read sets must serialize, not conflict")
+    assert(VersionedTable.read(spark, dir).agg(sum("n")).as[Long].head() ==
+      (1 to 20).sum.toLong, "either-order outcome must equal serial replay")
+  }
+
+  test("overlapping replace aborts with CommitConflictException; retry from fresh snapshot lands") {
+    val dir = tmp("occ_conflict")
+    VersionedTable.append(nums(1, 20).repartition(2), dir)
+    val (_, files) = VersionedTable.currentSnapshot(dir)
+    def slice(fs: Seq[String]) = spark.read.parquet(fs.map(p => s"$dir/$p"): _*)
+    val stale = slice(Seq(files.head)).coalesce(1) // derived from the old snapshot
+    VersionedTable.replaceFiles(slice(files).coalesce(1), dir, files) // v2 rewrites all
+    val e = intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.replaceFiles(stale, dir, Seq(files.head))
+    }
+    assert(e.getMessage.contains("write-write conflict"))
+    // retry the transaction against the CURRENT snapshot — must land
+    val (_, tip) = VersionedTable.currentSnapshot(dir)
+    val v3 = VersionedTable.replaceFiles(slice(tip).coalesce(1), dir, tip)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, dir).agg(sum("n")).as[Long].head() ==
+      (1 to 20).sum.toLong, "no row may be lost or resurrected across the schedule")
+  }
+
+  test("injected race on the same victim file: exactly one replace wins, the loser conflicts") {
+    val dir = tmp("occ_race")
+    VersionedTable.append(nums(1, 100).repartition(1), dir)
+    val (_, files) = VersionedTable.currentSnapshot(dir)
+    val victim = Seq(files.head)
+    def slice() = spark.read.parquet(s"$dir/${files.head}").coalesce(1)
+    import java.util.concurrent.atomic.AtomicInteger
+    val wins = new AtomicInteger(0)
+    val conflicts = new AtomicInteger(0)
+    val threads = (0 until 2).map(_ => new Thread(() =>
+      try { VersionedTable.replaceFiles(slice(), dir, victim); wins.incrementAndGet() }
+      catch { case _: VersionedTable.CommitConflictException => conflicts.incrementAndGet() }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, "exactly one of two overlapping writers may commit")
+    assert(conflicts.get() == 1, "the other must abort, not silently rebase")
+    assert(VersionedTable.read(spark, dir).agg(sum("n")).as[Long].head() ==
+      (1 to 100).sum.toLong, "the winning rewrite must preserve every row once")
+    // the aborted writer's staged files are orphans until vacuum reclaims them
+    val (_, deleted) = VersionedTable.vacuum(dir, retainVersions = 1)
+    assert(deleted >= 1, "vacuum must reclaim the aborted transaction's staged files")
+  }
 }
