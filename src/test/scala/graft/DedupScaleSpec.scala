@@ -53,4 +53,32 @@ class DedupScaleSpec extends SparkSpec {
     val bySize = labels.groupBy(_._2).values.map(_.length)
     assert(bySize.forall(_ == 2), "every planted cluster must have exactly 2 docs")
   }
+
+  test("hot-gram cap kills a planted viral shingle's pair explosion without losing planted pairs") {
+    val rnd = new scala.util.Random(23)
+    // 2k docs: each is 30 unique tokens + ONE shared viral 5-token
+    // boilerplate ("legal footer") appended to EVERY doc. Uncapped,
+    // the footer's 3 interior shingles have df = 2000 → posting lists
+    // of 2000 → ~2M candidate pairs from boilerplate alone. 200 docs
+    // also get a true near-dup twin (body copied, last token dropped).
+    val footer = "all rights reserved contact support"
+    val docs = (0 until 2000).flatMap { i =>
+      val body = (0 until 30).map(_ => s"w${i}_${rnd.nextInt(1000000)}").mkString(" ")
+      val full = s"$body $footer"
+      if (i < 200) {
+        val twin = full.split(' ').dropRight(1).mkString(" ")
+        Seq((i.toLong * 2, full), (i.toLong * 2 + 1, twin))
+      } else Seq((i.toLong * 2, full))
+    }.toDF("doc_id", "text")
+
+    val capped = DedupOps.jaccardPairsCapped(docs, n = 3, minJ = 0.5, maxDf = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 200).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(capped),
+      s"cap must not lose planted near-dups: found ${planted.intersect(capped).size}/200")
+    // the footer must not manufacture pairs between unrelated docs
+    val spurious = capped -- planted
+    assert(spurious.isEmpty,
+      s"boilerplate-only pairs must die with the hot grams: ${spurious.take(5)}")
+  }
 }
