@@ -24,13 +24,23 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamingMetrics {
 
-  /** One micro-batch observation (a row of the metrics frame). */
+  /** One micro-batch observation (a row of the metrics frame).
+    * `stateRows` is the store's LIVE total after the batch (the leak
+    * detector: it must track live keys, not history); `stateRowsUpdated`
+    * / `stateRowsRemoved` are the batch's write traffic (the cost
+    * detector: per-batch ops must track batch size, not store size);
+    * `stateMemoryBytes` is the provider's reported footprint (for
+    * RocksDB this is native memory + block cache, NOT JVM heap).
+    */
   case class BatchProgress(
       queryName: String,
       batchId: Long,
       numInputRows: Long,
       processedRowsPerSecond: Double,
       stateRows: Long,
+      stateRowsUpdated: Long,
+      stateRowsRemoved: Long,
+      stateMemoryBytes: Long,
       watermark: String)
 
   /** Fixed-capacity progress ring; thread-safe (listener-bus thread
@@ -44,9 +54,8 @@ object StreamingMetrics {
 
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
-      val stateRows =
-        if (p.stateOperators == null) 0L
-        else p.stateOperators.map(_.numRowsTotal).sum
+      val ops = if (p.stateOperators == null) Array.empty[org.apache.spark.sql.streaming.StateOperatorProgress]
+        else p.stateOperators
       val wm = Option(p.eventTime)
         .flatMap(m => Option(m.get("watermark"))).getOrElse("")
       val row = BatchProgress(
@@ -54,7 +63,10 @@ object StreamingMetrics {
         p.batchId,
         p.numInputRows,
         p.processedRowsPerSecond,
-        stateRows,
+        ops.map(_.numRowsTotal).sum,
+        ops.map(_.numRowsUpdated).sum,
+        ops.map(_.numRowsRemoved).sum,
+        ops.map(_.memoryUsedBytes).sum,
         wm)
       ring.synchronized {
         if (ring.size() >= capacity) ring.pollFirst()
