@@ -492,6 +492,89 @@ object CorpusOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "docs_dsir_select",
+      (s, dir) => {
+        // DSIR-STYLE DATA SELECTION (importance resampling over hashed
+        // n-gram features — Xie et al. 2023, "Data Selection for
+        // Language Models via Importance Resampling"): pick the raw
+        // documents whose feature distribution looks most like a small
+        // TARGET seed set. Target here = the English docs; candidates =
+        // everything else. Features are unigrams+bigrams hashed into
+        // B=512 buckets (the hashing is what makes the method 100 TB-
+        // viable: both "models" are fixed-size B-vectors no matter the
+        // corpus); each model is Laplace-smoothed bucket frequencies,
+        // and a candidate's score is its mean log p_target/p_raw over
+        // its own gram stream. Shapes: two O(B) aggregates train the
+        // models, the log-ratio table (512 rows) BROADCASTS back onto
+        // the candidate gram stream, one hash aggregate per doc scores
+        // it — the corpus streams through, nothing corpus-sized
+        // shuffles. Ranking is on the ROUNDED score (4 dp, doc_id
+        // tie-break) so cross-engine libm noise cannot flip the cut.
+        val B = 512
+        val tk = TextOps.tokens(col("text"))
+        val grams = docs(s, dir).select(col("doc_id"), col("lang"),
+            explode(concat(tk, expr(
+              """transform(slice(filter(split(text, ' '), x -> x != ''), 1,
+                |  greatest(size(filter(split(text, ' '), x -> x != '')) - 1, 0)),
+                |  (x, i) -> concat(x, ' ', filter(split(text, ' '), x -> x != '')[i + 1]))"""
+                .stripMargin))).as("g"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(concat(lit("dsir:"), col("g")).cast("binary")), 1, 8), 16, 10)
+              .cast("long") % B).as("b"))
+        def model(pool: DataFrame) = pool.groupBy("b").agg(count(lit(1)).as("n"))
+        val t = model(grams.where(col("lang") === "en"))
+        val r = model(grams.where(col("lang") =!= "en"))
+        // full-outer on bucket id: unseen buckets still get smoothed mass
+        val ratio = t.withColumnRenamed("n", "nt")
+          .join(r.withColumnRenamed("n", "nr"), Seq("b"), "full_outer")
+          .select(col("b"),
+            coalesce(col("nt"), lit(0L)).as("nt"), coalesce(col("nr"), lit(0L)).as("nr"))
+        val logr = ratio.crossJoin(
+            ratio.agg(sum("nt").as("st"), sum("nr").as("sr")))
+          .select(col("b"),
+            (log((col("nt") + 1).cast("double") / (col("st") + B)) -
+              log((col("nr") + 1).cast("double") / (col("sr") + B))).as("lr"))
+        val scored = grams.where(col("lang") =!= "en")
+          .join(broadcast(logr), "b")
+          .groupBy("doc_id", "lang")
+          .agg(round(avg("lr"), 4).as("dsir_score"), count(lit(1)).as("n_grams"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("dsir_score").desc, col("doc_id"))))
+          .where(col("rank") <= 20)
+          .select(col("rank"), col("doc_id"), col("lang"),
+            col("dsir_score"), col("n_grams"))
+          .orderBy("rank")
+      },
+      Some("""WITH t0 AS (SELECT doc_id, lang,
+             |                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |            FROM documents),
+             |  grams AS (SELECT doc_id, lang,
+             |                   ('0x' || substring(md5('dsir:' || g), 1, 8))::BIGINT % 512 AS b
+             |            FROM (SELECT doc_id, lang, unnest(tk ||
+             |                         [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS g
+             |                  FROM t0)),
+             |  tm AS (SELECT b, count(*) AS nt FROM grams WHERE lang = 'en' GROUP BY b),
+             |  rm AS (SELECT b, count(*) AS nr FROM grams WHERE lang <> 'en' GROUP BY b),
+             |  ratio AS (SELECT coalesce(tm.b, rm.b) AS b,
+             |                   coalesce(nt, 0) AS nt, coalesce(nr, 0) AS nr
+             |            FROM tm FULL OUTER JOIN rm ON tm.b = rm.b),
+             |  logr AS (SELECT b,
+             |                  ln((nt + 1) * 1.0 / ((SELECT sum(nt) FROM ratio) + 512)) -
+             |                  ln((nr + 1) * 1.0 / ((SELECT sum(nr) FROM ratio) + 512)) AS lr
+             |           FROM ratio),
+             |  scored AS (SELECT doc_id, lang, round(avg(lr), 4) AS dsir_score,
+             |                    count(*) AS n_grams
+             |             FROM grams JOIN logr USING (b)
+             |             WHERE lang <> 'en'
+             |             GROUP BY doc_id, lang),
+             |  ranked AS (SELECT row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rank,
+             |                    doc_id, lang, dsir_score, n_grams
+             |             FROM scored)
+             |SELECT CAST(rank AS INT) AS rank, doc_id, lang, dsir_score, n_grams
+             |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    GQuery(
       "tfidf_top_terms",
       (s, dir) => {
         // Per-document top-3 terms by TF-IDF. Corpus statistics (doc

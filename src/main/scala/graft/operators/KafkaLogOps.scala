@@ -109,7 +109,17 @@ object KafkaLogOps {
   /** Fifth fixture: the key-partitioned events log UNCOMPACTED, with
     * 'error' events carried as Kafka-style null-value tombstones (the
     * JSON writer omits null fields, so a tombstone payload is
-    * `{"id":N}`) — the input for the STREAMING tombstone upsert.
+    * `{"id":N,"ver":V}`) — the input for the STREAMING tombstone
+    * upsert. Offsets are DENSE per partition (row_number in event_id
+    * order) so the offset-unit admission cap admits the intended rows
+    * per trigger — the round-9 lesson: raw event_ids as offsets left
+    * stride-4 gaps, the n/4 cap admitted ¼ the intended rows, and the
+    * differential paid ~16 micro-batches of pure per-batch overhead
+    * instead of 4 (measured 9.4 s warm → 3.6 s after densifying). The
+    * true event_id rides INSIDE the payload as `ver`, preserving the
+    * exact global version order the oracle's arg_max implies; the
+    * gapped (compacted-topic) offset shape keeps its deliberate
+    * coverage in the fourth fixture and StateScaleSpec.
     */
   private val builtKeyed =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
@@ -118,13 +128,18 @@ object KafkaLogOps {
     builtKeyed.computeIfAbsent(dir, _ => {
       val out = s"/tmp/graft_kafkalog/${new java.io.File(dir).getName}/events_keyed"
       KafkaLog.fs(out).delete(new Path(out), true)
-      KafkaLog.write(Tables.t(s, dir, "events").select(
-        (col("user_id") % 4).cast("int").as("partition"),
-        col("event_id").as("offset"),
-        to_json(struct(col("user_id").as("id"),
-          when(col("event_type") === "error", lit(null).cast("string"))
-            .otherwise(col("event_type")).as("msg")))
-          .as("value")), out)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("partition").orderBy("event_id")
+      KafkaLog.write(Tables.t(s, dir, "events")
+        .select((col("user_id") % 4).cast("int").as("partition"),
+          col("event_id"), col("user_id"), col("event_type"))
+        .select(col("partition"),
+          (row_number().over(w).cast("long") - 1).as("offset"),
+          to_json(struct(col("user_id").as("id"),
+            when(col("event_type") === "error", lit(null).cast("string"))
+              .otherwise(col("event_type")).as("msg"),
+            col("event_id").as("ver")))
+            .as("value")), out)
       (out, Tables.t(s, dir, "events").count())
     })
 
@@ -649,7 +664,7 @@ object KafkaLogOps {
           .select(
             get_json_object(col("value"), "$.id").cast("long").as("id"),
             get_json_object(col("value"), "$.msg").as("msg"),
-            col("offset").cast("long").as("version"))
+            get_json_object(col("value"), "$.ver").cast("long").as("version"))
           .as[StreamingIngest.KeyedRecord]
         val sink = "kafkalog_tombstone_upsert_sink"
         s.catalog.dropTempView(sink)
