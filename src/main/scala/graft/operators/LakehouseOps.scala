@@ -266,6 +266,114 @@ object LakehouseOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "versioned_change_feed",
+      (s, dir) => {
+        // ROW-LEVEL CHANGE DATA FEED: v1 is the full orders snapshot;
+        // one MERGE applies a mixed delta (updates for k%91 keys,
+        // deletes for k%97, inserts above the key domain for k%89) as
+        // v2. changeFeed(v1→v2) must emit EXACTLY the delta's effects —
+        // inserts, deletes, and update pre/post image pairs — and
+        // nothing for the carried rows, even though the copy-on-write
+        // merge rewrote every file. The diff scans only the files the
+        // two manifests disagree about (here: all, because MERGE is
+        // table-granularity copy-on-write; with range-clustered commits
+        // the same call scans just the rewritten slice) and classifies
+        // via ONE full-outer key join with null-safe payload-struct
+        // compare; a feed that leaked a carried row, lost a delete, or
+        // swapped pre/post images fails the hash.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_cdf")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        VersionedTable.append(base.repartition(4), r)
+        val mx = base.agg(max("k")).head().getLong(0)
+        val delta = base.where(col("k") % 91 === 0 && col("k") % 97 =!= 0)
+            .withColumn("cents", col("cents") + 50000L)
+            .withColumn("__del", lit(false))
+          .unionByName(base.where(col("k") % 97 === 0)
+            .withColumn("__del", lit(true)))
+          .unionByName(base.where(col("k") % 89 === 0)
+            .select((col("k") + mx + 1L).as("k"), (col("cents") + 1L).as("cents"),
+              col("year"))
+            .withColumn("__del", lit(false)))
+        VersionedTable.merge(s, r, delta, keys = Seq("k"), deleteFlag = "__del")
+        VersionedTable.changeFeed(s, r, Seq("k"), fromVersion = 1, toVersion = 2)
+          .orderBy("k", "change_type")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |                     strftime(o_orderdate, '%Y') AS year
+             |              FROM orders),
+             |  ch AS (
+             |    SELECT k + (SELECT max(k) + 1 FROM base) AS k, 'insert' AS change_type,
+             |           cents + 1 AS cents, year FROM base WHERE k % 89 = 0
+             |    UNION ALL
+             |    SELECT k, 'delete', cents, year FROM base WHERE k % 97 = 0
+             |    UNION ALL
+             |    SELECT k, 'update_preimage', cents, year FROM base
+             |    WHERE k % 91 = 0 AND k % 97 <> 0
+             |    UNION ALL
+             |    SELECT k, 'update_postimage', cents + 50000, year FROM base
+             |    WHERE k % 91 = 0 AND k % 97 <> 0)
+             |SELECT k, change_type, CAST(cents AS BIGINT) AS cents, year
+             |FROM ch ORDER BY k, change_type""".stripMargin)),
+
+    GQuery(
+      "versioned_schema_evolution",
+      (s, dir) => {
+        // SCHEMA EVOLUTION across commits: v1's files carry (k, cents);
+        // a later append adds a `priority` column, so the chain holds
+        // files of BOTH widths. Reading latest reconciles by name —
+        // old files surface priority as NULL, nothing is rewritten
+        // (evolution is a metadata event, not a 100 TB backfill), and
+        // time travel to v1 still serves the ORIGINAL narrow schema.
+        // The differential aggregates the merged read per priority
+        // bucket (NULL bucket = pre-evolution rows) and appends a
+        // narrow-schema v1 audit row, so a reader that dropped the old
+        // files, backfilled wrongly, or leaked the new column into v1
+        // fails the hash.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_evolve")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("od"))
+        val cut = lit("1996-01-01").cast("timestamp")
+        VersionedTable.append(base.where(col("od") < cut)
+          .select("k", "cents"), r)
+        VersionedTable.append(base.where(col("od") >= cut)
+          .select("k", "cents", "priority"), r)
+        val merged = VersionedTable.read(s, r, None, mergeSchema = true)
+          .groupBy(coalesce(col("priority"), lit("__pre_evolution")).as("priority"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        val v1 = VersionedTable.read(s, r, Some(1))
+        val v1Audit = v1
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .select(lit("__v1_narrow").as("priority"), col("n"), col("cents"))
+          .withColumn("v1_schema_narrow",
+            lit(v1.schema.fieldNames.sameElements(Array("k", "cents"))))
+        merged.withColumn("v1_schema_narrow", lit(true))
+          .unionByName(v1Audit)
+          .orderBy("priority")
+      },
+      Some("""WITH rows_ AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |                      CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+             |                           THEN o_orderpriority
+             |                           ELSE '__pre_evolution' END AS priority
+             |               FROM orders)
+             |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS cents, true AS v1_schema_narrow
+             |FROM rows_ GROUP BY priority
+             |UNION ALL
+             |SELECT '__v1_narrow', CAST(count(*) AS BIGINT),
+             |       CAST(sum(cents) AS BIGINT), true
+             |FROM rows_ WHERE priority = '__pre_evolution'
+             |ORDER BY priority""".stripMargin)),
+
+    GQuery(
       "orders_bitemporal_asof",
       (s, dir) => {
         // BITEMPORAL AS-OF: valid time (when the order was effective)

@@ -83,9 +83,14 @@ object VersionedTable {
     lines.filterNot(_.startsWith("txn:"))
 
   /** Read the table at `version` (default: latest). Fails with a clear
-    * message for unknown or vacuumed versions.
+    * message for unknown or vacuumed versions. `mergeSchema` reconciles
+    * files of different widths by name (schema evolution: columns a file
+    * predates surface as NULL) — an extra footer pass at planning time,
+    * so it is opt-in; a homogeneous version reads with the default
+    * single-footer inference.
     */
-  def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, dir: String, version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"versioned table $dir has no committed versions")
     val v = version.getOrElse(vs.last)
@@ -94,7 +99,7 @@ object VersionedTable {
     val files = dataLines(readManifest(fs(dir), dir, v))
       .map(line => s"$dir/${line.split('\t').head}")
     require(files.nonEmpty, s"version $v of $dir names no files")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
   /** One (version, file count) row per retained version. */
@@ -618,6 +623,69 @@ object VersionedTable {
     if (added.isEmpty)
       read(spark, dir, Some(toVersion)).where(org.apache.spark.sql.functions.lit(false))
     else spark.read.parquet(added.map(rel => s"$dir/$rel"): _*)
+  }
+
+  /** ROW-LEVEL CHANGE DATA FEED between two versions of a KEYED table:
+    * every key whose payload differs between the snapshots comes back
+    * classified as `insert` / `delete` / `update_preimage` +
+    * `update_postimage`, computed by diffing ONLY the files the two
+    * manifests disagree about. Data files are immutable, so a file named
+    * by BOTH manifests contributes identical rows to both snapshots and
+    * can never produce a change — the scan is bounded by the REWRITTEN
+    * subset (O(changed files) + one key-shuffle join over it), never by
+    * table history or table size, which is what makes a CDC consumer
+    * viable against a 100 TB copy-on-write table. Keys must be unique
+    * per snapshot (the discipline latest-wins ingest and [[merge]] both
+    * maintain); rows a rewrite merely CARRIED into a new file (same key,
+    * same payload on both sides) are filtered out, so an OPTIMIZE or
+    * Z-order commit produces an EMPTY feed — layout maintenance is not
+    * data change. Output schema: keys, `change_type`, then the payload
+    * columns (pre-image values for deletes/update_preimage, post-image
+    * for inserts/update_postimage).
+    */
+  def changeFeed(spark: SparkSession, dir: String, keys: Seq[String],
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    Seq(fromVersion, toVersion).foreach(v => require(vs.contains(v),
+      s"version $v of $dir does not exist (retained: ${vs.mkString(",")})"))
+    require(fromVersion <= toVersion,
+      s"changeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val f = fs(dir)
+    val from = dataLines(readManifest(f, dir, fromVersion)).map(_.split('\t').head)
+    val to = dataLines(readManifest(f, dir, toVersion)).map(_.split('\t').head)
+    val removed = from.filterNot(to.toSet)
+    val added = to.filterNot(from.toSet)
+    val schema = read(spark, dir, Some(toVersion)).schema
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"changeFeed: key column $k not in table schema ${schema.fieldNames.mkString(",")}"))
+    val payload = schema.fieldNames.filterNot(keys.contains).toIndexedSeq
+    def side(files: Seq[String], tag: String): DataFrame = {
+      val df =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.parquet(files.map(rel => s"$dir/$rel"): _*)
+      df.select(keys.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
+    }
+    val joined = side(removed, "__old").join(side(added, "__new"), keys, "full_outer")
+    // typed empty array for the carried-row branch: same element type as
+    // the emitting branches, zero elements (filter with a false lambda)
+    val none = filter(
+      array(struct(lit("x").as("change_type"), col("__new").as("p"))),
+      _ => lit(false))
+    val emitted = joined.select(keys.map(col) :+ explode(
+      when(col("__old").isNull,
+        array(struct(lit("insert").as("change_type"), col("__new").as("p"))))
+      .when(col("__new").isNull,
+        array(struct(lit("delete").as("change_type"), col("__old").as("p"))))
+      .when(not(col("__old") <=> col("__new")), array(
+        struct(lit("update_preimage").as("change_type"), col("__old").as("p")),
+        struct(lit("update_postimage").as("change_type"), col("__new").as("p"))))
+      .otherwise(none)).as("__c"): _*)
+    emitted.select(
+      (keys.map(col) :+ col("__c.change_type").as("change_type")) ++
+        payload.map(c => col(s"__c.p.`$c`").as(c)): _*)
   }
 
   /** MERGE INTO (copy-on-write): delta rows REPLACE base rows that share

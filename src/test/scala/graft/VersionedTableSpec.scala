@@ -146,6 +146,54 @@ class VersionedTableSpec extends SparkSpec {
       "pre-merge snapshot must survive")
   }
 
+  test("changeFeed classifies merge effects; carried rows never surface") {
+    val dir = tmp("cdf")
+    VersionedTable.append(
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "payload"), dir)
+    val delta = Seq(
+      (3L, "v3-new", false), (11L, "v11", false), (7L, "", true))
+      .toDF("k", "payload", "del")
+    VersionedTable.merge(spark, dir, delta, Seq("k"), "del")
+    val feed = VersionedTable.changeFeed(spark, dir, Seq("k"), 1, 2)
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (3L, "update_preimage", "v3"), (3L, "update_postimage", "v3-new"),
+      (11L, "insert", "v11"), (7L, "delete", "v7")),
+      s"feed wrong: $feed")
+  }
+
+  test("changeFeed across an OPTIMIZE commit is empty: layout is not data change") {
+    val dir = tmp("cdf_opt")
+    (0 until 3).foreach(i => VersionedTable.append(
+      (1 to 30).filter(_ % 3 == i).map(j => (j.toLong, s"v$j"))
+        .toDF("k", "payload").repartition(4), dir))
+    VersionedTable.optimizeBinPack(spark, dir, targetBytes = 1L << 20)
+    assert(VersionedTable.changeFeed(spark, dir, Seq("k"), 3, 4).isEmpty,
+      "a pure rewrite must produce no change rows")
+  }
+
+  test("changeFeed scans only manifest-diff files, not the whole table") {
+    val dir = tmp("cdf_bound")
+    // files land clustered by key range, so a replace of ONE file is a
+    // genuine partial rewrite; the feed's input must be bounded by it
+    VersionedTable.append(
+      (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+        .repartitionByRange(4, col("k")), dir)
+    val (_, files) = VersionedTable.currentSnapshot(dir)
+    val victim = files.head
+    val rewritten = spark.read.parquet(s"$dir/$victim")
+      .withColumn("payload",
+        when(col("k") === col("k"), concat(col("payload"), lit("!"))))
+    VersionedTable.replaceFiles(rewritten.coalesce(1), dir, Seq(victim))
+    val feed = VersionedTable.changeFeed(spark, dir, Seq("k"), 1, 2)
+    val scanned = feed.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.take(1)).mkString("\n")
+    files.tail.foreach(f => assert(!scanned.contains(new Path(f).getName),
+      s"carried file $f must not be scanned:\n$scanned"))
+    val n = spark.read.parquet(s"$dir/$victim").count()
+    assert(feed.count() == 2 * n, "every victim-file row is an update pair")
+  }
+
   test("streaming commits are replay-idempotent per (queryId, batchId)") {
     val dir = tmp("txn")
     val b0 = (1 to 10).toDF("n")
