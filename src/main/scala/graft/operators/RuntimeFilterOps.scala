@@ -246,6 +246,74 @@ object RuntimeFilterOps {
              |       min(o_orderkey) AS min_key,
              |       max(o_orderkey) AS max_key,
              |       true AS used_footer
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    GQuery(
+      "join_skew_aqe",
+      (s, dir) => {
+        // AQE SKEW-JOIN SPLIT, oracle-gated (the runtime half of the
+        // skew story; [[Skew.saltedLatestWins]] is the static half for
+        // aggregates). The probe side funnels ~95% of lineitem onto one
+        // hot key, so one shuffle partition holds most of the data — at
+        // 100 TB that task runs for hours while its siblings idle. With
+        // broadcast off (the join must be the shuffle shape the
+        // optimization exists for) and fixture-sized thresholds, AQE
+        // observes the map output sizes and SPLITS the oversized
+        // partition across tasks, replicating the matching build rows.
+        // The plan flag needs the FINAL adaptive plan, which only exists
+        // after execution: the aggregate is materialized via
+        // localCheckpoint inside the conf scope, then `used_skew_split`
+        // reads the executed plan's skew markers. The oracle asserts the
+        // flag AND the hash — a split that dropped or duplicated hot-key
+        // rows fails the compare, a silently-disabled split fails the
+        // flag.
+        withConfs(s,
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+          val probe = Tables.t(s, dir, "lineitem").select(
+            when(col("l_orderkey") % 20 === 0, col("l_suppkey"))
+              .otherwise(lit(1L)).as("k"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_partkey"))
+          val build = Tables.t(s, dir, "supplier")
+            .select(col("s_suppkey").as("k"), col("s_name"))
+          // Two split preconditions learned by probing the rule:
+          //  1. the split unit is one MAPPER's output for the hot reduce
+          //     partition — the fixture's single-file scan yields ONE map
+          //     task, which is unsplittable, so the repartition(8) stands
+          //     in for the thousands of input splits a 100 TB table has;
+          //  2. the aggregate groups on a DIFFERENT key than the join:
+          //     AQE refuses to split a join whose output partitioning is
+          //     consumed as-is downstream (the split would ADD a
+          //     shuffle); grouping by bucket means the agg exchange
+          //     exists either way.
+          val q = probe.repartition(8).join(build, "k")
+            .groupBy(pmod(col("k"), lit(4)).as("bucket"))
+            .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+              sum("l_partkey").as("pk"), min("s_name").as("s_name"))
+          val done = q.localCheckpoint() // executes: AQE finalizes the plan
+          val fin = q.queryExecution.executedPlan.toString
+          val split = fin.contains("skew=true") || fin.contains("skewed")
+          done.withColumn("used_skew_split", lit(split)).orderBy("bucket")
+        }
+      },
+      Some("""WITH probe AS (SELECT CASE WHEN l_orderkey % 20 = 0 THEN l_suppkey
+             |                            ELSE 1 END AS k,
+             |                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |                      l_partkey
+             |               FROM lineitem)
+             |SELECT k % 4 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS cents,
+             |       CAST(sum(l_partkey) AS BIGINT) AS pk,
+             |       min(s_name) AS s_name,
+             |       true AS used_skew_split
+             |FROM probe JOIN supplier ON k = s_suppkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
