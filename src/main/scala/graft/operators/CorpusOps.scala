@@ -575,6 +575,69 @@ object CorpusOps {
              |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
     GQuery(
+      "corpus_js_divergence",
+      (s, dir) => {
+        // CORPUS DRIFT as pairwise JENSEN-SHANNON DIVERGENCE between
+        // the sources' unigram distributions — the bounded, symmetric
+        // alternative to raw KL (defined even where one source lacks a
+        // term: the mixture M = (P+Q)/2 is nonzero wherever either is).
+        // The monitoring primitive for "did this crawl/source shift?"
+        // at 100 TB: each source's distribution is ONE vocab-sized
+        // aggregate over the token stream (corpus-sized data passes
+        // once), the pair lattice is |sources|² rows, and the per-pair
+        // term union is a conditional-max aggregate keyed by (pair,
+        // term) — vocab-sized shuffles, never corpus-sized. Reported in
+        // bits (÷ln 2, so 0 = identical, 1 = disjoint), rounded 6 dp
+        // under a total order so cross-engine double-summation noise
+        // cannot flip the hash.
+        val tok = docs(s, dir).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val tf = tok.groupBy("source", "t")
+          .agg(count(lit(1)).cast("double").as("c"))
+        val tot = tf.groupBy("source").agg(sum("c").as("n"))
+        val u = tf.join(tot, "source")
+          .select(col("source"), col("t"), (col("c") / col("n")).as("p"))
+        val srcs = docs(s, dir).select("source").distinct()
+        val pr = srcs.as("a").join(srcs.as("b"),
+            col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"))
+        val ppair = broadcast(pr)
+          .join(u, col("source") === col("s1") || col("source") === col("s2"))
+          .groupBy("s1", "s2", "t")
+          .agg(
+            coalesce(max(when(col("source") === col("s1"), col("p"))), lit(0.0)).as("p"),
+            coalesce(max(when(col("source") === col("s2"), col("p"))), lit(0.0)).as("q"))
+        ppair.groupBy("s1", "s2")
+          .agg(round(
+            (sum(when(col("p") > 0, col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))).otherwise(lit(0.0))) +
+             sum(when(col("q") > 0, col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))).otherwise(lit(0.0))))
+              / (lit(2.0) * log(lit(2.0))), 6).as("jsd_bits"),
+            count(lit(1)).as("n_terms"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH tok AS (SELECT source,
+             |                    unnest(list_filter(string_split(text, ' '),
+             |                                       x -> x <> '')) AS t
+             |             FROM documents),
+             |  tf AS (SELECT source, t, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+             |  tot AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1),
+             |  u AS (SELECT tf.source, t, c / n AS p FROM tf JOIN tot USING (source)),
+             |  srcs AS (SELECT DISTINCT source FROM documents),
+             |  pr AS (SELECT a.source AS s1, b.source AS s2
+             |         FROM srcs a JOIN srcs b ON a.source < b.source),
+             |  ppair AS (SELECT s1, s2, t,
+             |                   coalesce(max(CASE WHEN u.source = s1 THEN p END), 0) AS p,
+             |                   coalesce(max(CASE WHEN u.source = s2 THEN p END), 0) AS q
+             |            FROM pr JOIN u ON u.source IN (s1, s2)
+             |            GROUP BY 1, 2, 3)
+             |SELECT s1, s2,
+             |       round((sum(CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END) +
+             |              sum(CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) ELSE 0 END))
+             |             / (2 * ln(2)), 6) AS jsd_bits,
+             |       CAST(count(*) AS BIGINT) AS n_terms
+             |FROM ppair GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    GQuery(
       "tfidf_top_terms",
       (s, dir) => {
         // Per-document top-3 terms by TF-IDF. Corpus statistics (doc

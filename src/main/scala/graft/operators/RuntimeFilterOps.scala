@@ -249,6 +249,44 @@ object RuntimeFilterOps {
              |FROM orders""".stripMargin)),
 
     GQuery(
+      "scan_orc_pushdown",
+      (s, dir) => {
+        // ORC ROUND-TRIP with predicate pushdown — the second columnar
+        // on-disk format next to parquet (warehouses routinely hold
+        // both; an engine that can only scan one can't be dropped in).
+        // Orders round-trip through ORC, then a selective read must
+        // push BOTH predicates into the ORC reader (searchArguments →
+        // row-group skipping via ORC's min/max indexes, the same scan
+        // economics as parquet row-groups at 100 TB). `pushed_orc`
+        // reads the pinned plan's PushedFilters for the equality AND
+        // the range predicate; the hash certifies the round-trip lost
+        // no rows and the pushdown dropped none it shouldn't.
+        val r = root(dir, "orders_orc")
+        Tables.t(s, dir, "orders").select(
+            col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").orc(r)
+        val q = s.read.orc(r)
+          .where(col("status") === "F" && col("cents") >= 10000000L)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        val plan = q.queryExecution.executedPlan.toString
+        val pushed = plan.contains("EqualTo(status,F)") &&
+          plan.contains("GreaterThanOrEqual(cents,10000000)")
+        pin(q.withColumn("pushed_orc", lit(pushed)).orderBy("priority"))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS pushed_orc
+             |FROM orders
+             |WHERE o_orderstatus = 'F'
+             |  AND CAST(round(o_totalprice * 100) AS BIGINT) >= 10000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "join_skew_aqe",
       (s, dir) => {
         // AQE SKEW-JOIN SPLIT, oracle-gated (the runtime half of the
