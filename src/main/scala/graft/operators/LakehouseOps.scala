@@ -321,6 +321,131 @@ object LakehouseOps {
              |FROM ch ORDER BY k, change_type""".stripMargin)),
 
     GQuery(
+      "versioned_merge_pruned",
+      (s, dir) => {
+        // FILE-PRUNED MERGE: orders commit range-clustered on a
+        // zero-padded key image across 8 stats-annotated files; the
+        // delta (updates, deletes, and above-domain inserts) touches
+        // only the LOW QUARTER of the key domain, so the merge must
+        // rewrite only the overlapping files and carry the rest
+        // verbatim — `pruned_rewrite` asserts rewritten < total, and
+        // the yearly aggregate of the post-merge table certifies no
+        // carried row was lost and no victim row escaped the rewrite.
+        // This is the bound that keeps copy-on-write MERGE viable at
+        // 100 TB: cost follows the delta's key locality, not table
+        // size.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_merge_pruned")
+        val src = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        def kid(c: org.apache.spark.sql.Column) =
+          lpad(c.cast("string"), 12, "0")
+        val base = src.select(kid(col("k")).as("kid"), col("cents"), col("year"))
+        VersionedTable.appendWithStats(
+          base.repartitionByRange(8, col("kid")), r, "kid")
+        val mx = src.agg(max("k")).head().getLong(0)
+        val qb = mx / 4
+        val delta =
+          src.where(col("k") <= qb && col("k") % 7 === 0 && col("k") % 11 =!= 0)
+            .select(kid(col("k")).as("kid"), (col("cents") + 777L).as("cents"),
+              col("year"), lit(false).as("__del"))
+          .unionByName(src.where(col("k") <= qb && col("k") % 11 === 0)
+            .select(kid(col("k")).as("kid"), col("cents"), col("year"),
+              lit(true).as("__del")))
+          .unionByName(src.where(col("k") <= qb && col("k") % 13 === 0)
+            .select(kid(col("k") + mx + 1L).as("kid"),
+              (col("cents") + 1L).as("cents"), col("year"),
+              lit(false).as("__del")))
+        val (_, rewritten, total) =
+          VersionedTable.mergePruned(s, r, delta, key = "kid",
+            deleteFlag = "__del")
+        VersionedTable.read(s, r)
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .withColumn("pruned_rewrite", lit(rewritten < total))
+          .orderBy("year")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |                     strftime(o_orderdate, '%Y') AS year
+             |              FROM orders),
+             |  p AS (SELECT max(k) // 4 AS qb, max(k) AS m FROM base),
+             |  fin AS (
+             |    SELECT CASE WHEN k <= (SELECT qb FROM p) AND k % 7 = 0
+             |                     AND k % 11 <> 0
+             |                THEN cents + 777 ELSE cents END AS cents, year
+             |    FROM base WHERE NOT (k <= (SELECT qb FROM p) AND k % 11 = 0)
+             |    UNION ALL
+             |    SELECT cents + 1, year FROM base
+             |    WHERE k <= (SELECT qb FROM p) AND k % 13 = 0)
+             |SELECT year, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS cents, true AS pruned_rewrite
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "agg_cdf_apply",
+      (s, dir) => {
+        // INCREMENTAL AGGREGATE MAINTENANCE FROM THE CHANGE FEED: the
+        // downstream consumer holds v1's yearly aggregate and must
+        // reach v2's WITHOUT rescanning the table — insert adds
+        // (+1, +cents), delete subtracts, an update applies its
+        // pre-image negatively and its post-image positively (the
+        // classic retract/accumulate pair). The maintained result must
+        // hash-equal a from-scratch aggregate of the final state; the
+        // inputs are v1's AGGREGATE (group-count-sized) plus the
+        // O(delta) feed — the consumption loop that makes a 100 TB
+        // dashboard refresh cost the day's changes, not the table.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_cdf_apply")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        VersionedTable.append(base.repartition(4), r)
+        val mx = base.agg(max("k")).head().getLong(0)
+        val delta = base.where(col("k") % 91 === 0 && col("k") % 97 =!= 0)
+            .withColumn("cents", col("cents") + 50000L)
+            .withColumn("__del", lit(false))
+          .unionByName(base.where(col("k") % 97 === 0)
+            .withColumn("__del", lit(true)))
+          .unionByName(base.where(col("k") % 89 === 0)
+            .select((col("k") + mx + 1L).as("k"), (col("cents") + 1L).as("cents"),
+              col("year"))
+            .withColumn("__del", lit(false)))
+        VersionedTable.merge(s, r, delta, keys = Seq("k"), deleteFlag = "__del")
+        val v1agg = VersionedTable.read(s, r, Some(1))
+          .groupBy("year")
+          .agg(count(lit(1)).as("dn"), sum("cents").as("dc"))
+        val ct = col("change_type")
+        val feedDeltas = VersionedTable.changeFeed(s, r, Seq("k"), 1, 2)
+          .select(col("year"),
+            when(ct === "insert", 1L).when(ct === "delete", -1L)
+              .otherwise(0L).as("dn"),
+            when(ct.isin("insert", "update_postimage"), col("cents"))
+              .otherwise(-col("cents")).as("dc"))
+        v1agg.unionByName(feedDeltas)
+          .groupBy("year")
+          .agg(sum("dn").as("n"), sum("dc").as("cents"))
+          .where(col("n") > 0)
+          .orderBy("year")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |                     strftime(o_orderdate, '%Y') AS year
+             |              FROM orders),
+             |  fin AS (
+             |    SELECT CASE WHEN k % 91 = 0 AND k % 97 <> 0 THEN cents + 50000
+             |                ELSE cents END AS cents, year
+             |    FROM base WHERE k % 97 <> 0
+             |    UNION ALL
+             |    SELECT cents + 1, year FROM base WHERE k % 89 = 0)
+             |SELECT year, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(cents) AS BIGINT) AS cents
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "versioned_schema_evolution",
       (s, dir) => {
         // SCHEMA EVOLUTION across commits: v1's files carry (k, cents);

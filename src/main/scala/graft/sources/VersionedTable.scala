@@ -268,7 +268,18 @@ object VersionedTable {
     * order (zero-padded numerics, ISO dates/timestamps) — the manifest
     * stores strings and [[readPruned]] compares them lexicographically.
     */
-  def appendWithStats(df: DataFrame, dir: String, statsCol: String): Long = {
+  def appendWithStats(df: DataFrame, dir: String, statsCol: String): Long =
+    publish(dir, stageWithStats(df, dir, statsCol), append = true)
+
+  /** Stage `df` and return full MANIFEST LINES carrying per-file
+    * [min,max] of `statsCol` — the shared staging step under
+    * [[appendWithStats]] and [[mergePruned]] (a pruned merge must leave
+    * its rewritten files with stats, or the NEXT merge degenerates to a
+    * full rewrite). One metadata-plane aggregate over the staged files,
+    * O(files) collected.
+    */
+  private def stageWithStats(df: DataFrame, dir: String,
+      statsCol: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val files = stageData(df, dir)
     val spark = df.sparkSession
@@ -279,13 +290,12 @@ object VersionedTable {
       .collect()
       .map(r => (new Path(r.getString(0)).getName, (r.getString(1), r.getString(2))))
       .toMap
-    val entries = files.map { rel =>
+    files.map { rel =>
       byFile.get(new Path(rel).getName) match {
         case Some((mn, mx)) => s"$rel\t$statsCol\t$mn\t$mx"
         case None => rel // an empty file has no stats rows; never skipped
       }
     }
-    publish(dir, entries, append = true)
   }
 
   /** Read `version` with MANIFEST-LEVEL SKIPPING for the predicate
@@ -714,6 +724,80 @@ object VersionedTable {
       .where(not(col(deleteFlag)))
       .drop(deleteFlag, "__src")
     overwrite(merged, dir)
+  }
+
+  /** FILE-PRUNED MERGE — copy-on-write bounded by the delta's keys,
+    * the bound [[merge]]'s doc promises: only files whose recorded
+    * [min,max] on `key` CONTAINS at least one delta key are rewritten;
+    * every other file is carried into the new version untouched (its
+    * manifest line — stats included — survives verbatim), and the
+    * commit is a conflict-detected [[replaceFiles]] transaction, so a
+    * concurrent writer over disjoint files still lands. At 100 TB with
+    * range-clustered commits this is the difference between rewriting
+    * the table and rewriting the slice the delta touches.
+    *
+    * Requirements: the table was committed with [[appendWithStats]] on
+    * `key` using an ORDER-PRESERVING string image (files lacking `key`
+    * stats are conservatively rewritten), and keys are unique per
+    * snapshot. Victim detection is ONE pass over the delta against the
+    * O(files) range list (each key probes the literal range array; the
+    * distinct victim indexes — bounded by the file count — come back to
+    * the driver, the same metadata-plane shape as every manifest
+    * operation here). Delta rows whose key lands in NO file (true
+    * inserts) are committed alongside; delta deletes for absent keys
+    * are no-ops. Rewritten output is re-range-clustered on `key` and
+    * re-annotated, so repeated merges stay pruned. Returns
+    * (newVersion, rewrittenFiles, totalFiles).
+    */
+  def mergePruned(spark: SparkSession, dir: String, delta: DataFrame,
+      key: String, deleteFlag: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val (tip, _) = currentSnapshot(dir)
+    val entries = dataLines(readManifest(fs(dir), dir, tip)).map(parseEntry)
+    val ranged = entries.zipWithIndex.map {
+      case ((p, Some((c, mn, mx))), i) if c == key => (p, i, Some((mn, mx)))
+      case ((p, _), i) => (p, i, None) // missing/foreign stats: always victim
+    }
+    val statless = ranged.collect { case (p, _, None) => p }
+    val probeRanges = ranged.collect { case (_, i, Some((mn, mx))) =>
+      struct(lit(i).as("i"), lit(mn).as("mn"), lit(mx).as("mx"))
+    }
+    val hitIdx: Set[Int] =
+      if (probeRanges.isEmpty) Set.empty
+      else {
+        val ki = col(key).cast("string")
+        delta.select(explode(filter(array(probeRanges: _*),
+            r => ki >= r.getField("mn") && ki <= r.getField("mx"))).as("r"))
+          .select(col("r.i")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
+    val victims = statless ++ ranged.collect {
+      case (p, i, Some(_)) if hitIdx(i) => p
+    }
+    val total = entries.size
+    val d = delta.withColumn("__src", lit(1L))
+    val resolve: DataFrame => DataFrame = { all =>
+      val payload = all.columns.filterNot(_ == key)
+      all.groupBy(col(key))
+        .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), col("__src")).as("__m"))
+        .select(col(key) +: payload.map(c => col(s"__m.`$c`").as(c)): _*)
+        .where(not(col(deleteFlag)))
+        .drop(deleteFlag, "__src")
+    }
+    if (victims.isEmpty) {
+      // no base file holds any delta key: every surviving delta row is
+      // a pure insert (dedup within the delta itself still applies)
+      val inserts = resolve(d)
+      return (publish(dir, stageWithStats(
+        inserts.repartitionByRange(1, col(key)), dir, key), append = true),
+        0, total)
+    }
+    val base = spark.read.parquet(victims.map(rel => s"$dir/$rel"): _*)
+      .withColumn(deleteFlag, lit(false)).withColumn("__src", lit(0L))
+    val merged = resolve(base.unionByName(d))
+      .repartitionByRange(math.max(1, victims.size), col(key))
+    (commitReplace(dir, victims, stageWithStats(merged, dir, key)),
+      victims.size, total)
   }
 
   // ---- idempotent streaming commits ----

@@ -194,6 +194,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed.count() == 2 * n, "every victim-file row is an update pair")
   }
 
+  test("mergePruned rewrites only key-overlapping files; carried lines keep stats") {
+    val dir = tmp("mp")
+    val base = (1 to 400).map(i => (f"$i%06d", s"v$i")).toDF("k", "payload")
+    VersionedTable.appendWithStats(base.repartitionByRange(8, col("k")), dir, "k")
+    // delta confined to the low end of the domain + one true insert
+    val delta = Seq(
+      ("000003", "v3-new", false), ("000007", "", true), ("900001", "ins", false))
+      .toDF("k", "payload", "del")
+    val (v2, rewritten, total) =
+      VersionedTable.mergePruned(spark, dir, delta, "k", "del")
+    assert(v2 == 2L && total == 8 && rewritten < total,
+      s"expected a partial rewrite, got $rewritten/$total")
+    val state = VersionedTable.read(spark, dir).as[(String, String)]
+      .collect().toMap
+    assert(state.size == 400 && state("000003") == "v3-new" &&
+      !state.contains("000007") && state("900001") == "ins")
+    // every manifest line at v2 still carries k-stats → the NEXT pruned
+    // merge can skip again (a stats-less rewrite would degrade to full)
+    val statless = VersionedTable.history(dir) // force chain readable
+    assert(statless.nonEmpty)
+    val (_, rw2, tot2) = VersionedTable.mergePruned(spark, dir,
+      Seq(("000005", "v5-new", false)).toDF("k", "payload", "del"), "k", "del")
+    assert(rw2 == 1 && tot2 > 1,
+      s"second merge must stay pruned: rewrote $rw2/$tot2")
+  }
+
+  test("mergePruned with no overlapping file appends pure inserts, rewrites nothing") {
+    val dir = tmp("mp_ins")
+    VersionedTable.appendWithStats(
+      (1 to 50).map(i => (f"$i%06d", s"v$i")).toDF("k", "payload")
+        .repartitionByRange(4, col("k")), dir, "k")
+    val (v2, rewritten, total) = VersionedTable.mergePruned(spark, dir,
+      Seq(("900001", "a", false), ("900002", "b", false))
+        .toDF("k", "payload", "del"), "k", "del")
+    assert(v2 == 2L && rewritten == 0 && total == 4)
+    assert(VersionedTable.read(spark, dir).count() == 52)
+    assert(VersionedTable.read(spark, dir, Some(1)).count() == 50)
+  }
+
   test("streaming commits are replay-idempotent per (queryId, batchId)") {
     val dir = tmp("txn")
     val b0 = (1 to 10).toDF("n")
