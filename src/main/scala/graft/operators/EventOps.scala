@@ -243,6 +243,47 @@ object EventOps {
              |ORDER BY user_id, match_start""".stripMargin)),
 
     GQuery(
+      "events_absence_alert",
+      (s, dir) => {
+        // CEP NEGATION ("A not followed by B within T"): views with NO
+        // purchase by the same user inside the following hour. The
+        // naive shape is a per-view range anti-join (quadratic per hot
+        // user at 100 TB); instead ONE window pass computes each row's
+        // next-purchase time — min of a conditional over the FOLLOWING
+        // frame — and the absence test is a scalar compare. One shuffle
+        // on user_id, no self-join, ties broken by event_id so both
+        // engines agree on "following".
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"),
+            min(when(col("event_type") === "purchase", col("ts")))
+              .over(w).as("next_purchase"))
+          .where(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_views"),
+            sum(when(col("next_purchase").isNull ||
+                col("next_purchase") > col("ts") + expr("INTERVAL 1 HOUR"), 1L)
+              .otherwise(0L)).as("n_unconverted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH w AS (SELECT user_id, ts::TIMESTAMP AS t, event_type,
+             |                  min(CASE WHEN event_type = 'purchase'
+             |                           THEN ts::TIMESTAMP END)
+             |                    OVER (PARTITION BY user_id
+             |                          ORDER BY ts::TIMESTAMP, event_id
+             |                          ROWS BETWEEN 1 FOLLOWING
+             |                               AND UNBOUNDED FOLLOWING) AS next_purchase
+             |           FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+             |       CAST(sum(CASE WHEN next_purchase IS NULL
+             |                       OR next_purchase > t + INTERVAL 1 HOUR
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted
+             |FROM w WHERE event_type = 'view'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
       "events_twap",
       (s, dir) => {
         // Time-weighted average value per user (the TWAP/telemetry-gauge

@@ -499,6 +499,55 @@ object LakehouseOps {
              |ORDER BY priority""".stripMargin)),
 
     GQuery(
+      "versioned_purge_key",
+      (s, dir) => {
+        // COMPLIANCE PURGE (right-to-be-forgotten): deleting a subject's
+        // rows from the LATEST version is not enough — time travel
+        // would still serve them. The purge is a merge-delete commit
+        // followed by a vacuum that retains ONLY the post-delete
+        // version: the pre-delete manifests drop and their
+        // now-unreferenced data files are PHYSICALLY deleted. Three
+        // oracle-asserted proofs: `single_version` (no snapshot that
+        // could still serve the subject survives), `files_purged`
+        // (bytes actually left disk — a vacuum that only forgot
+        // manifests fails), and `subject_gone` (a full read of every
+        // retained version finds zero subject rows). The yearly
+        // aggregate certifies the purge removed exactly the subject and
+        // nothing else. At 100 TB the cost profile is the merge's
+        // rewrite (boundable by [[graft.sources.VersionedTable.mergePruned]]
+        // when commits are key-clustered) + an O(files) vacuum listing.
+        import graft.sources.VersionedTable
+        val r = root(dir, "orders_purge")
+        val base = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        VersionedTable.append(base.repartition(4), r)
+        val delta = base.where(col("k") % 53 === 0).withColumn("__del", lit(true))
+        VersionedTable.merge(s, r, delta, keys = Seq("k"), deleteFlag = "__del")
+        val (droppedManifests, deletedFiles) = VersionedTable.vacuum(r, retainVersions = 1)
+        val singleVersion = VersionedTable.versions(r).size == 1
+        val subjectGone = VersionedTable.versions(r).forall(v =>
+          VersionedTable.read(s, r, Some(v))
+            .where(col("k") % 53 === 0).isEmpty)
+        VersionedTable.read(s, r)
+          .groupBy("year")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .withColumn("single_version", lit(singleVersion && droppedManifests == 1))
+          .withColumn("files_purged", lit(deletedFiles > 0))
+          .withColumn("subject_gone", lit(subjectGone))
+          .orderBy("year")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS single_version,
+             |       true AS files_purged,
+             |       true AS subject_gone
+             |FROM orders WHERE o_orderkey % 53 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "orders_bitemporal_asof",
       (s, dir) => {
         // BITEMPORAL AS-OF: valid time (when the order was effective)
