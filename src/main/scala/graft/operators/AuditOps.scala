@@ -391,6 +391,72 @@ object AuditOps {
              |       coalesce(runs_status, -1) AS runs_status,
              |       coalesce(runs_month, -1) AS runs_month
              |FROM (SELECT * FROM rp UNION ALL SELECT * FROM rs UNION ALL SELECT * FROM rm)
-             |ORDER BY candidate""".stripMargin))
+             |ORDER BY candidate""".stripMargin)),
+
+    GQuery(
+      "table_merkle_repair",
+      (s, dir) => {
+        // ANTI-ENTROPY REPAIR between two replicas of a keyed table
+        // (the cross-region sync primitive): instead of shipping or
+        // comparing 100 TB row-by-row, each side reduces to 64 BUCKET
+        // FINGERPRINTS — an order-independent sum of row hashes plus a
+        // count, one map-side-combinable aggregate each — and only the
+        // buckets whose fingerprints disagree move: the replica's
+        // diverged buckets are dropped and refilled from the primary.
+        // Buckets are KEY RANGES (like the real formats' clustering),
+        // so the injected divergence — corrupted payloads and missing
+        // rows confined to the low quarter of the key domain — touches
+        // a strict subset of buckets AT EVERY SCALE FACTOR;
+        // `repaired_partial` asserts the repair moved SOME but not ALL
+        // buckets (a whole-table copy fails the flag), and
+        // `equal_after` re-fingerprints both sides post-repair. The
+        // yearly aggregate of the repaired replica must hash-equal the
+        // primary's — certifying the fingerprint diff found every
+        // divergence the injection planted.
+        val primary = orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          date_format(col("o_orderdate"), "yyyy").as("year"))
+        val mx = primary.agg(max("k")).head().getLong(0)
+        val qb = mx / 4
+        def bucket = (col("k") * 64L / (mx + 1L)).cast("long")
+        val replica = primary
+          .where(not(col("k") <= qb && col("k") % 7 === 0)) // missing rows
+          .withColumn("cents",
+            when(col("k") <= qb && col("k") % 5 === 0, col("cents") + 9L)
+              .otherwise(col("cents"))) // corrupted payloads
+        // XOR-fold of row hashes: order-independent, overflow-free
+        // under ANSI (a modular SUM would need try_add), collision-safe
+        // here because keys are unique per replica; the count guards
+        // the degenerate duplicate-pair cancellation anyway
+        def fp(df: DataFrame) = df
+          .groupBy(bucket.as("b"))
+          .agg(bit_xor(xxhash64(col("k"), col("cents"), col("year"))).as("h"),
+            count(lit(1)).as("n"))
+        def divergedBuckets(a: DataFrame, b: DataFrame): Seq[Long] =
+          fp(a).withColumnRenamed("h", "h1").withColumnRenamed("n", "n1")
+            .join(fp(b).withColumnRenamed("h", "h2").withColumnRenamed("n", "n2"),
+              Seq("b"), "full_outer")
+            .where(not(col("h1") <=> col("h2")) || not(col("n1") <=> col("n2")))
+            .select("b").collect().map(_.getLong(0)).toSeq
+        val diverged = divergedBuckets(primary, replica)
+        val dl = diverged.map(lit(_))
+        val repaired =
+          replica.where(not(bucket.isin(dl: _*)))
+            .unionByName(primary.where(bucket.isin(dl: _*)))
+        val equalAfter = divergedBuckets(primary, repaired).isEmpty
+        repaired.groupBy("year")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .withColumn("repaired_partial",
+            lit(diverged.nonEmpty && diverged.size < 64))
+          .withColumn("equal_after", lit(equalAfter))
+          .orderBy("year")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS year,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS repaired_partial,
+             |       true AS equal_after
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -41,6 +41,44 @@ object MoreOps {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "events_distinct_sliding_bitmap",
+      (s, dir) => {
+        // EXACT trailing-7-day distinct users per day — the sliding
+        // window where HLL would approximate and count(DISTINCT) per
+        // window rescans 7× the data. Shape: reduce once to DAILY
+        // bitmap blocks (map-side-combinable bit_or, the same blocks as
+        // agg_bitmap_distinct), then each daily block FANS OUT to the ≤7
+        // windows it serves (a map-side explode of factor 7 — no range
+        // join, no re-scan) and the per-window OR-merge + popcount runs
+        // on block-sized rows. At 100 TB the daily bitmap layer is the
+        // only corpus-sized pass; every window after that costs
+        // |days × touched blocks|. The oracle is the exact per-window
+        // count(DISTINCT) — the merge must reproduce it bit-perfect.
+        val daily = Tables.t(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+          .groupBy(col("d"), (col("user_id") / 64).cast("long").as("blk"))
+          .agg(bit_or(expr("shiftleft(1L, cast(pmod(user_id, 64) as int))"))
+            .as("bits"))
+        val days = daily.select(col("d").as("day")).distinct()
+        daily
+          .withColumn("day", explode(expr("sequence(d, date_add(d, 6))")))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy("day", "blk")
+          .agg(bit_or(col("bits")).as("bits"))
+          .groupBy("day")
+          .agg(sum(bit_count(col("bits"))).cast("long").as("n_users_7d"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_users_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+             |  days AS (SELECT DISTINCT d AS day FROM e)
+             |SELECT strftime(day, '%Y-%m-%d') AS day,
+             |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_7d
+             |FROM days JOIN e ON e.d BETWEEN day - 6 AND day
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
+    GQuery(
       "agg_kmv_intersect",
       (s, dir) => {
         // SET-EXPRESSION CARDINALITY from MERGEABLE KMV (k-minimum-
