@@ -575,6 +575,47 @@ object CorpusOps {
              |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
     GQuery(
+      "text_inverted_index_serve",
+      (s, dir) => {
+        // INVERTED-INDEX SERVING: the postings table (doc_id per
+        // distinct term) lands on disk PARTITIONED BY TERM — the layout
+        // that makes a conjunctive query read |postings of the query
+        // terms|, not |corpus|. The 3-term AND is served as a partition-
+        // pruned scan of exactly 3 term directories + one groupBy
+        // counting term hits per doc (n = 3 ⇔ all terms present);
+        // `pruned` reads the pinned plan's PartitionFilters for the
+        // term predicate, so an index layout that silently stopped
+        // pruning fails the oracle. At 100 TB the term dirs become
+        // term-bucketed files, same economics. The hash compare
+        // certifies the index serves EXACTLY the scan-and-filter truth.
+        val r = s"/tmp/graft_invidx/${new java.io.File(dir).getName}/postings"
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+          .write.mode("overwrite").partitionBy("term").parquet(r)
+        val terms = Seq("spark", "window", "hash")
+        val probe = s.read.parquet(r).where(col("term").isin(terms.map(lit): _*))
+        val pruned = probe.queryExecution.executedPlan.toString
+          .contains("PartitionFilters: [term")
+        probe.groupBy("doc_id", "lang", "n_chars")
+          .agg(count(lit(1)).as("n_terms_hit"))
+          .where(col("n_terms_hit") === terms.size)
+          .withColumn("pruned", lit(pruned))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+             |                  unnest(list_distinct(list_filter(
+             |                    string_split(text, ' '), x -> x <> ''))) AS term
+             |           FROM documents)
+             |SELECT doc_id, lang, n_chars,
+             |       CAST(count(*) AS BIGINT) AS n_terms_hit, true AS pruned
+             |FROM t WHERE term IN ('spark', 'window', 'hash')
+             |GROUP BY 1, 2, 3 HAVING count(*) = 3
+             |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "corpus_js_divergence",
       (s, dir) => {
         // CORPUS DRIFT as pairwise JENSEN-SHANNON DIVERGENCE between
