@@ -537,6 +537,71 @@ object Extras {
              |ORDER BY user_id, session_start""".stripMargin)),
 
     GQuery(
+      "streaming_absence_alert",
+      (s, dir) => {
+        // Streaming CEP NEGATION differential: "view NOT followed by a
+        // purchase within 1 hour" — the alert a join cannot produce
+        // incrementally, because it asserts a row's ABSENCE and only
+        // the watermark can prove the future row isn't coming. Events
+        // stream from the file source through the timer-based
+        // AbsenceProcessor (pending views retracted by converting
+        // purchases; event-time timers fire the survivors once the
+        // watermark passes their deadline); far-future sentinels close
+        // the stream so every undecided view gets its verdict. Must
+        // equal the batch NOT EXISTS anti-join per user, at full
+        // microsecond precision.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val maxTs = Tables.t(s, dir, "events")
+            .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
+          val bulk = Sources.eventsStream(s, dir)
+            .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+              col("event_type"))
+          val ms = MemoryStream[StreamingIngest.FunnelEvent]
+          val src = bulk.union(ms.toDF()).as[StreamingIngest.FunnelEvent]
+          s.catalog.dropTempView("absence_sink")
+          StreamingIngest.withStateShards(s, 8) {
+            val q = StreamingIngest.absenceAlerts(src, horizonUs = 3600L * 1000000L)
+              .writeStream.format("memory").queryName("absence_sink")
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              (1 to 2).foreach { i =>
+                ms.addData(StreamingIngest.FunnelEvent(-1L,
+                  new java.sql.Timestamp(maxTs + i * 36000000L), "sentinel"))
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+          s.table("absence_sink")
+            .where(col("user_id") =!= -1L)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_unconverted"))
+            .orderBy("user_id").localCheckpoint()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        }
+      },
+      Some("""WITH v AS (SELECT user_id, ts::TIMESTAMP AS t FROM events
+             |           WHERE event_type = 'view'),
+             |     p AS (SELECT user_id, ts::TIMESTAMP AS t FROM events
+             |           WHERE event_type = 'purchase')
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_unconverted
+             |FROM v WHERE NOT EXISTS (SELECT 1 FROM p
+             |                         WHERE p.user_id = v.user_id
+             |                           AND p.t > v.t
+             |                           AND p.t <= v.t + INTERVAL 1 HOUR)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
       "streaming_windowed_counts",
       (s, dir) => {
         // Differential check of STREAMING EVENT-TIME WINDOWS: stream the

@@ -570,6 +570,83 @@ object StreamingIngest {
         TimeMode.None(), OutputMode.Append)
   }
 
+  /** One unconverted view: the CEP-negation alert. */
+  case class AbsAlert(user_id: Long, view_us: Long)
+
+  /** Streaming CEP NEGATION ("view NOT followed by purchase within the
+    * horizon") on [[StatefulProcessor]] with EVENT-TIME TIMERS — the
+    * pattern class a join can never express incrementally, because the
+    * alert condition is the ABSENCE of a future row and only the
+    * watermark can prove a future row will not come. Per user, state is
+    * the pending (unconverted) view times; a purchase retracts every
+    * pending view it converts (strictly-before, within horizon), and a
+    * view registers a timer just past its deadline — when the watermark
+    * passes it, any still-pending view at or before the deadline is
+    * emitted as an alert and dropped. State is O(pending views), not
+    * O(history); timestamps ride in MICROS (the conversion test must
+    * match the batch oracle's full precision; timers are millisecond-
+    * rounded UP so a timer can never fire before its own deadline).
+    */
+  class AbsenceProcessor(horizonUs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, AbsAlert] {
+    @transient private var pending: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[Long]("pending",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+        tv: TimerValues): Iterator[AbsAlert] = {
+      var p = pending.get().toVector
+      var changed = false
+      rows.toArray.sortBy(e => micros(e.ts)).foreach { e =>
+        val t = micros(e.ts)
+        e.event_type match {
+          case "view" =>
+            p = p :+ t
+            changed = true
+            // ceil to ms so watermark(deadline) has truly passed at fire
+            getHandle.registerTimer((t + horizonUs) / 1000L + 1L)
+          case "purchase" =>
+            val keep = p.filterNot(v => v < t && t <= v + horizonUs)
+            if (keep.length != p.length) { p = keep; changed = true }
+          case _ => () // other event types (and sentinels) are inert
+        }
+      }
+      if (changed) {
+        pending.clear()
+        if (p.nonEmpty) pending.appendList(p.toArray)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AbsAlert] = {
+      val cutUs = info.getExpiryTimeInMs() * 1000L
+      val p = pending.get().toVector
+      val (fire, keep) = p.partition(v => v + horizonUs < cutUs)
+      if (fire.nonEmpty) {
+        pending.clear()
+        if (keep.nonEmpty) pending.appendList(keep.toArray)
+      }
+      fire.sorted.iterator.map(v => AbsAlert(uid, v))
+    }
+  }
+
+  /** [[AbsenceProcessor]] through `transformWithState` (event-time
+    * timers, watermark-driven).
+    */
+  def absenceAlerts(ds: Dataset[FunnelEvent], horizonUs: Long): Dataset[AbsAlert] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new AbsenceProcessor(horizonUs),
+        TimeMode.EventTime(), OutputMode.Append)
+  }
+
   /** One match of the streaming sequence pattern. */
   case class SeqMatch(user_id: Long, match_start: java.sql.Timestamp)
 
