@@ -287,6 +287,81 @@ object RuntimeFilterOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "join_aqe_broadcast_switch",
+      (s, dir) => {
+        // AQE JOIN-STRATEGY SWITCH: the static planner sees an
+        // unfilterable-looking build side (stats unknown after a
+        // selective filter) and plans a sort-merge join; at runtime the
+        // materialized build stage turns out tiny, and AQE REPLANS the
+        // join as a broadcast — the probe side's shuffle is cancelled
+        // (local read), which at 100 TB is the difference between
+        // shuffling the fact table and shipping a few megabytes. The
+        // static broadcast threshold is forced to -1 so ONLY the
+        // adaptive threshold can trigger the switch; both flags come
+        // from the plans (static = SMJ, final = BHJ after execution),
+        // so a silently-dead runtime replan fails the oracle.
+        withConfs(s,
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") {
+          val li = Tables.t(s, dir, "lineitem")
+            .select(col("l_partkey"), round(col("l_extendedprice") * 100)
+              .cast("long").as("cents"))
+          val pt = Tables.t(s, dir, "part")
+            .where(col("p_size") === 1) // runtime-tiny build side
+            .select(col("p_partkey"), col("p_brand"))
+          val q = li.join(pt, col("l_partkey") === col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          val staticSmj = q.queryExecution.executedPlan.toString
+            .contains("SortMergeJoin")
+          val done = q.localCheckpoint() // executes: AQE finalizes
+          val switched = q.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin")
+          done.withColumn("aqe_switched", lit(staticSmj && switched))
+            .orderBy("p_brand")
+        }
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS aqe_switched
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
+      "agg_aqe_coalesce",
+      (s, dir) => {
+        // AQE PARTITION COALESCING: a 32-partition shuffle whose output
+        // is a few KB leaves 32 near-empty reducers — at 1000 executors
+        // that's scheduling overhead and tiny-file output for nothing.
+        // AQE reads the map output sizes and merges the reducers down
+        // to the advisory size; `coalesced` asserts the final plan's
+        // AQEShuffleRead actually merged (fewer partitions than the
+        // static shuffle), read from the executed adaptive plan. The
+        // hash certifies merging changed nothing.
+        withConfs(s,
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB") {
+          val q = Tables.t(s, dir, "orders")
+            .groupBy(col("o_orderpriority").as("priority"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          val done = q.localCheckpoint()
+          val fin = q.queryExecution.executedPlan.toString
+          val coalesced = fin.contains("AQEShuffleRead coalesced")
+          done.withColumn("coalesced", lit(coalesced)).orderBy("priority")
+        }
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       true AS coalesced
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "join_skew_aqe",
       (s, dir) => {
         // AQE SKEW-JOIN SPLIT, oracle-gated (the runtime half of the
