@@ -301,6 +301,41 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  /** Small keyed base (unique keys) + a delta over an overlapping key
+    * space (updates/deletes hit base keys, inserts miss), one action per
+    * delta key — the MERGE precondition.
+    */
+  private val keyedTableAndDelta: Gen[(List[(Long, String)], List[(Long, String, Boolean)])] =
+    for {
+      baseKeys <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 9L)).map(_.distinct.take(8))
+      delta <- Gen.listOf(for {
+        k <- Gen.chooseNum(0L, 14L)
+        del <- Gen.oneOf(true, false)
+        msg <- Gen.alphaNumStr.map(s => s"d${s.take(3)}")
+      } yield (k, msg, del))
+        .map(_.groupBy(_._1).map(_._2.head).toList.take(8))
+    } yield (baseKeys.map(k => (k, s"v$k")), delta)
+
+  property("changeFeed applied to v1 reconstructs v2 (round-trip law)") =
+    forAll(keyedTableAndDelta) { case (base, delta) =>
+      import graft.sources.VersionedTable
+      val dir = java.nio.file.Files.createTempDirectory("cdf_prop").toString + "/t"
+      VersionedTable.append(base.toDF("k", "payload"), dir)
+      VersionedTable.merge(spark, dir,
+        delta.toDF("k", "payload", "del"), keys = Seq("k"), deleteFlag = "del")
+      val feed = VersionedTable.changeFeed(spark, dir, Seq("k"), 1, 2)
+        .as[(Long, String, String)].collect()
+      val applied = feed.foldLeft(base.toMap) {
+        case (m, (k, "insert", p))           => m + (k -> p)
+        case (m, (k, "update_postimage", p)) => m + (k -> p)
+        case (m, (k, "delete", _))           => m - k
+        case (m, (_, "update_preimage", _))  => m
+        case (_, (_, ct, _)) => sys.error(s"unknown change_type $ct")
+      }
+      val v2 = VersionedTable.read(spark, dir).as[(Long, String)].collect().toMap
+      applied == v2
+    }
+
   // Spark job per case — 10 cases hits plenty of collision/shuffle
   // variety with the 7-key space above
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
