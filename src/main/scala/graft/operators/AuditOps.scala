@@ -394,6 +394,57 @@ object AuditOps {
              |ORDER BY candidate""".stripMargin)),
 
     GQuery(
+      "join_size_estimate",
+      (s, dir) => {
+        // JOIN-CARDINALITY ESTIMATION audit — the CBO primitive that
+        // decides broadcast vs shuffle and join order at 100 TB, made
+        // inspectable: equi-width histograms (16 buckets over the key
+        // domain) on both join sides, the classic containment estimate
+        // |A⋈B|ᵦ = n_a·n_b / max(d_a, d_b) per bucket, and the EXACT
+        // per-bucket join count beside it. Histogram build = one
+        // aggregate per side over (key) only; the estimate itself
+        // touches 16 rows. Integer arithmetic end-to-end so both
+        // engines produce bit-identical estimates; the exact column is
+        // the ground truth the estimator is judged against (TPC-H's
+        // uniform FK makes it tight here; skew would split them — which
+        // is exactly what the audit is FOR).
+        val o = orders(s, dir).select(col("o_custkey").as("k"))
+        val c = Tables.t(s, dir, "customer").select(col("c_custkey").as("k"))
+        val mx = c.agg(max("k")).head().getLong(0)
+        def bucket = (col("k") * 16L / (mx + 1L)).cast("long")
+        def hist(df: DataFrame, pre: String) = df.groupBy(bucket.as("b"))
+          .agg(count(lit(1)).as(s"n_$pre"), countDistinct(col("k")).as(s"d_$pre"))
+        val est = hist(o, "o").join(hist(c, "c"), "b")
+          .select(col("b"), col("n_o"), col("d_o"), col("n_c"), col("d_c"),
+            (col("n_o") * col("n_c") / greatest(col("d_o"), col("d_c")))
+              .cast("long").as("est"))
+        val exact = o.join(c, "k").groupBy(bucket.as("b"))
+          .agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("b"), "left_outer")
+          .select(col("b"), col("n_o"), col("d_o"), col("n_c"), col("d_c"),
+            col("est"), coalesce(col("exact"), lit(0L)).as("exact"))
+          .orderBy("b")
+      },
+      Some("""WITH p AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+             |  ho AS (SELECT o_custkey * 16 // (SELECT m FROM p) AS b,
+             |                CAST(count(*) AS BIGINT) AS n_o,
+             |                CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_o
+             |         FROM orders GROUP BY 1),
+             |  hc AS (SELECT c_custkey * 16 // (SELECT m FROM p) AS b,
+             |                CAST(count(*) AS BIGINT) AS n_c,
+             |                CAST(count(DISTINCT c_custkey) AS BIGINT) AS d_c
+             |         FROM customer GROUP BY 1),
+             |  ex AS (SELECT o_custkey * 16 // (SELECT m FROM p) AS b,
+             |                CAST(count(*) AS BIGINT) AS exact
+             |         FROM orders JOIN customer ON o_custkey = c_custkey
+             |         GROUP BY 1)
+             |SELECT ho.b, n_o, d_o, n_c, d_c,
+             |       CAST(n_o * n_c // greatest(d_o, d_c) AS BIGINT) AS est,
+             |       coalesce(exact, 0) AS exact
+             |FROM ho JOIN hc ON ho.b = hc.b LEFT JOIN ex ON ho.b = ex.b
+             |ORDER BY ho.b""".stripMargin)),
+
+    GQuery(
       "table_merkle_repair",
       (s, dir) => {
         // ANTI-ENTROPY REPAIR between two replicas of a keyed table

@@ -357,6 +357,49 @@ object Extras {
              |GROUP BY digest ORDER BY keeper""".stripMargin)),
 
     GQuery(
+      "multimodal_pack_shards",
+      (s, dir) => {
+        // SHARD PACKING for blob training data (the WebDataset/tar-shard
+        // shape): media blobs pack into ~64 KB shards by a running byte
+        // total in media_id order. The PLANNING pass touches only
+        // (media_id, n_bytes) — 16 bytes per blob, never the payload;
+        // the blobs themselves would be copied shard-by-shard by workers
+        // reading the assignment, so at 100 TB the plan is metadata-
+        // sized and the byte movement is embarrassingly parallel per
+        // shard. Same two-pass distributed cumulative shape as
+        // docs_pack_sequential (per-partition subtotals broadcast as
+        // offsets — no global single-partition window at scale). The
+        // differential emits per-shard blob counts and byte totals; a
+        // packing that split a blob, dropped one, or drifted the
+        // boundary rule fails the hash.
+        import org.apache.spark.sql.expressions.Window
+        val media = graft.multimodal.Multimodal.syntheticMedia(
+          Tables.t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+        val w = Window.orderBy("media_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        media.select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"))
+          .withColumn("cum", sum("n_bytes").over(w))
+          .select(col("media_id"), col("n_bytes"),
+            expr("(cum - n_bytes) div 65536").as("shard"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_blobs"), sum("n_bytes").as("bytes"),
+            min("media_id").as("first_id"), max("media_id").as("last_id"))
+          .orderBy("shard")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |                  CAST(len(text) + 32 AS BIGINT) AS n_bytes
+             |           FROM documents),
+             |     c AS (SELECT media_id, n_bytes,
+             |                  sum(n_bytes) OVER (ORDER BY media_id
+             |                                     ROWS UNBOUNDED PRECEDING) AS cum
+             |           FROM m)
+             |SELECT CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard,
+             |       CAST(count(*) AS BIGINT) AS n_blobs,
+             |       CAST(sum(n_bytes) AS BIGINT) AS bytes,
+             |       min(media_id) AS first_id, max(media_id) AS last_id
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "streaming_latest_upsert",
       (s, dir) => {
         // Differential check of the STREAMING engine: drive events from a
