@@ -28,7 +28,7 @@ object StreamProbe {
       if (args.nonEmpty) args.toSeq
       else Seq("streaming_latest_upsert", "streaming_tws_upsert",
         "streaming_sessionize", "streaming_neardup_dedup",
-        "streaming_kafkalog_tws_upsert")
+        "streaming_kafkalog_tws_upsert", "streaming_absence_alert")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -287,6 +287,38 @@ object RuntimeFilterOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "window_topk_group_limit",
+      (s, dir) => {
+        // WINDOW GROUP LIMIT pushdown (Spark's InferWindowGroupLimit):
+        // a rank-filter under a window normally sorts EVERY group's
+        // rows before the rn<=k predicate drops them; the optimizer
+        // instead plants a WindowGroupLimit below the shuffle that
+        // keeps only each partition's top-k candidates — at 100 TB the
+        // difference between sorting the table and sorting k rows per
+        // group per mapper. `group_limited` asserts the physical
+        // WindowGroupLimit operator in the pinned plan (partial AND
+        // final — the partial one is the map-side win), so a planner
+        // regression fails the oracle, not a benchmark.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        val q = Tables.t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        val plan = q.queryExecution.executedPlan.toString
+        val limited = plan.contains("WindowGroupLimit")
+        pin(q.withColumn("group_limited", lit(limited))
+          .orderBy("o_custkey", "rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn, true AS group_limited FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 2
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    GQuery(
       "join_aqe_broadcast_switch",
       (s, dir) => {
         // AQE JOIN-STRATEGY SWITCH: the static planner sees an
