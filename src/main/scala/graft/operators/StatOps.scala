@@ -370,6 +370,60 @@ object StatOps {
              |       round(avg(y - theta * (x - mx)), 4) AS mean_adj,
              |       round(var_pop(y), 4) AS var_post,
              |       round(var_pop(y - theta * (x - mx)), 4) AS var_adj
-             |FROM pu, th GROUP BY 1 ORDER BY arm""".stripMargin))
+             |FROM pu, th GROUP BY 1 ORDER BY arm""".stripMargin)),
+
+    GQuery(
+      "events_diff_in_diff",
+      (s, dir) => {
+        // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+        // next to CUPED: treatment effect = (post−pre) in the treated
+        // arm MINUS (post−pre) in control, cancelling any shared time
+        // trend. Arms = user parity, pre/post = halves of the event
+        // span (same rederivable conventions as events_cuped_adjust).
+        // Shape: ONE conditional aggregate per arm over the event
+        // stream + a 2-row combine for the interaction term — nothing
+        // row-scale shuffles twice. All means rounded 4dp; `did` is
+        // computed from the unrounded cell means and carried on both
+        // rows so the estimate itself is hash-gated.
+        val ev = Tables.t(s, dir, "events")
+          .select((col("user_id") % 2).as("arm"), col("value"),
+            col("ts").cast("timestamp").cast("long").as("sec"))
+        val mid = ev.agg(((min("sec") + max("sec")) / 2).cast("long"))
+          .head().getLong(0)
+        val arms = ev.groupBy("arm")
+          .agg(
+            count(when(col("sec") < mid, 1)).as("n_pre"),
+            count(when(col("sec") >= mid, 1)).as("n_post"),
+            avg(when(col("sec") < mid, col("value"))).as("pre_raw"),
+            avg(when(col("sec") >= mid, col("value"))).as("post_raw"))
+          .withColumn("delta_raw", col("post_raw") - col("pre_raw"))
+        val did = arms.agg(sum(when(col("arm") === 1, col("delta_raw"))
+            .otherwise(-col("delta_raw"))).as("did_raw"))
+        arms.crossJoin(broadcast(did))
+          .select(col("arm"), col("n_pre"), col("n_post"),
+            round(col("pre_raw"), 4).as("pre_mean"),
+            round(col("post_raw"), 4).as("post_mean"),
+            round(col("delta_raw"), 4).as("delta"),
+            round(col("did_raw"), 4).as("did"))
+          .orderBy("arm")
+      },
+      Some("""WITH ev AS (SELECT user_id % 2 AS arm, value,
+             |                   epoch(ts::TIMESTAMP)::BIGINT AS sec FROM events),
+             |  m AS (SELECT ((min(sec) + max(sec)) // 2)::BIGINT AS mid FROM ev),
+             |  arms AS (SELECT arm,
+             |                  CAST(count(CASE WHEN sec < mid THEN 1 END) AS BIGINT) AS n_pre,
+             |                  CAST(count(CASE WHEN sec >= mid THEN 1 END) AS BIGINT) AS n_post,
+             |                  avg(CASE WHEN sec < mid THEN value END) AS pre_raw,
+             |                  avg(CASE WHEN sec >= mid THEN value END) AS post_raw
+             |           FROM ev, m GROUP BY arm),
+             |  d AS (SELECT sum(CASE WHEN arm = 1 THEN post_raw - pre_raw
+             |                        ELSE -(post_raw - pre_raw) END) AS did_raw
+             |        FROM arms)
+             |SELECT arm, n_pre, n_post,
+             |       round(pre_raw, 4) AS pre_mean,
+             |       round(post_raw, 4) AS post_mean,
+             |       round(post_raw - pre_raw, 4) AS delta,
+             |       round(did_raw, 4) AS did
+             |FROM arms, d ORDER BY arm""".stripMargin))
   )
 }
