@@ -49,6 +49,42 @@ object SimilarityOps {
       .where(col("rn") <= k)
   }
 
+  /** Binary-quantization ANN: 64 sign bits per vector packed into two
+    * 32-bit code halves (BIGINT-safe in Spark AND DuckDB — one 64-bit
+    * word would need 2⁶³ and overflow the signed oracle arithmetic),
+    * XOR+popcount Hamming candidate scan over the 8-byte codes, exact
+    * cosine rerank of the `shortlist` closest. The code table is 64×
+    * smaller than the vectors; at 100 TB only the rerank touches full
+    * precision (join back by id instead of carrying `em` through, as
+    * here at probe-set scale).
+    */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    def half(from: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, d) -> acc + IF(em[d + $from] > 0,
+         |                       CAST(pow(2.0, d) AS LONG), 0L))""".stripMargin)
+    def coded(df: DataFrame) = df.select(col("vec_id"), col("em"),
+      half(0).as("lo"), half(32).as("hi"))
+    val q = broadcast(coded(queries)
+      .select(col("vec_id").as("qid"), col("em").as("qe"),
+        col("lo").as("qlo"), col("hi").as("qhi")))
+    coded(corpus).join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id"), col("em"),
+        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("hi")))).as("hd"))
+      .withColumn("rn_h", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("hd"), asc("vec_id"))))
+      .where(col("rn_h") <= shortlist)
+      .select(col("qid"), col("vec_id"),
+        CosineSimilarity.cosine_sim("qe", "em").as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id")))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Random-hyperplane (SRP) bucket key: `planes` sign bits, each from a
     * deterministic pseudo-random hyperplane. Plane p's component for
     * dimension d is ±1 derived from xxhash64("p:d") — reproducible, no
@@ -836,6 +872,49 @@ object SimilarityOps {
       },
       Some(ivfPqOracle(k = 5, shortlist = 50, cells = 16, nprobe = 4,
         iters = 3, subspaces = 8, subDim = 8, nCentroids = 32))),
+
+    GQuery(
+      "sim_ann_binary_hamming",
+      (s, dir) => {
+        // BINARY QUANTIZATION ANN (the 1-bit vector-DB trick): each
+        // 64-dim vector sign-packs into TWO 32-bit code halves (BIGINT-
+        // safe in both engines), the candidate scan runs on 8-byte
+        // codes via XOR+popcount Hamming distance — a 64× smaller,
+        // SIMD-scannable table at 100 TB, where the full-precision
+        // vectors are touched only by the rerank — then the 32-deep
+        // shortlist exact-reranks to cosine top-5 with the same rounded
+        // score/tiebreak as sim_topk_bruteforce. Hash-verified
+        // end-to-end (packing, Hamming, rerank all replay in DuckDB);
+        // recall vs brute force is gated in ScalaTest.
+        binaryHammingTopK(emb(s, dir).where(col("vec_id") < 10), emb(s, dir),
+            k = 5, shortlist = 32)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),
+            col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+             |  codes AS (SELECT vec_id, em,
+             |    CAST(list_sum([CASE WHEN em[i] > 0 THEN 2.0 ** (i - 1) ELSE 0 END
+             |                   for i in range(1, 33)]) AS BIGINT) AS lo,
+             |    CAST(list_sum([CASE WHEN em[i] > 0 THEN 2.0 ** (i - 33) ELSE 0 END
+             |                   for i in range(33, 65)]) AS BIGINT) AS hi
+             |    FROM e),
+             |  q AS (SELECT vec_id AS qid, em AS qe, lo AS qlo, hi AS qhi
+             |        FROM codes WHERE vec_id < 10),
+             |  ham AS (SELECT qid, qe, c.vec_id, c.em,
+             |                 bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi)) AS hd
+             |          FROM codes c, q WHERE c.vec_id <> qid),
+             |  sl AS (SELECT qid, qe, vec_id, em,
+             |                row_number() OVER (PARTITION BY qid
+             |                                   ORDER BY hd, vec_id) AS rn_h
+             |         FROM ham),
+             |  rr AS (SELECT qid, vec_id, list_cosine_similarity(qe, em) AS s,
+             |                row_number() OVER (PARTITION BY qid
+             |                   ORDER BY list_cosine_similarity(qe, em) DESC,
+             |                            vec_id) AS rn
+             |         FROM sl WHERE rn_h <= 32)
+             |SELECT qid, vec_id, round(s, 4) AS score, CAST(rn AS BIGINT) AS rn
+             |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     GQuery(
       "decontaminate_semantic",

@@ -76,6 +76,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
 
+  test("binary-quantization Hamming ANN recall >= 0.5 vs brute-force top-5") {
+    val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val bq = SimilarityOps.binaryHammingTopK(
+        emb.where(col("vec_id") < 20), emb, k = 5, shortlist = 32)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = bq.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"binary-quantization recall too low: $recall")
+  }
+
   test("IVF ANN recall >= 0.5 vs brute-force top-5, deterministic across runs") {
     val bf = SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
