@@ -177,6 +177,59 @@ object CurateOps {
              |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     GQuery(
+      "docs_mix_temperature",
+      (s, dir) => {
+        // TEMPERATURE-SAMPLED MIX ALLOCATION (τ = 0.5): a 40%-of-corpus
+        // document budget splits across sources ∝ n_i^τ — the standard
+        // upweight-the-tail mix rule for multilingual/multi-source
+        // training. Allocation is LARGEST-REMAINDER on EXACT integers:
+        // weights are round(sqrt(n_i)·10⁶) (IEEE sqrt and one multiply
+        // are correctly rounded, so both engines compute the identical
+        // integer), floors are B·w_i ÷ W in BIGINT, and the leftover
+        // units go to the largest (remainder, source) ranks — no double
+        // accumulates anywhere an engine could order differently, so
+        // the per-source allocation is hash-exact. Shape: one source-
+        // sized aggregate; everything after runs on |sources| rows (the
+        // single-partition window is over 20 rows by design).
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.t(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", round(sqrt(col("n_docs")) * 1e6).cast("long"))
+        val tot = counts.agg(sum("n_docs").as("total"), sum("w").as("bigw"))
+        val staged = counts.crossJoin(broadcast(tot))
+          .withColumn("budget", (col("total") * 2L / 5L).cast("long"))
+          .withColumn("floor_alloc", expr("budget * w div bigw"))
+          .withColumn("rem", (col("budget") * col("w")) % col("bigw"))
+        val leftover = staged
+          .withColumn("spill", col("budget") - sum("floor_alloc")
+            .over(Window.partitionBy("budget")))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(desc("rem"), asc("source"))))
+        leftover
+          .select(col("source"), col("n_docs"), col("w").as("weight"),
+            (col("floor_alloc") + when(col("rk") <= col("spill"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |           FROM documents GROUP BY 1),
+             |  w AS (SELECT source, n_docs,
+             |               CAST(round(sqrt(n_docs) * 1e6) AS BIGINT) AS w FROM c),
+             |  t AS (SELECT sum(n_docs) AS total, sum(w) AS bigw FROM w),
+             |  st AS (SELECT source, n_docs, w,
+             |                CAST(total * 2 // 5 AS BIGINT) AS budget,
+             |                CAST(total * 2 // 5 AS BIGINT) * w // bigw AS fl,
+             |                (CAST(total * 2 // 5 AS BIGINT) * w) % bigw AS rem
+             |         FROM w, t),
+             |  lf AS (SELECT source, n_docs, w, fl,
+             |                budget - sum(fl) OVER () AS spill,
+             |                row_number() OVER (ORDER BY rem DESC, source) AS rk
+             |         FROM st)
+             |SELECT source, n_docs, w AS weight,
+             |       CAST(fl + CASE WHEN rk <= spill THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM lf ORDER BY source""".stripMargin)),
+
+    GQuery(
       "docs_mix_weighted",
       (s, dir) => {
         // Deterministic DATA MIXING: re-weight sources toward a target
