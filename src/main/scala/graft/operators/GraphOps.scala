@@ -81,6 +81,71 @@ object GraphOps {
              |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin)),
 
     GQuery(
+      "graph_personalized_pagerank",
+      (s, dir) => {
+        // PERSONALIZED PageRank — the recommendation/retrieval variant:
+        // restart mass returns only to a SEED set (every 50th part),
+        // so rank measures proximity TO THE SEEDS, not global
+        // centrality. Same Pregel-as-DataFrame shape as graph_pagerank
+        // (one join + one partial-agg exchange per iteration, degree
+        // table checkpointed once); the seed indicator rides the node
+        // table and joins back each round for the (1−d)·s(v) restart
+        // term. 3 iterations, 6 dp rounding for cross-engine summation
+        // noise.
+        val li = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val deg = bidir.groupBy("src").agg(count(lit(1)).as("deg"))
+        val withDeg = bidir.join(deg, "src").localCheckpoint()
+        val seeds = withDeg.select(col("src").as("node")).distinct()
+          .withColumn("s", when(col("node") % 50 === 0, 1.0).otherwise(0.0))
+        var ranks = seeds.select(col("node"), col("s").as("rank"))
+        for (_ <- 1 to 3) {
+          ranks = withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), (col("rank") / col("deg")).as("c"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("c").as("m"))
+            .join(seeds.withColumnRenamed("node", "node2"),
+              col("node") === col("node2"))
+            .select(col("node"), (lit(0.15) * col("s") + lit(0.85) * col("m")).as("rank"))
+        }
+        ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+          .where(col("rank") =!= 0.0)
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |           FROM lineitem a JOIN lineitem b
+             |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |  bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |  deg AS (SELECT src, count(*) AS d FROM bidir GROUP BY src),
+             |  sd AS (SELECT src AS node,
+             |                CASE WHEN src % 50 = 0 THEN 1.0 ELSE 0.0 END AS s
+             |         FROM deg),
+             |  r0 AS (SELECT node, s AS rank FROM sd),
+             |  r1 AS (SELECT sd.node, 0.15 * sd.s + 0.85 * m AS rank
+             |         FROM (SELECT bidir.dst AS node, sum(r0.rank / deg.d) AS m
+             |               FROM bidir JOIN r0 ON bidir.src = r0.node
+             |                          JOIN deg ON bidir.src = deg.src
+             |               GROUP BY bidir.dst) t JOIN sd ON sd.node = t.node),
+             |  r2 AS (SELECT sd.node, 0.15 * sd.s + 0.85 * m AS rank
+             |         FROM (SELECT bidir.dst AS node, sum(r1.rank / deg.d) AS m
+             |               FROM bidir JOIN r1 ON bidir.src = r1.node
+             |                          JOIN deg ON bidir.src = deg.src
+             |               GROUP BY bidir.dst) t JOIN sd ON sd.node = t.node),
+             |  r3 AS (SELECT sd.node, 0.15 * sd.s + 0.85 * m AS rank
+             |         FROM (SELECT bidir.dst AS node, sum(r2.rank / deg.d) AS m
+             |               FROM bidir JOIN r2 ON bidir.src = r2.node
+             |                          JOIN deg ON bidir.src = deg.src
+             |               GROUP BY bidir.dst) t JOIN sd ON sd.node = t.node)
+             |SELECT node, round(rank, 6) AS rank FROM r3
+             |WHERE round(rank, 6) <> 0.0 ORDER BY node""".stripMargin)),
+
+    GQuery(
       "graph_triangles",
       (s, dir) => {
         // Triangle census + global clustering coefficient over the

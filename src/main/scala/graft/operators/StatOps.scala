@@ -373,6 +373,45 @@ object StatOps {
              |FROM pu, th GROUP BY 1 ORDER BY arm""".stripMargin)),
 
     GQuery(
+      "stats_hill_tail_index",
+      (s, dir) => {
+        // HILL TAIL-INDEX estimator — the heavy-tail diagnostic that
+        // decides whether a value column even HAS a finite variance
+        // (α ≤ 2 ⇒ it doesn't): α̂ = 1 / (mean of ln(x_(i)/x_(k+1))
+        // over the top-k order statistics). Shape at scale: a top-(k+1)
+        // TakeOrdered (no global sort — k rows per partition survive
+        // the map side) and one k-row aggregate. Reported at k ∈
+        // {50, 100} because the Hill plot's stability ACROSS k is the
+        // actual diagnostic; 4 dp rounding absorbs cross-engine
+        // log-summation order noise.
+        val x = Tables.t(s, dir, "orders")
+          .select(col("o_totalprice").as("v")).where(col("v") > 0)
+        import org.apache.spark.sql.expressions.Window
+        // ties in v are harmless: the estimate depends only on the top-k
+        // VALUE multiset, which any tie order preserves
+        val ranked = x.withColumn("rn",
+          row_number().over(Window.orderBy(desc("v"))))
+        def hill(k: Int) = {
+          val top = ranked.where(col("rn") <= k + 1).localCheckpoint()
+          val xk1 = top.where(col("rn") === k + 1).select("v").head().getDouble(0)
+          top.where(col("rn") <= k)
+            .agg((lit(1.0) / avg(log(col("v") / lit(xk1)))).as("alpha"))
+            .select(lit(k.toLong).as("k"), round(lit(xk1), 2).as("x_k1"),
+              round(col("alpha"), 4).as("alpha_hat"))
+        }
+        hill(50).unionByName(hill(100)).orderBy("k")
+      },
+      Some("""WITH r AS (SELECT o_totalprice AS v,
+             |                  row_number() OVER (ORDER BY o_totalprice DESC) AS rn
+             |           FROM orders WHERE o_totalprice > 0),
+             |  h AS (SELECT 50 AS k UNION ALL SELECT 100),
+             |  xk AS (SELECT k, (SELECT v FROM r WHERE rn = k + 1) AS x_k1 FROM h)
+             |SELECT CAST(k AS BIGINT) AS k, round(x_k1, 2) AS x_k1,
+             |       round(1.0 / (SELECT avg(ln(v / x_k1)) FROM r WHERE rn <= k), 4)
+             |         AS alpha_hat
+             |FROM xk ORDER BY k""".stripMargin)),
+
+    GQuery(
       "events_diff_in_diff",
       (s, dir) => {
         // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
