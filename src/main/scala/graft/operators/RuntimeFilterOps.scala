@@ -287,6 +287,36 @@ object RuntimeFilterOps {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     GQuery(
+      "scan_csv_roundtrip",
+      (s, dir) => {
+        // CSV ROUND-TRIP with QUOTING STRESS — the interchange format
+        // every pipeline still meets at its edges. The payload embeds
+        // the two characters that break naive CSV (the delimiter and
+        // the quote char) inside a value, so the writer must quote+
+        // escape and the reader must undo it EXACTLY: a quoting bug
+        // shifts rows/columns and fails the hash, not just a count.
+        // Schema is explicit on read (never inferred — inference is a
+        // second pass over 100 TB and type-drifts on edge values).
+        val r = root(dir, "orders_csv")
+        Tables.t(s, dir, "orders").select(
+            col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            concat(col("o_orderpriority"), lit(",\"q\"")).as("tricky"))
+          .write.mode("overwrite").option("header", "true").csv(r)
+        val schema = "k LONG, cents LONG, tricky STRING"
+        s.read.schema(schema).option("header", "true").csv(r)
+          .groupBy("tricky")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+            min("k").as("min_k"))
+          .orderBy("tricky")
+      },
+      Some("""SELECT o_orderpriority || ',"q"' AS tricky,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |       min(o_orderkey) AS min_k
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "window_topk_group_limit",
       (s, dir) => {
         // WINDOW GROUP LIMIT pushdown (Spark's InferWindowGroupLimit):
