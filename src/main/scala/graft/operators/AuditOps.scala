@@ -394,6 +394,54 @@ object AuditOps {
              |ORDER BY candidate""".stripMargin)),
 
     GQuery(
+      "table_schema_compat",
+      (s, dir) => {
+        // DATA-CONTRACT GATE: classify every field-level change between
+        // a producer's old and new schema by which readers it breaks
+        // (backward = new reader on old data, forward = old reader on
+        // new data — the Avro/Protobuf compatibility matrix over Spark
+        // types, implemented in sources/SchemaCompat). The fixture pair
+        // exercises every class at once: widen, narrow, add nullable,
+        // add required, drop, relax/require nullability. Metadata-only
+        // — O(fields), the per-commit gate that runs before any 100 TB
+        // backfill question even arises. The oracle pins the expected
+        // matrix; a misclassification (e.g. calling a widen
+        // forward-safe) fails the hash.
+        import graft.sources.SchemaCompat
+        import org.apache.spark.sql.types._
+        val from = StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("cents", IntegerType, nullable = true),
+          StructField("status", StringType, nullable = true),
+          StructField("legacy", StringType, nullable = true),
+          StructField("qty", DoubleType, nullable = true),
+          StructField("flag", StringType, nullable = false)))
+        val to = StructType(Seq(
+          StructField("k", LongType, nullable = false),
+          StructField("cents", LongType, nullable = true), // widen
+          StructField("status", StringType, nullable = false), // require
+          StructField("qty", FloatType, nullable = true), // narrow
+          StructField("flag", StringType, nullable = true), // relax
+          StructField("note", StringType, nullable = true), // add nullable
+          StructField("must", LongType, nullable = false))) // add required
+        import s.implicits._
+        SchemaCompat.diff(from, to)
+          .map(c => (c.field, c.change, c.backward, c.forward))
+          .toDF("field", "change", "backward", "forward")
+          .orderBy("field", "change")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('cents',  'widen',            true,  false),
+             |  ('flag',   'relax_nullable',   true,  false),
+             |  ('legacy', 'drop',             true,  false),
+             |  ('must',   'add_required',     false, true),
+             |  ('note',   'add_nullable',     true,  true),
+             |  ('qty',    'narrow',           false, true),
+             |  ('status', 'require_nonnull',  false, true))
+             |  AS t(field, change, backward, forward)
+             |ORDER BY field, change""".stripMargin)),
+
+    GQuery(
       "join_size_estimate",
       (s, dir) => {
         // JOIN-CARDINALITY ESTIMATION audit — the CBO primitive that
