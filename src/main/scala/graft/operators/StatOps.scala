@@ -373,6 +373,38 @@ object StatOps {
              |FROM pu, th GROUP BY 1 ORDER BY arm""".stripMargin)),
 
     GQuery(
+      "events_seasonality_strength",
+      (s, dir) => {
+        // SEASONALITY STRENGTH (STL-style variance decomposition on the
+        // weekly cycle): 1 − var(residual)/var(total) over the daily
+        // value series, residual = day value − its day-of-week mean.
+        // ≈0 ⇒ the weekly pattern explains nothing; →1 ⇒ the series IS
+        // its weekly cycle. Shape: one daily aggregate (corpus-sized
+        // pass), a 7-row DOW model broadcast back, one variance
+        // aggregate over |days| rows. Both variances are var_pop over
+        // the SAME |days| rows, so the ratio is scale-free; 4 dp
+        // rounding absorbs engine summation-order noise.
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum("value").as("v"))
+          .withColumn("dow", dayofweek(col("d")))
+        val model = daily.groupBy("dow").agg(avg("v").as("dow_mean"))
+        daily.join(broadcast(model), "dow")
+          .agg(
+            count(lit(1)).as("n_days"),
+            round(lit(1.0) - var_pop(col("v") - col("dow_mean")) / var_pop(col("v")), 4)
+              .as("seasonality_strength"))
+      },
+      Some("""WITH daily AS (SELECT ts::DATE AS d, sum(value) AS v
+             |               FROM events GROUP BY 1),
+             |  dw AS (SELECT d, v, dayofweek(d) + 1 AS dow FROM daily),
+             |  m AS (SELECT dow, avg(v) AS dow_mean FROM dw GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |       round(1.0 - var_pop(v - dow_mean) / var_pop(v), 4)
+             |         AS seasonality_strength
+             |FROM dw JOIN m USING (dow)""".stripMargin)),
+
+    GQuery(
       "stats_hill_tail_index",
       (s, dir) => {
         // HILL TAIL-INDEX estimator — the heavy-tail diagnostic that
