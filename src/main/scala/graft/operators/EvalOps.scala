@@ -105,6 +105,68 @@ object EvalOps {
               |FROM cum""".stripMargin)),
 
     GQuery(
+      "eval_conformal_coverage",
+      (s, dir) => {
+        // SPLIT-CONFORMAL PREDICTION: calibrate a nonconformity
+        // threshold on one fold, measure empirical coverage on a
+        // disjoint fold — the distribution-free uncertainty wrapper
+        // every production classifier should ship with. Nonconformity
+        // = |y − σ(5·score)| (the probe's miscalibration per row,
+        // 6 dp-rounded so both engines rank identical tie groups); the
+        // threshold is the ⌈(n+1)(1−α)⌉-th smallest calibration value,
+        // computed in INTEGER rank arithmetic (⌈(n+1)·k/10⌉ as
+        // ((n+1)·k+9)÷10 — a float (n+1)·0.9 can land ±1 ulp around an
+        // exact integer and flip the ceil across engines). Shape: one
+        // scored pass, a rank pick on the calibration fold, one
+        // coverage aggregate on the test fold.
+        val sc = scored(s, dir)
+          .withColumn("p", lit(1.0) / (lit(1.0) + exp(lit(-5.0) * col("score"))))
+          .withColumn("nc", round(when(col("y") === 1, lit(1.0) - col("p"))
+            .otherwise(col("p")), 6))
+        val cal = sc.where(col("vec_id") % 4 === 1).localCheckpoint()
+        val tst = sc.where(col("vec_id") % 4 === 3).localCheckpoint()
+        val nCal = cal.count()
+        val nTst = tst.count()
+        val ranked = cal.withColumn("rn", row_number().over(
+          Window.orderBy(asc("nc"), asc("vec_id"))))
+        def level(k: Int): DataFrame = {
+          val r = ((nCal + 1) * k + 9) / 10 // integer ceil((n+1)k/10)
+          val q = if (r > nCal) 1.0
+            else ranked.where(col("rn") === r).select("nc").head().getDouble(0)
+          tst.agg(round(avg(when(col("nc") <= q, 1.0).otherwise(0.0)), 4)
+              .as("coverage"))
+            .select(round(lit(1.0 - k / 10.0), 1).as("alpha"),
+              lit(nCal).as("n_cal"), lit(nTst).as("n_test"),
+              lit(r).as("rank"), round(lit(q), 6).as("q"), col("coverage"))
+        }
+        level(9).unionByName(level(8)).orderBy("alpha")
+      },
+      Some(s"""$scoredSql,
+              | nc AS (SELECT vec_id, round(CASE WHEN y = 1
+              |          THEN 1.0 - 1.0 / (1.0 + exp(-5.0 * score))
+              |          ELSE 1.0 / (1.0 + exp(-5.0 * score)) END, 6) AS nc
+              |        FROM scored),
+              | cal AS (SELECT nc, row_number() OVER (ORDER BY nc, vec_id) AS rn
+              |         FROM nc WHERE vec_id % 4 = 1),
+              | tst AS (SELECT nc FROM nc WHERE vec_id % 4 = 3),
+              | ns AS (SELECT (SELECT count(*) FROM cal) AS n_cal,
+              |               (SELECT count(*) FROM tst) AS n_test),
+              | lv AS (SELECT 9 AS k UNION ALL SELECT 8),
+              | pick AS (SELECT k, n_cal, n_test,
+              |                 ((n_cal + 1) * k + 9) // 10 AS r FROM lv, ns),
+              | qv AS (SELECT k, n_cal, n_test, r,
+              |               CASE WHEN r > n_cal THEN 1.0
+              |                    ELSE (SELECT nc FROM cal WHERE rn = r) END AS q
+              |        FROM pick)
+              |SELECT round(1.0 - k / 10.0, 1) AS alpha,
+              |       CAST(n_cal AS BIGINT) AS n_cal,
+              |       CAST(n_test AS BIGINT) AS n_test,
+              |       CAST(r AS BIGINT) AS rank, round(q, 6) AS q,
+              |       round((SELECT avg(CASE WHEN nc <= q THEN 1.0 ELSE 0.0 END)
+              |              FROM tst), 4) AS coverage
+              |FROM qv ORDER BY alpha""".stripMargin)),
+
+    GQuery(
       "eval_calibration_bins",
       (s, dir) => {
         // RELIABILITY DIAGRAM + Brier score: the probe score through a
