@@ -336,6 +336,27 @@ object PropertySpec extends Properties("graft") {
       applied == v2
     }
 
+  property("mergePruned ≡ merge: identical final state on any base+delta") =
+    forAll(keyedTableAndDelta) { case (base0, delta0) =>
+      import graft.sources.VersionedTable
+      import org.apache.spark.sql.functions.col
+      // zero-padded string keys (the stats grammar needs order-preserving
+      // images); same payloads through both merge paths
+      val base = base0.map { case (k, p) => (f"$k%06d", p) }
+      val delta = delta0.map { case (k, p, d) => (f"$k%06d", p, d) }
+      val full = java.nio.file.Files.createTempDirectory("mp_full").toString + "/t"
+      val pruned = java.nio.file.Files.createTempDirectory("mp_pru").toString + "/t"
+      val baseDf = base.toDF("k", "payload").repartitionByRange(3, col("k"))
+      VersionedTable.append(baseDf, full)
+      VersionedTable.appendWithStats(baseDf, pruned, "k")
+      val deltaDf = delta.toDF("k", "payload", "del")
+      VersionedTable.merge(spark, full, deltaDf, keys = Seq("k"), deleteFlag = "del")
+      VersionedTable.mergePruned(spark, pruned, deltaDf, key = "k", deleteFlag = "del")
+      val a = VersionedTable.read(spark, full).as[(String, String)].collect().toSet
+      val b = VersionedTable.read(spark, pruned).as[(String, String)].collect().toSet
+      a == b
+    }
+
   // Spark job per case — 10 cases hits plenty of collision/shuffle
   // variety with the 7-key space above
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
