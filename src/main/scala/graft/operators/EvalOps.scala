@@ -105,6 +105,50 @@ object EvalOps {
               |FROM cum""".stripMargin)),
 
     GQuery(
+      "emb_drift_centroids",
+      (s, dir) => {
+        // EMBEDDING-SPACE DRIFT MONITOR: per-label centroid plus
+        // per-label dispersion (trace of the per-dimension variance),
+        // then every label pair's centroid cosine — the vector-side
+        // sibling of corpus_js_divergence for "did the embedding
+        // distribution move between slices?". Shape: ONE posexplode
+        // aggregate keyed by (label, dim) — O(labels·dims) rows out of
+        // a corpus-sized pass — then all pairwise math runs on the
+        // labels×dims model, never the vectors. 6 dp rounding over a
+        // total order.
+        CosineSimilarity.register(s)
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("label"),
+            transform(col("embedding"), _.cast("double")).as("em"))
+        val stats = e.select(col("label"), posexplode(col("em")).as(Seq("idx", "v")))
+          .groupBy("label", "idx")
+          .agg(avg("v").as("av"), var_pop(col("v")).as("vv"))
+        val model = stats.groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("idx"), col("av")))),
+            _.getField("av")).as("cent"),
+            sum("vv").as("disp"), count(lit(1)).as("dims"))
+        model.as("a").join(model.as("b"), col("a.label") < col("b.label"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            round(CosineSimilarity.cosine_sim("a.cent", "b.cent"), 6)
+              .as("centroid_cos"),
+            round(col("a.disp"), 6).as("disp_a"),
+            round(col("b.disp"), 6).as("disp_b"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS em FROM embeddings),
+             |  ex AS (SELECT label, generate_subscripts(em, 1) AS idx, unnest(em) AS v
+             |         FROM e),
+             |  st AS (SELECT label, idx, avg(v) AS av, var_pop(v) AS vv
+             |         FROM ex GROUP BY 1, 2),
+             |  m AS (SELECT label, list(av ORDER BY idx) AS cent,
+             |               sum(vv) AS disp FROM st GROUP BY 1)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |       round(list_cosine_similarity(a.cent, b.cent), 6) AS centroid_cos,
+             |       round(a.disp, 6) AS disp_a, round(b.disp, 6) AS disp_b
+             |FROM m a JOIN m b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    GQuery(
       "eval_conformal_coverage",
       (s, dir) => {
         // SPLIT-CONFORMAL PREDICTION: calibrate a nonconformity
