@@ -29,9 +29,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("ingest_latest_global")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Duplicate-name guard: `toMap` silently keeps ONE entry per key, so
+    * a name collision would make a query (and its oracle) vanish from
+    * the gate with every remaining check still green — exactly how a
+    * round-11 session briefly shadowed `asof_join_tolerance`. Fail loud
+    * instead.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = registry.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names in registry: ${dups.mkString(", ")}")
     registry.map(q => q.name -> q.run).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -837,52 +837,6 @@ object Extras {
       bench = true),
 
     GQuery(
-      "asof_join_tolerance",
-      (s, dir) => {
-        // As-of join with a TOLERANCE bound (pandas merge_asof's
-        // `tolerance`): the most recent order still matches only if it
-        // is within 365 days of the event — a stale match is worse
-        // than none for feature joins, where an old value silently
-        // poisons the feature. Same single-shuffle carry-forward plan
-        // as asof_join (the right time rides along as payload); the
-        // tolerance is a scalar null-out AFTER the match, so it adds
-        // zero exchanges. Null-safe ordering: matched flag + key
-        // coalesced to -1 so both engines order identically.
-        val ev = Tables.t(s, dir, "events").select("event_id", "user_id", "ts")
-        val ord = Tables.t(s, dir, "orders")
-          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
-        val tol = 365
-        AsOfJoin.asof(ev, ord,
-            leftKey = "user_id", rightKey = "o_custkey",
-            leftTime = "ts", rightTime = "o_orderdate",
-            rightPayload = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
-            rightTiebreak = Seq("o_orderkey"))
-          .withColumn("in_tol",
-            col("o_orderkey").isNotNull &&
-              datediff(col("ts"), col("o_orderdate")) <= tol)
-          .select(col("event_id"), col("user_id"),
-            coalesce(when(col("in_tol"), col("o_orderkey")), lit(-1L))
-              .as("o_orderkey"),
-            round(when(col("in_tol"), col("o_totalprice")), 2)
-              .as("o_totalprice"))
-          .orderBy("event_id")
-      },
-      Some("""WITH o AS (SELECT o_custkey, o_orderdate,
-             |                  arg_max(o_orderkey, o_orderkey) AS o_orderkey,
-             |                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
-             |           FROM orders GROUP BY o_custkey, o_orderdate),
-             |  m AS (SELECT event_id, user_id, o_orderkey, o_totalprice,
-             |               o_orderkey IS NOT NULL AND
-             |               datediff('day', o_orderdate, ts::TIMESTAMP) <= 365
-             |                 AS in_tol
-             |        FROM events ASOF LEFT JOIN o
-             |          ON user_id = o_custkey AND ts::TIMESTAMP >= o_orderdate)
-             |SELECT event_id, user_id,
-             |       coalesce(CASE WHEN in_tol THEN o_orderkey END, -1) AS o_orderkey,
-             |       round(CASE WHEN in_tol THEN o_totalprice END, 2) AS o_totalprice
-             |FROM m ORDER BY event_id""".stripMargin)),
-
-    GQuery(
       "asof_join_forward",
       (s, dir) => {
         // FORWARD as-of: each order gets the customer's NEXT event at or
