@@ -134,7 +134,14 @@ object Bench {
     // 3.5×. The 1-minute load average at start and end lets a reader
     // judge whether an outlier rep was the engine or the machine.
     val loadEnd = readLoadAvg
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+    // Self-adjudicating artifact: SCALE.md's measurement protocol puts
+    // the quiet-box threshold at loadavg ~0.5 — artifacts taken above
+    // it (the driver's r10/r11 runs started at 2.41/3.02) read 20-30%
+    // slow for reasons that are the machine, not the engine. The flag
+    // makes every future artifact carry its own verdict.
+    val contended =
+      try loadStart.toDouble > 0.5 catch { case _: Throwable => false }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

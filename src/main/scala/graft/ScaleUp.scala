@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize an N×-scale replica of a testdata SF directory for the
+  * scale-stress wave (SCALE.md "measured, not extrapolated") — every
+  * prior scale claim was extrapolated from sf0.1 plans, this gives the
+  * heaviest queries a real 10× run.
+  *
+  * Replication is KEY-REMAPPED, not naive: replica r's foreign keys are
+  * offset by r×stride(table) so referential fan-out is preserved
+  * exactly — a 10× corpus means 10× the join/agg work, never 100×.
+  * Replica 0 is the identity, so sf0.1 results embed in the sf1 run.
+  * Two tables additionally remap CONTENT, because duplicating payloads
+  * verbatim would change the workload's complexity class, not just its
+  * size:
+  *
+  *  - `documents.text`: every token gets a replica suffix (`~r`) for
+  *    r>0 — within-replica gram structure (and thus per-replica dedup
+  *    work) is identical, but replicas share no n-grams, so Jaccard /
+  *    MinHash pair counts scale ×N instead of ×N² (10 verbatim copies
+  *    of each doc would put every copy-pair over every threshold).
+  *  - `embeddings.embedding`: replica r circularly rotates the vector
+  *    by r dimensions — norms and the coordinate distribution are
+  *    preserved, but rotated replicas land in different SRP/IVF/PQ
+  *    buckets, so ANN candidate counts scale like a genuinely bigger
+  *    corpus rather than ×N² same-bucket collisions.
+  *
+  * Tiny dims (region, nation) are copied as-is: real scale-ups grow
+  * facts, not the 25-row nation list, and the star-join broadcast story
+  * depends on dims STAYING broadcast-size.
+  *
+  * Usage: `sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"`
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dest, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src_(name: String): DataFrame = Tables.t(spark, src, name)
+
+    /** Next power of 10 above the table's max id — keys stay readable
+      * (replica = leading digit) and strides can never collide.
+      */
+    def stride(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      var s = 1L
+      while (s <= mx) s *= 10
+      s
+    }
+
+    val custS = stride(src_("customer"), "c_custkey")
+    val suppS = stride(src_("supplier"), "s_suppkey")
+    val partS = stride(src_("part"), "p_partkey")
+    val orderS = stride(src_("orders"), "o_orderkey")
+    val eventS = stride(src_("events"), "event_id")
+    val userS = stride(src_("events"), "user_id")
+    val docS = stride(src_("documents"), "doc_id")
+    val vecS = stride(src_("embeddings"), "vec_id")
+
+    /** One pass: cross the source with the replica ids, then remap. */
+    def replicate(df: DataFrame)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      val r = explode(sequence(lit(0L), lit(factor - 1L))).as("__r")
+      remap(df.select(col("*"), r), col("__r")).drop("__r")
+    }
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$dest/$name.parquet").count()} rows")
+    }
+
+    write(src_("region"), "region")
+    write(src_("nation"), "nation")
+    write(replicate(src_("customer")) { (d, r) =>
+      d.withColumn("c_custkey", col("c_custkey") + r * custS)
+    }, "customer")
+    write(replicate(src_("supplier")) { (d, r) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + r * suppS)
+    }, "supplier")
+    write(replicate(src_("part")) { (d, r) =>
+      d.withColumn("p_partkey", col("p_partkey") + r * partS)
+    }, "part")
+    write(replicate(src_("orders")) { (d, r) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + r * orderS)
+        .withColumn("o_custkey", col("o_custkey") + r * custS)
+    }, "orders")
+    write(replicate(src_("lineitem")) { (d, r) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + r * orderS)
+        .withColumn("l_partkey", col("l_partkey") + r * partS)
+        .withColumn("l_suppkey", col("l_suppkey") + r * suppS)
+    }, "lineitem")
+    // events keep their time range (densification, the realistic
+    // scale-up for a fixed retention window) — only identities shift
+    write(replicate(src_("events").select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))) { (d, r) =>
+      d.withColumn("event_id", col("event_id") + r * eventS)
+        .withColumn("user_id", col("user_id") + r * userS)
+    }, "events")
+    write(replicate(src_("documents")) { (d, r) =>
+      d.withColumn("doc_id", col("doc_id") + r * docS)
+        .withColumn("text",
+          when(r === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " "),
+              t => when(t === "", t)
+                .otherwise(concat(t, lit("~"), r.cast("string")))), " ")))
+    }, "documents")
+    write(replicate(src_("embeddings")) { (d, r) =>
+      val dims = size(col("embedding"))
+      d.withColumn("vec_id", col("vec_id") + r * vecS)
+        .withColumn("embedding",
+          when(r === 0, col("embedding")).otherwise(
+            transform(sequence(lit(0), dims - 1),
+              i => element_at(col("embedding"),
+                (pmod(i + r.cast("int"), dims) + 1).cast("int")))))
+    }, "embeddings")
+
+    println(s"[scaleup] wrote ${factor}x of $src to $dest")
+    spark.stop()
+  }
+}

@@ -42,11 +42,20 @@ object StreamProbe {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        // the listener bus is async — drain it before reading the ring
+        // the listener bus is async — drain it to QUIESCENCE (size
+        // unchanged across two consecutive sleeps), not just to the
+        // first row: multi-batch queries (kafkalog 4-batch upsert,
+        // watermark ticks) deliver later progress events after the
+        // first, and stopping early under-reports batches in the
+        // SCALE.md state tables this harness generates
         var rows = log.snapshot
         val deadline = System.nanoTime() + 10_000_000_000L
-        while (rows.isEmpty && System.nanoTime() < deadline) {
-          Thread.sleep(100); rows = log.snapshot
+        var stable = 0
+        while (stable < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          val next = log.snapshot
+          if (next.size == rows.size && next.nonEmpty) stable += 1 else stable = 0
+          rows = next
         }
         println(f"== $name: $n rows, $sec%.2f s, ${rows.size} batches captured ==")
         rows.foreach(b => println(

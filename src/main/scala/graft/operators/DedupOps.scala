@@ -549,7 +549,10 @@ object DedupOps {
         // 16k noise pairs from tiny survivor sets; 0.4%·N prunes 59 of
         // 27k grams and costs zero pairs.
         val d = docs(s, dir)
-        val cap = math.max(6L, (0.004 * d.count()).toLong)
+        // floor on BOTH sides: DuckDB's CAST(double AS BIGINT) rounds
+        // to nearest while Scala's .toLong truncates — pinning both to
+        // floor keeps the caps identical at every corpus size
+        val cap = math.max(6L, math.floor(0.004 * d.count()).toLong)
         val capped = jaccardPairsCapped(d, n = 3, minJ = 0.1, maxDf = cap)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("j_c"))
         val full = jaccardPairs(d, n = 3, minJ = 0.1)
@@ -568,7 +571,7 @@ object DedupOps {
              |         FROM t WHERE len(tk) >= 3),
              |  inv AS (SELECT doc_id, unnest(sg) AS g FROM sh),
              |  hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM inv GROUP BY g)
-             |          WHERE df > (SELECT greatest(6, CAST(0.004 * count(*) AS BIGINT)) FROM documents)),
+             |          WHERE df > (SELECT greatest(6, CAST(floor(0.004 * count(*)) AS BIGINT)) FROM documents)),
              |  pinv AS (SELECT i.doc_id, i.g FROM inv i ANTI JOIN hot h ON i.g = h.g),
              |  psz AS (SELECT doc_id, count(*) AS n FROM pinv GROUP BY doc_id),
              |  cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

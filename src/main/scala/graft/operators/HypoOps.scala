@@ -489,9 +489,15 @@ object HypoOps {
           .select(col("event_id"), col("value"))
         val ex = src.select(col("event_id"), col("value"),
           explode(sequence(lit(0L), lit(49L))).as("b"))
-        val u = ((col("event_id") * lit(2654435761L) +
+        // event_id is reduced mod 2^31-1 BEFORE the multiply: Spark
+        // wraps silently on BIGINT overflow while DuckDB raises, so the
+        // engines would diverge (wrong-vs-error) past event_id ~3.4e9 —
+        // the reduction keeps every intermediate below 2^63
+        val u = (((col("event_id") % lit(2147483647L)) * lit(2654435761L) +
           col("b") * lit(1013904223L) + lit(1442695040888963407L))
           % lit(2147483647L)).cast("double") / lit(2147483647.0)
+        // max intermediate: (2^31-2)*2654435761 + 49*1013904223 +
+        // 1442695040888963407 ≈ 7.1e18 < 2^63-1 ≈ 9.2e18
         val m = when(u < 0.36787944117144233, 0L)
           .when(u < 0.7357588823428847, 1L)
           .when(u < 0.9196986029286058, 2L)
@@ -521,7 +527,8 @@ object HypoOps {
              |               WHEN u < 0.9963401531726563 THEN 4
              |               ELSE 5 END AS m
              |        FROM (SELECT value, b,
-             |                CAST((event_id * 2654435761 + b * 1013904223 +
+             |                CAST(((event_id % 2147483647) * 2654435761 +
+             |                      b * 1013904223 +
              |                      1442695040888963407) % 2147483647 AS DOUBLE)
              |                / 2147483647.0 AS u
              |              FROM ex)),

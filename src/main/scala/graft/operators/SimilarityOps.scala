@@ -65,24 +65,60 @@ object SimilarityOps {
       s"""aggregate(sequence(0, 31), 0L,
          |  (acc, d) -> acc + IF(em[d + $from] > 0,
          |                       CAST(pow(2.0, d) AS LONG), 0L))""".stripMargin)
-    def coded(df: DataFrame) = df.select(col("vec_id"), col("em"),
+    // codes only — `em` feeds the packing expressions and is pruned
+    // BEFORE anything moves, so the Hamming scan and its shortlist
+    // window shuffle 3 scalar columns, never the float arrays (the
+    // whole point of the 64×-smaller sign-bit codes; carrying the
+    // vectors through the candidate exchange would move N×Q full
+    // embeddings and defeat the quantization)
+    def coded(df: DataFrame) = df.select(col("vec_id"),
       half(0).as("lo"), half(32).as("hi"))
-    val q = broadcast(coded(queries)
-      .select(col("vec_id").as("qid"), col("em").as("qe"),
-        col("lo").as("qlo"), col("hi").as("qhi")))
-    coded(corpus).join(q, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qe"), col("vec_id"), col("em"),
+    val q = broadcast(coded(queries).select(col("vec_id").as("qid"),
+      col("lo").as("qlo"), col("hi").as("qhi")))
+    val survivors = coded(corpus).join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
         (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
           bit_count(col("qhi").bitwiseXOR(col("hi")))).as("hd"))
       .withColumn("rn_h", row_number().over(
         Window.partitionBy("qid").orderBy(asc("hd"), asc("vec_id"))))
       .where(col("rn_h") <= shortlist)
+      .select("qid", "vec_id")
+    // full-precision rerank for the Q×shortlist survivors ONLY: the
+    // tiny survivor list is broadcast so the corpus embeddings stream
+    // through a hash join in place (no corpus shuffle), and the query
+    // vectors broadcast by qid; the final top-k window then exchanges
+    // survivor-count narrow rows
+    val qe = broadcast(queries.select(col("vec_id").as("qid"),
+      col("em").as("qe")))
+    broadcast(survivors)
+      .join(corpus.select(col("vec_id"), col("em")), Seq("vec_id"))
+      .join(qe, Seq("qid"))
       .select(col("qid"), col("vec_id"),
         CosineSimilarity.cosine_sim("qe", "em").as("score"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id")))
         .cast("long"))
       .where(col("rn") <= k)
+  }
+
+  /** True iff NO shuffle exchange anywhere in `df`'s physical plan
+    * outputs an array-typed column — the code-narrow discipline the
+    * quantized ANN queries exist to demonstrate, asserted on the real
+    * plan (broadcast exchanges are exempt: a probe-set of query
+    * vectors is legitimately broadcast in full precision). Descends
+    * into AQE-wrapped subplans.
+    */
+  def shufflesAreArrayFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    def anyWide(p: SparkPlan): Boolean = p.collect {
+      case s: ShuffleExchangeLike =>
+        s.output.exists(_.dataType.isInstanceOf[ArrayType])
+      case a: AdaptiveSparkPlanExec => anyWide(a.executedPlan)
+    }.exists(identity)
+    !anyWide(df.queryExecution.executedPlan)
   }
 
   /** Random-hyperplane (SRP) bucket key: `planes` sign bits, each from a
@@ -885,12 +921,17 @@ object SimilarityOps {
         // shortlist exact-reranks to cosine top-5 with the same rounded
         // score/tiebreak as sim_topk_bruteforce. Hash-verified
         // end-to-end (packing, Hamming, rerank all replay in DuckDB);
-        // recall vs brute force is gated in ScalaTest.
-        binaryHammingTopK(emb(s, dir).where(col("vec_id") < 10), emb(s, dir),
-            k = 5, shortlist = 32)
+        // recall vs brute force is gated in ScalaTest. `narrow_shuffles`
+        // asserts the scale claim ON THE PLAN: no shuffle exchange in
+        // the whole query carries an array column — the 8-byte codes,
+        // not the vectors, are what moves (oracle expects true, so a
+        // regression that reintroduces a wide exchange fails the hash).
+        val q = binaryHammingTopK(emb(s, dir).where(col("vec_id") < 10),
+            emb(s, dir), k = 5, shortlist = 32)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),
             col("rn"))
           .orderBy("qid", "rn")
+        q.withColumn("narrow_shuffles", lit(shufflesAreArrayFree(q)))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
              |  codes AS (SELECT vec_id, em,
@@ -913,7 +954,8 @@ object SimilarityOps {
              |                   ORDER BY list_cosine_similarity(qe, em) DESC,
              |                            vec_id) AS rn
              |         FROM sl WHERE rn_h <= 32)
-             |SELECT qid, vec_id, round(s, 4) AS score, CAST(rn AS BIGINT) AS rn
+             |SELECT qid, vec_id, round(s, 4) AS score, CAST(rn AS BIGINT) AS rn,
+             |       true AS narrow_shuffles
              |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     GQuery(

@@ -57,14 +57,25 @@ object VersionedTable {
 
   private def versionName(v: Long) = f"v$v%020d"
 
-  /** Committed versions, ascending. */
+  /** Committed versions, ascending. A manifest name whose file lacks
+    * the trailing commit sentinel is an IN-FLIGHT CLAIM (see
+    * [[stageAndSwap]]), not a version — and by construction at most the
+    * highest name can be one (writers only ever claim
+    * latestComplete+1, and crash recovery rewrites a stale claim in
+    * place instead of skipping past it), so completeness costs one
+    * small read of the tip per listing, not a scan of the chain.
+    */
   def versions(dir: String): Seq[Long] = {
     val f = fs(dir)
     val md = manifestDir(dir)
     if (!f.exists(md)) Seq.empty
-    else f.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.length == 21)
-      .map(_.drop(1).toLong).sorted
+    else {
+      val named = f.listStatus(md).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.length == 21)
+        .map(_.drop(1).toLong).sorted
+      if (named.nonEmpty && !isComplete(f, dir, named.last)) named.init
+      else named
+    }
   }
 
   def latestVersion(dir: String): Option[Long] = versions(dir).lastOption
@@ -77,10 +88,11 @@ object VersionedTable {
   }
 
   /** Manifest lines that name data files — streaming commits prepend a
-    * `txn:` replay-identity line that every file-list consumer skips.
+    * `txn:` replay-identity line and every complete manifest ends with
+    * a `commit:` sentinel; every file-list consumer skips both.
     */
   private def dataLines(lines: Seq[String]): Seq[String] =
-    lines.filterNot(_.startsWith("txn:"))
+    lines.filterNot(l => l.startsWith("txn:") || l.startsWith(CommitPrefix))
 
   /** Read the table at `version` (default: latest). Fails with a clear
     * message for unknown or vacuumed versions. `mergeSchema` reconciles
@@ -142,12 +154,9 @@ object VersionedTable {
         if (append)
           parent.map(p => dataLines(readManifest(f, dir, p))).getOrElse(Nil) ++ files
         else files
-      // the atomicity point: rename fails if v<N> already exists (a
-      // concurrent writer won) → loop rebases on the new chain tip.
-      // The tmp name carries a writer-unique suffix so two in-process
-      // writers racing to the same N stage DISTINCT tmp files — a shared
-      // tmp path would let the loser overwrite the winner's staged bytes
-      // between its create and its rename.
+      // the atomicity point: an atomic EXCLUSIVE CREATE of v<N> (a
+      // concurrent writer claiming it first wins) → loop rebases on the
+      // new chain tip.
       if (stageAndSwap(f, dir, v, all)) return v
       attempt += 1
     }
@@ -155,19 +164,80 @@ object VersionedTable {
       s"versioned commit: lost the publish race 50 times at $dir")
   }
 
-  /** Write `lines` as a writer-unique tmp manifest, then rename it to
-    * `v<N>` — true iff this writer won version N. The rename is the
-    * single atomicity point (fails when the destination exists).
+  /** Commit sentinel: the LAST line of every COMPLETE manifest,
+    * carrying the committing writer's unique id. A manifest file
+    * without it is an in-flight (or crashed) claim, invisible to
+    * readers via [[versions]].
+    */
+  private val CommitPrefix = "commit:"
+
+  private def isComplete(f: FileSystem, dir: String, v: Long): Boolean =
+    try readManifest(f, dir, v).lastOption.exists(_.startsWith(CommitPrefix))
+    catch { case _: java.io.IOException => false }
+
+  /** Commit `lines` as version N — true iff this writer won N.
+    *
+    * Winner determination is an atomic EXCLUSIVE CREATE of v<N> itself
+    * ([[claim]]). The previous protocol (stage tmp, rename onto v<N>,
+    * treat rename failure as a lost race) was NOT atomic on the local
+    * FS: `RawLocalFileSystem` renames via POSIX rename(2), which
+    * silently REPLACES an existing destination (and its copy fallback
+    * overwrites too), so two writers racing the check-to-rename window
+    * could both return true for the same version, discarding one
+    * committed manifest. O_EXCL creation cannot be raced.
+    *
+    * The claim file is empty until its owner fills it in place, so
+    * completeness is a trailing [[CommitPrefix]] sentinel rather than
+    * file existence; readers ([[versions]]) skip a sentinel-less tip. A
+    * loser polls the claim to completeness (a fair loss — the owner is
+    * normally microseconds from its sentinel) and only after a long
+    * grace window assumes a crashed writer and rewrites the claim in
+    * place; the post-write sentinel re-read adjudicates takeover
+    * collisions — whoever's uid survives in the file won, everyone
+    * else rebases. (A writer stalled mid-write for longer than the
+    * grace window AND past its own re-read can still collide — the
+    * standard fencing gap every manifest-file format has on
+    * rename-replacing filesystems; real deployments put the claim on a
+    * store with atomic create, which HDFS's namenode provides.)
     */
   private def stageAndSwap(f: FileSystem, dir: String, v: Long,
       lines: Seq[String]): Boolean = {
-    val tmp = new Path(manifestDir(dir),
-      s".${versionName(v)}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.rename(tmp, new Path(manifestDir(dir), versionName(v)))) true
-    else { f.delete(tmp, false); false }
+    val dest = new Path(manifestDir(dir), versionName(v))
+    f.mkdirs(dest.getParent) // O_EXCL create does not make parents
+    val uid = java.util.UUID.randomUUID().toString
+    val payload = (lines :+ s"$CommitPrefix$uid").mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    if (!claim(f, dest)) {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var live = true
+      while (live && System.nanoTime() < deadline) {
+        if (isComplete(f, dir, v)) return false
+        else { Thread.sleep(5); live = f.exists(dest) }
+      }
+      if (live && isComplete(f, dir, v)) return false
+      if (live) { /* crashed-writer takeover: rewrite the claim below */ }
+      else if (!claim(f, dest)) return false // claim vanished and re-raced
+    }
+    val out = f.create(dest, true) // sole claim owner (or its recoverer)
+    try out.write(payload) finally out.close()
+    try readManifest(f, dir, v).lastOption.contains(s"$CommitPrefix$uid")
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** Atomic exclusive create of `dest` — true iff this caller created
+    * it. The local FS gets true O_EXCL via `File.createNewFile`
+    * (Hadoop's `create(.., overwrite=false)` is only check-then-act
+    * there); other filesystems get `create(dest, false)`, which HDFS
+    * makes atomic at the namenode.
+    */
+  private def claim(f: FileSystem, dest: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try new java.io.File(dest.toUri.getPath).createNewFile()
+      catch { case _: java.io.IOException => false }
+    case other =>
+      try { other.create(dest, false).close(); true }
+      catch { case _: java.io.IOException => false }
   }
 
   /** APPEND commit: new version = parent's files + df's files. */
@@ -827,8 +897,8 @@ object VersionedTable {
       val parent = latestVersion(dir)
       if (seen()) return None // the race loser may discover the replay late
       val v = parent.getOrElse(0L) + 1
-      val all = stamp +: (parent.map(readManifest(f, dir, _)).getOrElse(Nil)
-        .filterNot(_.startsWith("txn:")) ++ files)
+      val all = stamp +: (parent.map(p => dataLines(readManifest(f, dir, p)))
+        .getOrElse(Nil) ++ files)
       if (stageAndSwap(f, dir, v, all)) return Some(v)
       attempt += 1
     }
