@@ -40,7 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (exprs: Seq[Expression]) => SimHash32(exprs(0))))
+      (exprs: Seq[Expression]) => SimHash32(exprs(0), 0)))
     e.injectFunction((
       FunctionIdentifier("z_interleave"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "z_interleave"),

@@ -63,6 +63,7 @@ object PlanLint {
     var cartesian = List.empty[String]
     var bnlj = List.empty[String]
     var singlePart = List.empty[String]
+    var wideShuffle = List.empty[String]
     var errors = List.empty[(String, String)]
     var codegenFail = List.empty[(String, String)]
     var checked = 0
@@ -72,6 +73,18 @@ object PlanLint {
         val exec = q.run(spark, sfDir).queryExecution.executedPlan
         val plan = exec.toString
         checked += 1
+        // array-typed columns crossing a SHUFFLE exchange: each byte of
+        // a carried array is moved per row, so at 100 TB these are the
+        // exchanges that dominate unless the array IS the payload
+        // (signatures, collected lists). Reported by name so a NEW
+        // wide exchange — like the one binaryHammingTopK shipped with —
+        // shows up in review diffs instead of in a 10× re-measure.
+        val wide = exec.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            s.output.exists(_.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType])
+        }.exists(identity)
+        if (wide) wideShuffle ::= q.name
         exec.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
           try {
             CodeGenerator.compile(w.doCodeGen()._2)
@@ -93,7 +106,8 @@ object PlanLint {
     }
     println(s"[planlint] checked=$checked " +
       s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
-      s"single_partition=${singlePart.size} errors=${errors.size} " +
+      s"single_partition=${singlePart.size} " +
+      s"wide_shuffles=${wideShuffle.size} errors=${errors.size} " +
       s"codegen_stages=$stagesCompiled codegen_failures=${codegenFail.size}")
     if (bnlj.nonEmpty)
       println(s"[planlint] bnlj (deliberate 1-row/band broadcasts): " +
@@ -101,6 +115,9 @@ object PlanLint {
     if (singlePart.nonEmpty)
       println(s"[planlint] single-partition exchanges: " +
         singlePart.sorted.mkString(", "))
+    if (wideShuffle.nonEmpty)
+      println(s"[planlint] array-typed columns through a shuffle: " +
+        wideShuffle.sorted.mkString(", "))
     errors.foreach { case (n, e) => println(s"[planlint] ERROR $n: $e") }
     if (cartesian.nonEmpty) {
       println(s"[planlint] FATAL cartesian products: ${cartesian.sorted.mkString(", ")}")

@@ -8,46 +8,55 @@ import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 32-bit SimHash of an array<string>: hash every element to the
-  * PORTABLE 32-bit seed-0 hash — md5 of "0:" ++ element, first 32
-  * bits, bit-identical to `DedupOps.portableHash(x, 0)` and DuckDB
-  * `('0x'||substring(md5('0:'||x),1,8))::BIGINT` — then take, per bit
-  * position, the majority vote across elements — ties (2·ones == n)
-  * vote 0, matching `2·ones > n` in the SQL fold and the oracle.
+  * PORTABLE 32-bit seed-`seed` hash — md5 of "<seed>:" ++ element,
+  * first 32 bits, bit-identical to `DedupOps.portableHash(x, seed)`
+  * and DuckDB `('0x'||substring(md5('<seed>:'||x),1,8))::BIGINT` —
+  * then take, per bit position, the majority vote across elements —
+  * ties (2·ones == n) vote 0, matching `2·ones > n` in the SQL fold
+  * and the oracle.
   *
   * Fuses what the HOF form spells as a per-token md5 `transform` plus
   * a 32-round `aggregate`/`filter` fold — ~4k interpreted lambda
   * evaluations per document (measured most of `dedup_simhash`'s 5.3 s
   * at sf0.1); here one compiled pass with 32 int counters.
+  *
+  * The seed exists so WIDER signatures can be composed from
+  * independent 32-bit halves (seed 0 = the historical `simhash32`;
+  * seed 1 = the high half of the 64-bit form): at 10× corpus the
+  * 32-bit/8-bit-band form's 1024 bucket keys saturate and candidate
+  * pairs grow quadratically (measured 24× time at 10× docs — see
+  * SCALE.md round-12), while 4×16-bit bands over 64 bits keep buckets
+  * near-singleton. Band bits must scale like log2(N); the seeds make
+  * the signature width a parameter instead of a ceiling.
   */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression, seed: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(v: Any): Any =
-    SimHash32.eval(v.asInstanceOf[ArrayData])
+    SimHash32.eval(v.asInstanceOf[ArrayData], seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHash32$$.MODULE$$.eval($c)")
+      s"graft.functions.SimHash32$$.MODULE$$.eval($c, $seed)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object SimHash32 {
 
-  private val Seed0 = "0:".getBytes("UTF-8")
-
   /** Shared kernel (also called from generated code). */
-  def eval(arr: ArrayData): Long = {
+  def eval(arr: ArrayData, seed: Int): Long = {
     val n = arr.numElements()
     val cnt = new Array[Int](32)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val seedBytes = s"$seed:".getBytes("UTF-8")
     var i = 0
     var nn = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         md.reset()
-        md.update(Seed0)
+        md.update(seedBytes)
         val d = md.digest(arr.getUTF8String(i).getBytes)
         val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
           ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
@@ -63,10 +72,19 @@ object SimHash32 {
     sig
   }
 
-  /** Register `simhash32(arr)` (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `simhash32(arr)` (seed 0, the historical form) and
+    * `simhash32s(arr, seed)` (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs(0)), "built-in")
+      "simhash32", exprs => SimHash32(exprs(0), 0), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32s", exprs => SimHash32(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 
   def simhash32(arrCol: String): Column = expr(s"simhash32($arrCol)")
+
+  def simhash32s(arrCol: String, seed: Int): Column =
+    expr(s"simhash32s($arrCol, $seed)")
 }

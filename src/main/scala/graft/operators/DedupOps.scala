@@ -368,6 +368,48 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** 64-bit SimHash near-dup candidates: two independent 32-bit
+    * majority signatures (seeds 0 and 1) make a 64-bit signature,
+    * banded as 4×16-bit keys; any pair within Hamming distance 3 over
+    * the 64 bits shares ≥ 1 exact band (pigeonhole), so the result is
+    * complete for the wide signature, like [[simhashPairs]] is for the
+    * narrow one.
+    *
+    * THE SCALE FIX for the 32-bit form, whose 4×8-bit bands give only
+    * 1024 bucket keys total: bucket membership grows linearly with the
+    * corpus, so in-bucket candidate pairs grow QUADRATICALLY — measured
+    * 24× wall-clock at 10× documents (SCALE.md round-12 wave), the
+    * classic fixed-band-width failure. 16-bit bands hold 65,536 keys
+    * each, keeping sf1 buckets near-singleton; the general rule is band
+    * bits ≈ log2(corpus) + margin, and composing seeded 32-bit halves
+    * makes signature width a parameter instead of a ceiling (a 1e9-doc
+    * corpus wants 128-bit signatures → 4×32-bit bands).
+    */
+  def simhashPairsWide(d: DataFrame, maxHamming: Int): DataFrame = {
+    graft.functions.SimHash32.register(d.sparkSession)
+    val sigs = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        graft.functions.SimHash32.simhash32s("tk", 0).as("lo"),
+        graft.functions.SimHash32.simhash32s("tk", 1).as("hi"))
+    val banded = sigs.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        concat(lit("0:"), col("lo").bitwiseAND(0xFFFFL).cast("string")),
+        concat(lit("1:"), shiftright(col("lo"), 16).bitwiseAND(0xFFFFL).cast("string")),
+        concat(lit("2:"), col("hi").bitwiseAND(0xFFFFL).cast("string")),
+        concat(lit("3:"), shiftright(col("hi"), 16).bitwiseAND(0xFFFFL).cast("string"))))
+        .as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lo").bitwiseXOR(col("b.lo")).as("xl"),
+        col("a.hi").bitwiseXOR(col("b.hi")).as("xh"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (expr("bit_count(xl)") + expr("bit_count(xh)")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Prefix-filtered exact Jaccard (AllPairs/SSJoin-style): under a
     * global (frequency, hash) shingle order, any pair with J >= minJ must
     * share an element within each side's first |x| - ceil(minJ*|x|) + 1
@@ -791,6 +833,44 @@ object DedupOps {
              |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
              |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
              |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GQuery(
+      "dedup_simhash_wide",
+      (s, dir) => {
+        // The 64-bit/16-bit-band production form of dedup_simhash (see
+        // simhashPairsWide's scaladoc for the measured 24×-at-10×
+        // saturation of the 32-bit form's 1024 band keys). Fully
+        // oracle-checked: both seeded signature halves, the 4×16-bit
+        // band keys, candidate pairs and the combined Hamming distance
+        // replay bit-identically in DuckDB.
+        simhashPairsWide(docs(s, dir), maxHamming = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  h AS (SELECT doc_id,
+             |               [('0x' || substring(md5('0:' || x), 1, 8))::BIGINT for x in tk] AS h0,
+             |               [('0x' || substring(md5('1:' || x), 1, 8))::BIGINT for x in tk] AS h1
+             |        FROM t),
+             |  sg AS (SELECT doc_id,
+             |                list_sum([CASE WHEN 2 * len(list_filter(h0, h -> ((h >> bit) & 1) = 1)) > len(h0)
+             |                               THEN (1::BIGINT << bit) ELSE 0 END
+             |                          for bit in range(0, 32)])::BIGINT AS lo,
+             |                list_sum([CASE WHEN 2 * len(list_filter(h1, h -> ((h >> bit) & 1) = 1)) > len(h1)
+             |                               THEN (1::BIGINT << bit) ELSE 0 END
+             |                          for bit in range(0, 32)])::BIGINT AS hi
+             |         FROM h),
+             |  banded AS (SELECT doc_id, lo, hi,
+             |                    unnest(['0:' || (lo & 65535), '1:' || ((lo >> 16) & 65535),
+             |                            '2:' || (hi & 65535), '3:' || ((hi >> 16) & 65535)]) AS bk
+             |             FROM sg),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.{DotProduct, JaroWinkler}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,65 @@ object FuzzyOps {
     Tables.t(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("em"))
+
+  /** MULTI-PASS sorted-neighborhood Jaro-Winkler pairs within brand
+    * blocks: for each pass's sort key (p_name forward, then REVERSED —
+    * a pair differing early in the string sorts far apart forward but
+    * adjacent reversed), row-number each block in key order and pair
+    * each row with its next 8 sorted neighbors via an equi-join on the
+    * shifted rank — O(N·W·passes) scores, never a within-block cross
+    * product. Keep JW ≥ 0.9, union the passes. Measured recall vs the
+    * full blocked form: 1325/1599 one-pass → 1596/1599 two-pass at
+    * sf0.01 (the audit query keeps the per-pair receipt). Shared by
+    * the production query and its recall audit.
+    */
+  private def sortedNeighborhoodJw(s: SparkSession, dir: String): DataFrame = {
+    JaroWinkler.register(s)
+    val p = Tables.t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    def onePass(key: Column): DataFrame = {
+      val rn = p.withColumn("rn", row_number().over(
+        Window.partitionBy("p_brand").orderBy(key, col("p_partkey"))))
+      val probes = rn.select(col("p_brand"), col("rn"),
+          col("p_partkey").as("k1"), col("p_name").as("n1"),
+          explode(sequence(lit(1), lit(8))).as("d"))
+        .select(col("p_brand"), (col("rn") + col("d")).as("rn2"),
+          col("k1"), col("n1"))
+      probes.join(rn.select(col("p_brand"), col("rn").as("rn2"),
+            col("p_partkey").as("k2"), col("p_name").as("n2")),
+          Seq("p_brand", "rn2"))
+        .where(JaroWinkler.jaro_winkler("n1", "n2") >= 0.9)
+        .select(least(col("k1"), col("k2")).as("p1"),
+          greatest(col("k1"), col("k2")).as("p2"),
+          round(JaroWinkler.jaro_winkler("n1", "n2"), 4).as("j_w"))
+    }
+    onePass(col("p_name")).union(onePass(reverse(col("p_name"))))
+      .dropDuplicates("p1", "p2")
+  }
+
+  /** The oracle's window-side CTEs (shared by both sorted queries). */
+  private val sortedNeighborhoodSql =
+    """WITH r1 AS (SELECT p_partkey, p_name, p_brand,
+      |                   row_number() OVER (PARTITION BY p_brand
+      |                                      ORDER BY p_name, p_partkey) AS rn
+      |            FROM part),
+      |  r2 AS (SELECT p_partkey, p_name, p_brand,
+      |                row_number() OVER (PARTITION BY p_brand
+      |                                   ORDER BY reverse(p_name), p_partkey) AS rn
+      |         FROM part),
+      |  w1 AS (SELECT least(a.p_partkey, b.p_partkey) AS p1,
+      |                greatest(a.p_partkey, b.p_partkey) AS p2,
+      |                round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS j_w
+      |         FROM r1 a JOIN r1 b
+      |           ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+      |         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+      |  w2 AS (SELECT least(a.p_partkey, b.p_partkey) AS p1,
+      |                greatest(a.p_partkey, b.p_partkey) AS p2,
+      |                round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS j_w
+      |         FROM r2 a JOIN r2 b
+      |           ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+      |         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+      |  w AS (SELECT p1, p2, j_w FROM w1 UNION SELECT p1, p2, j_w FROM w2)""".stripMargin
 
   val all: Seq[GQuery] = Seq(
 
@@ -63,6 +122,69 @@ object FuzzyOps {
              |FROM part a JOIN part b
              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
              |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+             |ORDER BY p1, p2""".stripMargin)),
+
+    GQuery(
+      "string_jaro_winkler_sorted",
+      (s, dir) => {
+        // SORTED-NEIGHBORHOOD linkage — the linear-cost production form
+        // of string_jaro_winkler. The plain blocked form's cost is
+        // (N/|blocks|)² per block, and p_brand has a FIXED 25-ish
+        // values, so its work grows QUADRATICALLY with the corpus —
+        // measured 64× wall-clock at 10× parts in the round-12 wave
+        // (SCALE.md). Here each block is sorted by name (two passes:
+        // forward and reversed key) and only rows within a window of 8
+        // sorted neighbors are compared — O(N·W·2) scores total — the
+        // standard record-linkage scale technique (near-identical
+        // strings sort adjacently under SOME pass's key). Recall vs
+        // the full blocked form is audited per pair by
+        // string_jaro_winkler_sorted_audit (kept separate so THIS
+        // query's cost is the production path's, not the audit's).
+        sortedNeighborhoodJw(s, dir)
+          .withColumnRenamed("j_w", "jw")
+          .orderBy("p1", "p2")
+      },
+      Some(s"""$sortedNeighborhoodSql
+             |SELECT p1, p2, j_w AS jw FROM w ORDER BY p1, p2""".stripMargin)),
+
+    GQuery(
+      "string_jaro_winkler_sorted_audit",
+      (s, dir) => {
+        // RECALL AUDIT for the sorted-neighborhood form: window and
+        // full-blocked pair sets full-outer-joined into
+        // in_window/in_blocked flags, and the oracle recomputes BOTH
+        // sides, so either engine losing or inventing a pair fails the
+        // hash. Deliberately runs the quadratic blocked reference —
+        // this is the audit you run on a sample at 100 TB, never the
+        // serving path (the dedup_ngram_jaccard_capped precedent).
+        JaroWinkler.register(s)
+        val p = Tables.t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        val win = sortedNeighborhoodJw(s, dir)
+        val full = p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey") &&
+              JaroWinkler.jaro_winkler("a.p_name", "b.p_name") >= 0.9)
+          .select(col("a.p_partkey").as("p1"), col("b.p_partkey").as("p2"),
+            round(JaroWinkler.jaro_winkler("a.p_name", "b.p_name"), 4).as("j_b"))
+        win.join(full, Seq("p1", "p2"), "full_outer")
+          .select(col("p1"), col("p2"),
+            coalesce(col("j_b"), col("j_w")).as("jw"),
+            col("j_w").isNotNull.as("in_window"),
+            col("j_b").isNotNull.as("in_blocked"))
+          .orderBy("p1", "p2")
+      },
+      Some(s"""$sortedNeighborhoodSql,
+             |  f AS (SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             |               round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS j_b
+             |        FROM part a JOIN part b
+             |          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
+             |SELECT coalesce(w.p1, f.p1) AS p1, coalesce(w.p2, f.p2) AS p2,
+             |       coalesce(j_b, j_w) AS jw,
+             |       (j_w IS NOT NULL) AS in_window,
+             |       (j_b IS NOT NULL) AS in_blocked
+             |FROM w FULL OUTER JOIN f ON w.p1 = f.p1 AND w.p2 = f.p2
              |ORDER BY p1, p2""".stripMargin)),
 
     GQuery(

@@ -88,7 +88,12 @@ class CodegenGateSpec extends AnyFunSuite {
   gate("RollingHashGrams k=5", RollingHashGrams(ref(0, StringType), 5), gRows)
   gate("WordGramHashes n=3",   WordGramHashes(ref(0, StringType), 3), gRows)
 
-  gate("SimHash32", SimHash32(ref(0, ArrayType(StringType))), Seq(
+  gate("SimHash32 seed=0", SimHash32(ref(0, ArrayType(StringType)), 0), Seq(
+    InternalRow(strArr("alpha", "beta", "gamma", "alpha")),
+    InternalRow(strArr()),
+    InternalRow(strArr("solo", null, "duo")),
+    InternalRow(null)))
+  gate("SimHash32 seed=1", SimHash32(ref(0, ArrayType(StringType)), 1), Seq(
     InternalRow(strArr("alpha", "beta", "gamma", "alpha")),
     InternalRow(strArr()),
     InternalRow(strArr("solo", null, "duo")),
