@@ -83,19 +83,27 @@ object FeatureOps {
     GQuery(
       "emb_knn_accuracy",
       (s, dir) => {
-        // k-NN LABEL EVALUATION (leave-one-out): predict each vector's
-        // label by majority vote of its 5 nearest neighbors, report
-        // per-class accuracy — the standard embedding-quality probe.
-        // Exact pair scan here (the oracle-able baseline); at 100 TB the
-        // neighbor set comes from the ANN path (sim_ann_lsh / ivf) and
-        // this same vote+score tail runs on candidates. Both argmaxes
-        // (top-5 neighbors, majority label) are WindowGroupLimit-pruned
+        // k-NN LABEL EVALUATION (leave-one-out): predict each PROBE
+        // vector's label by majority vote of its 5 nearest neighbors
+        // over the FULL corpus, report per-class accuracy — the
+        // standard embedding-quality probe. The probe side is a FIXED
+        // 500-vector sample (ids < 500 — the whole corpus at sf0.001,
+        // a sample above it): an evaluation metric is estimated on a
+        // sample, it does not grow with the corpus — the uncapped
+        // leave-EVERYONE-out form was a full N² self-join that the r12
+        // sf1 sweep measured at 170× per 10× data; sampled probes make
+        // the scan O(500·N), i.e. linear, while neighbors still come
+        // from everywhere. At 100 TB the neighbor set comes from the
+        // ANN path (sim_ann_ivfpq / binary-Hamming) and this same
+        // vote+score tail runs on candidates. Both argmaxes (top-5
+        // neighbors, majority label) are WindowGroupLimit-pruned
         // windows with deterministic tiebreaks.
         CosineSimilarity.register(s)
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), _.cast("double")).as("em"))
-        val sc = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        val sc = e.where(col("vec_id") < 500).as("a")
+          .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("qa"), col("a.label").as("la"),
             col("b.vec_id").as("qb"), col("b.label").as("lb"),
             CosineSimilarity.cosine_sim("a.em", "b.em").as("sim"))
@@ -116,7 +124,8 @@ object FeatureOps {
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS em FROM embeddings),
              | sc AS (SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS qb,
              |               b.label AS lb, list_cosine_similarity(a.em, b.em) AS sim
-             |        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+             |        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+             |        WHERE a.vec_id < 500),
              | top AS (SELECT qa, la, lb FROM (
              |           SELECT qa, la, lb,
              |                  row_number() OVER (PARTITION BY qa
@@ -140,17 +149,34 @@ object FeatureOps {
         // most-similar vector with a DIFFERENT label (the hardest
         // negative) next to the most-similar same-label vector (the
         // hardest positive) and their margin — the pairs a triplet/InfoNCE
-        // objective learns most from. One scored pass feeds both argmaxes
-        // (WindowGroupLimit-pruned); at 100 TB candidates come from the
-        // ANN bucket path and this tail is unchanged.
+        // objective learns most from. Candidates come from the
+        // ADAPTIVE-WIDTH SRP buckets (the r12 scale fix — the former
+        // all-pairs self-join was the same N² the sweep measured at
+        // 125-170× on its siblings; hard negatives/positives are
+        // HIGH-similarity vectors, exactly what bucket collisions
+        // surface, and the oracle replays the buckets so the
+        // approximation is hash-pinned, not asserted). The skinny
+        // candidate set re-acquires labels and vectors via broadcast
+        // join-backs (the annTopKPortable pattern); one scored pass
+        // feeds both argmaxes (WindowGroupLimit-pruned).
         CosineSimilarity.register(s)
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), _.cast("double")).as("em"))
-        val sc = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("anchor"), col("a.label").as("la"),
-            col("b.vec_id").as("cand"), col("b.label").as("lb"),
-            CosineSimilarity.cosine_sim("a.em", "b.em").as("sim"))
+        val keyed = SimilarityOps.srpKeyedScaled(
+          e.select(col("vec_id"), col("em")),
+          SimilarityOps.srpScaledPlanes(e.count()), tables = 16, dims = 64)
+        val cands = keyed.as("a").join(keyed.as("b"),
+            col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
+          .distinct()
+        val sc = cands
+          .join(broadcast(e.select(col("vec_id").as("anchor"),
+            col("label").as("la"), col("em").as("ae"))), "anchor")
+          .join(broadcast(e.select(col("vec_id").as("cand"),
+            col("label").as("lb"), col("em").as("ce"))), "cand")
+          .select(col("anchor"), col("la"), col("cand"), col("lb"),
+            CosineSimilarity.cosine_sim("ae", "ce").as("sim"))
         def top1(df: org.apache.spark.sql.DataFrame) =
           df.withColumn("rn", row_number().over(
               Window.partitionBy("anchor").orderBy(desc("sim"), asc("cand"))))
@@ -165,10 +191,14 @@ object FeatureOps {
             round(col("sp") - col("sn"), 4).as("margin"))
           .orderBy("anchor")
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS em FROM embeddings),
-             | sc AS (SELECT a.vec_id AS anchor, a.label AS la, b.vec_id AS cand,
-             |               b.label AS lb, list_cosine_similarity(a.em, b.em) AS sim
-             |        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      Some(s"""${SimilarityOps.srpScaledKeysSql(tables = 16, dims = 64)},
+             | cand AS (SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS cand
+             |          FROM keys a JOIN keys b
+             |            ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+             | sc AS (SELECT anchor, ea.label AS la, cand, eb.label AS lb,
+             |               list_cosine_similarity(ea.em, eb.em) AS sim
+             |        FROM cand JOIN e ea ON anchor = ea.vec_id
+             |                  JOIN e eb ON cand = eb.vec_id),
              | hn AS (SELECT anchor, cand AS hard_neg, sim AS sn FROM (
              |          SELECT anchor, cand, sim,
              |                 row_number() OVER (PARTITION BY anchor

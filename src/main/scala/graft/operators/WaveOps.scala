@@ -158,7 +158,11 @@ object WaveOps {
         // the sequential-order codegen kernel, so ranks are bit-stable.
         CosineSimilarity.register(s)
         val e = emb(s, dir)
-        val q = broadcast(e.where(col("vec_id") % 100 === 0)
+        // probe set capped at 20 — same fixed-workload rationale (and
+        // same unchanged-at-driver-SFs argument) as sim_mips_topk; the
+        // r12 sf1 sweep measured the proportional-probe form at 40×
+        // per 10× data
+        val q = broadcast(e.where(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("qid"), col("em").as("qe")))
         val sc = e.join(q, col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
@@ -172,7 +176,8 @@ object WaveOps {
           .orderBy("qid", "rn")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
-             | q AS (SELECT vec_id AS qid, em AS qe FROM e WHERE vec_id % 100 = 0),
+             | q AS (SELECT vec_id AS qid, em AS qe FROM e
+ |        WHERE vec_id % 100 = 0 AND vec_id < 2000),
              | sc AS (SELECT qid, e.vec_id,
              |               list_cosine_similarity(qe[1:16], em[1:16]) AS st,
              |               list_cosine_similarity(qe, em) AS sf

@@ -115,4 +115,39 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(recall >= 0.95,
       s"planted near-identical pairs must collide: recall $recall ($probe/$expected)")
   }
+
+  test("adaptive SRP width: planted pairs survive above the plane floor") {
+    // the width rule itself — one bit per corpus doubling past the
+    // 250-vector budget, floored at 3, capped at SrpMaxPlanes
+    assert(SimilarityOps.srpScaledPlanes(200) == 3)
+    assert(SimilarityOps.srpScaledPlanes(2000) == 6)
+    assert(SimilarityOps.srpScaledPlanes(20000) == 9)
+    assert(SimilarityOps.srpScaledPlanes(1000000000L) == SimilarityOps.SrpMaxPlanes)
+
+    // 500 families × 10 jitters = 5000 vectors → adaptive width 7 (vs
+    // the fixed form's 3, i.e. the adaptivity is LIVE in this test).
+    // Sibling pairs sit at cosine ~0.999 — the near-dup regime the
+    // thresholded queries exist for — and must survive the narrower
+    // buckets: per-table collision ≈ 0.986^7 ≈ 0.91, 16 tables ≈ 1.
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(53)
+    val corpus = base.flatMap { case (id, v) =>
+      (0 until 10).map { j =>
+        val jv = v.map(x => x + rnd.nextGaussian() * 0.01)
+        (id * 10 + j, jv)
+      }
+    }.toSeq.toDF("vec_id", "em")
+    assert(corpus.count() == 5000L)
+
+    val pairs = SimilarityOps.srpPairsAboveScaled(corpus,
+        tables = 16, dims = 64, thresh = 0.9)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val planted = pairs.count { case (a, b) => a / 10 == b / 10 }
+    val expected = base.length * (10 * 9 / 2)
+    val recall = planted.toDouble / expected
+    assert(recall >= 0.95,
+      s"adaptive-width recall on planted siblings: $recall ($planted/$expected)")
+  }
 }
