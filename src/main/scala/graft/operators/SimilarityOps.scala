@@ -329,6 +329,52 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
 
+  /** [[annTopKPortable]] with the plane count SCALED TO THE CORPUS —
+    * the production SRP top-k form at 100 TB. The fixed 3×16 form is
+    * the same fixed-cardinality-blocking defect the round-12 wave
+    * measured across this family: 128 bucket keys forever means bucket
+    * membership grows linearly with the corpus, the directed candidate
+    * multiset quadratically, and the sf1 cold pass DNF'd at 35 min
+    * (~400M-row candidate distinct). One key bit per corpus doubling
+    * ([[srpScaledPlanes]]) keeps expected bucket size ~constant, so the
+    * candidate multiset grows ~linearly (at 20k vectors: 9 planes →
+    * ~39/bucket → ~12M directed candidates vs the fixed form's ~800M).
+    * The 12-bit cap first binds at 256k vectors — past that, raise
+    * [[SrpMaxPlanes]] and the table count together per the (planes,
+    * tables) LSH cost model; at the measured decades the cap is slack.
+    *
+    * Unlike [[annTopKPortable]], the rerank join-backs are SHUFFLE
+    * joins on the id keys, not driver broadcasts: the corpus grows with
+    * N, so a full-corpus broadcast becomes the driver-memory bottleneck
+    * exactly at the scale the adaptive key targets. The candidate set
+    * is already skinny (two longs), so the exchange it pays is the
+    * hash-partitioned id join — linear, spillable, and the only place
+    * the 64-dim vectors move.
+    *
+    * Recall trade is the same as [[srpPairsAboveScaled]]: narrower
+    * buckets shrink per-table collision polynomially; near-identical
+    * neighbors (the regime ANN dedup/retrieval targets) survive the
+    * 16-table union with probability ≈ 1 — gated on planted jitter
+    * siblings at the LIVE adaptive width in SimilarityScaleSpec.
+    */
+  def annTopKPortableScaled(d: DataFrame, k: Int, tables: Int, dims: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val e = d.select(col("vec_id"), col("em"))
+    val planes = srpScaledPlanes(e.count())
+    val keyed = srpKeyedScaled(e, planes, tables, dims)
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("qid"), col("em").as("qe")), "qid")
+      .join(e.select(col("vec_id"), col("em").as("ce")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        CosineSimilarity.cosine_sim("qe", "ce").as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
   /** DuckDB oracle for [[annTopKPortable]]: same sign literals, same
     * directed candidates, same rerank and tiebreak.
     */
@@ -440,6 +486,27 @@ object SimilarityOps {
        |FROM cands JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
        |WHERE list_cosine_similarity(ea.em, eb.em) >= $thresh
        |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for [[annTopKPortableScaled]]: the shared adaptive-width
+    * bucketing prefix ([[srpScaledKeysSql]]) + the directed-candidate /
+    * rerank / tiebreak tail of [[srpAnnOracle]] — a static SQL string
+    * replaying the data-dependent key width from count(*).
+    */
+  private def srpAnnScaledOracle(tables: Int, k: Int, dims: Int): String =
+    s"""${srpScaledKeysSql(tables, dims)},
+       | cands AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
+       |           FROM keys a JOIN keys b
+       |             ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       | scored AS (SELECT qid, c.vec_id,
+       |                   list_cosine_similarity(q.em, t.em) AS score
+       |            FROM cands c JOIN e q ON c.qid = q.vec_id
+       |                         JOIN e t ON c.vec_id = t.vec_id),
+       | r AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY score DESC, vec_id) AS rn
+       |       FROM scored)
+       |SELECT qid, vec_id, round(score, 4) AS score, rn
+       |FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into cells; queries probe their `nprobe` nearest cells and
@@ -991,6 +1058,25 @@ object SimilarityOps {
           .orderBy("qid", "rn")
       },
       Some(srpAnnOracle(planes = 3, tables = 16, k = 5, dims = 64))),
+
+    GQuery(
+      "sim_ann_lsh_scaled",
+      (s, dir) => {
+        // The ADAPTIVE-PLANES production form of sim_ann_lsh, whose
+        // fixed 3×16 bucketing DNF'd its sf1 cold pass in the round-12
+        // wave (35-min abort; 128 bucket keys forever → ~400M-row
+        // candidate distinct). Key width grows one bit per corpus
+        // doubling and the rerank join-backs are shuffle joins, not
+        // full-corpus broadcasts — see annTopKPortableScaled's
+        // scaladoc. The oracle recomputes the width from count(*) with
+        // the same integer-exact rule, so the query stays hash-verified
+        // at every scale factor; the fixed form stays registered as the
+        // regression witness.
+        annTopKPortableScaled(emb(s, dir), k = 5, tables = 16, dims = 64)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some(srpAnnScaledOracle(tables = 16, k = 5, dims = 64))),
 
     GQuery(
       "sim_ann_ivf",

@@ -150,4 +150,37 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(recall >= 0.95,
       s"adaptive-width recall on planted siblings: $recall ($planted/$expected)")
   }
+
+  test("adaptive-width ANN top-k finds planted siblings at live width") {
+    // the sim_ann_lsh_scaled operator at a corpus size where the
+    // adaptive width is LIVE (5000 vectors → 7 planes vs the fixed
+    // form's 3): each probed jitter's top-5 must be dominated by its 9
+    // planted siblings (cosine ~0.999 — per-table collision ≈ 0.986^7
+    // ≈ 0.91, 16 tables ≈ 1), proving the narrower buckets that fixed
+    // the sf1 DNF did not trade away the near-dup regime's recall.
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(61)
+    val corpus = base.flatMap { case (id, v) =>
+      (0 until 10).map { j =>
+        val jv = v.map(x => x + rnd.nextGaussian() * 0.01)
+        (id * 10 + j, jv)
+      }
+    }.toSeq.toDF("vec_id", "em")
+    assert(corpus.count() == 5000L)
+
+    val ann = SimilarityOps.annTopKPortableScaled(corpus, k = 5,
+        tables = 16, dims = 64)
+      .where(col("qid") < 50L * 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(ann.size >= 450, s"expected ~500 probed queries, got ${ann.size}")
+    val hitRates = ann.map { case (qid, got) =>
+      got.count(_ / 10 == qid / 10).toDouble / got.size.max(1)
+    }
+    val mean = hitRates.sum / hitRates.size
+    assert(mean >= 0.8, s"planted-sibling hit rate $mean over ${ann.size} queries")
+  }
 }
