@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.types.ArrayType
 
 /** Mechanical plan-quality audit over the ENTIRE query registry: builds
   * every registered query's physical plan and scans it for scale
@@ -15,14 +18,19 @@ import org.apache.spark.sql.execution.WholeStageCodegenExec
   *  - CartesianProduct — an unkeyed all-pairs join is never acceptable;
   *    every intended pair scan in this engine is bucketed/banded/blocked.
   *
-  * Reported (not fatal — each instance in this registry is deliberate and
-  * its justification lives at the query's definition):
+  * Reported AND pinned (each instance in this registry is deliberate and
+  * its justification lives at the query's definition; the full name lists
+  * are committed fixtures under `src/test/resources/planlint/` that
+  * `PlanLintFixturesSpec` asserts byte-for-byte, so a NEW instance fails
+  * `sbt test` instead of hiding in a review diff):
   *  - BroadcastNestedLoopJoin: legitimate when one side is a 1-row
   *    aggregate (grand totals, test statistics) or a tiny bounded band
-  *    list; the count is printed so a NEW unexplained instance shows up
-  *    in review diffs.
+  *    list.
   *  - single-partition exchanges (global sorts excluded): usually an
   *    empty-partition window; legitimate only on provably small inputs.
+  *  - array-typed columns crossing a shuffle exchange: each byte of a
+  *    carried array moves per row, so at 100 TB these exchanges dominate
+  *    unless the array IS the payload (signatures, collected lists).
   *
   * Hard failure (exit 4) — codegen_failures: every `WholeStageCodegenExec`
   * stage in every registered plan has its generated Java source compiled
@@ -48,17 +56,40 @@ import org.apache.spark.sql.execution.WholeStageCodegenExec
   * dedicated plan tests at realistic sizes instead.
   */
 object PlanLint {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
+  /** True iff any shuffle exchange anywhere in the plan — INCLUDING
+    * inside `AdaptiveSparkPlanExec` subplans, which `TreeNode.collect`
+    * does not descend into — carries an array-typed column. The shared
+    * detector behind the lint's wide-shuffle list and the
+    * `narrow_shuffles` plan assertion baked into the binary-ANN query's
+    * hash-checked output (SimilarityOps.shufflesAreArrayFree): one
+    * traversal, so the audit is robust to the session's AQE setting
+    * instead of silently reporting zero under AQE.
+    */
+  def anyWideShuffle(p: SparkPlan): Boolean = p.collect {
+    case s: ShuffleExchangeLike =>
+      s.output.exists(_.dataType.isInstanceOf[ArrayType])
+    case a: AdaptiveSparkPlanExec => anyWideShuffle(a.executedPlan)
+  }.exists(identity)
+
+  /** One registry sweep's findings; name lists are sorted. */
+  case class LintReport(
+      checked: Int,
+      cartesian: List[String],
+      bnlj: List[String],
+      singlePart: List[String],
+      wideShuffle: List[String],
+      errors: List[(String, String)],
+      codegenFail: List[(String, String)],
+      stagesCompiled: Int)
+
+  /** Build every non-streaming registered plan and scan it. The name
+    * lists this returns are the contract `PlanLintFixturesSpec` pins;
+    * `compileCodegen` additionally janino-compiles every codegen stage
+    * (minutes — the main does, the fixtures spec doesn't).
+    */
+  def audit(spark: SparkSession, sfDir: String,
+      compileCodegen: Boolean): LintReport = {
     val skip = (n: String) => n.startsWith("streaming_")
     var cartesian = List.empty[String]
     var bnlj = List.empty[String]
@@ -73,26 +104,17 @@ object PlanLint {
         val exec = q.run(spark, sfDir).queryExecution.executedPlan
         val plan = exec.toString
         checked += 1
-        // array-typed columns crossing a SHUFFLE exchange: each byte of
-        // a carried array is moved per row, so at 100 TB these are the
-        // exchanges that dominate unless the array IS the payload
-        // (signatures, collected lists). Reported by name so a NEW
-        // wide exchange — like the one binaryHammingTopK shipped with —
-        // shows up in review diffs instead of in a 10× re-measure.
-        val wide = exec.collect {
-          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
-            s.output.exists(_.dataType.isInstanceOf[
-              org.apache.spark.sql.types.ArrayType])
-        }.exists(identity)
-        if (wide) wideShuffle ::= q.name
-        exec.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
-          try {
-            CodeGenerator.compile(w.doCodeGen()._2)
-            stagesCompiled += 1
-          } catch {
-            case e: Throwable =>
-              codegenFail ::= (q.name, e.getMessage.linesIterator
-                .find(_.contains("No applicable")).getOrElse(e.toString).take(160))
+        if (anyWideShuffle(exec)) wideShuffle ::= q.name
+        if (compileCodegen) {
+          exec.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
+            try {
+              CodeGenerator.compile(w.doCodeGen()._2)
+              stagesCompiled += 1
+            } catch {
+              case e: Throwable =>
+                codegenFail ::= (q.name, e.getMessage.linesIterator
+                  .find(_.contains("No applicable")).getOrElse(e.toString).take(160))
+            }
           }
         }
         if (plan.contains("CartesianProduct")) cartesian ::= q.name
@@ -104,28 +126,44 @@ object PlanLint {
         case e: Throwable => errors ::= (q.name, e.toString.take(120))
       }
     }
-    println(s"[planlint] checked=$checked " +
-      s"cartesian=${cartesian.size} bnlj=${bnlj.size} " +
-      s"single_partition=${singlePart.size} " +
-      s"wide_shuffles=${wideShuffle.size} errors=${errors.size} " +
-      s"codegen_stages=$stagesCompiled codegen_failures=${codegenFail.size}")
-    if (bnlj.nonEmpty)
+    LintReport(checked, cartesian.sorted, bnlj.sorted, singlePart.sorted,
+      wideShuffle.sorted, errors.reverse, codegenFail.reverse, stagesCompiled)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val r = audit(spark, sfDir, compileCodegen = true)
+    println(s"[planlint] checked=${r.checked} " +
+      s"cartesian=${r.cartesian.size} bnlj=${r.bnlj.size} " +
+      s"single_partition=${r.singlePart.size} " +
+      s"wide_shuffles=${r.wideShuffle.size} errors=${r.errors.size} " +
+      s"codegen_stages=${r.stagesCompiled} codegen_failures=${r.codegenFail.size}")
+    if (r.bnlj.nonEmpty)
       println(s"[planlint] bnlj (deliberate 1-row/band broadcasts): " +
-        bnlj.sorted.mkString(", "))
-    if (singlePart.nonEmpty)
+        r.bnlj.mkString(", "))
+    if (r.singlePart.nonEmpty)
       println(s"[planlint] single-partition exchanges: " +
-        singlePart.sorted.mkString(", "))
-    if (wideShuffle.nonEmpty)
+        r.singlePart.mkString(", "))
+    if (r.wideShuffle.nonEmpty)
       println(s"[planlint] array-typed columns through a shuffle: " +
-        wideShuffle.sorted.mkString(", "))
-    errors.foreach { case (n, e) => println(s"[planlint] ERROR $n: $e") }
-    if (cartesian.nonEmpty) {
-      println(s"[planlint] FATAL cartesian products: ${cartesian.sorted.mkString(", ")}")
+        r.wideShuffle.mkString(", "))
+    r.errors.foreach { case (n, e) => println(s"[planlint] ERROR $n: $e") }
+    if (r.cartesian.nonEmpty) {
+      println(s"[planlint] FATAL cartesian products: ${r.cartesian.mkString(", ")}")
       spark.stop(); sys.exit(2)
     }
-    if (errors.nonEmpty) { spark.stop(); sys.exit(3) }
-    if (codegenFail.nonEmpty) {
-      codegenFail.foreach { case (n, e) =>
+    if (r.errors.nonEmpty) { spark.stop(); sys.exit(3) }
+    if (r.codegenFail.nonEmpty) {
+      r.codegenFail.foreach { case (n, e) =>
         println(s"[planlint] FATAL codegen failure in $n: $e")
       }
       spark.stop(); sys.exit(4)

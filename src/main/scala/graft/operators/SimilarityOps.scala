@@ -105,21 +105,13 @@ object SimilarityOps {
     * outputs an array-typed column — the code-narrow discipline the
     * quantized ANN queries exist to demonstrate, asserted on the real
     * plan (broadcast exchanges are exempt: a probe-set of query
-    * vectors is legitimately broadcast in full precision). Descends
-    * into AQE-wrapped subplans.
+    * vectors is legitimately broadcast in full precision). The
+    * traversal — which descends into AQE-wrapped subplans, unlike a
+    * bare `TreeNode.collect` — is shared with the registry-wide lint
+    * ([[graft.PlanLint.anyWideShuffle]]) so the two checks can't drift.
     */
-  def shufflesAreArrayFree(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.types.ArrayType
-    def anyWide(p: SparkPlan): Boolean = p.collect {
-      case s: ShuffleExchangeLike =>
-        s.output.exists(_.dataType.isInstanceOf[ArrayType])
-      case a: AdaptiveSparkPlanExec => anyWide(a.executedPlan)
-    }.exists(identity)
-    !anyWide(df.queryExecution.executedPlan)
-  }
+  def shufflesAreArrayFree(df: DataFrame): Boolean =
+    !graft.PlanLint.anyWideShuffle(df.queryExecution.executedPlan)
 
   /** Random-hyperplane (SRP) bucket key: `planes` sign bits, each from a
     * deterministic pseudo-random hyperplane. Plane p's component for

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The PlanLint name lists as ENFORCED fixtures, not prose contracts.
+  *
+  * PlanLint reports three classes of deliberate-but-dangerous plan
+  * shapes — BroadcastNestedLoopJoin, single-partition exchanges, and
+  * array-typed columns crossing a shuffle. Every current instance is
+  * justified at its query's definition, and until this spec the
+  * committed lists lived only in SCALE.md: a regression that re-grew a
+  * wide exchange (the exact defect the r11 `binaryHammingTopK` finding
+  * was) would print a new name in a log nobody diffs. Here the lists
+  * are committed files (one sorted name-per-line txt per list under
+  * `src/test/resources/planlint`) and `sbt test` fails on ANY drift — a new name
+  * means either fix the plan or justify it at the definition AND in the
+  * fixture diff of the same commit.
+  *
+  * The sweep mirrors PlanLint's main exactly (same sf0.001 input, same
+  * non-streaming scope) but skips the janino codegen compile — that
+  * stays in the lint main, where its minutes belong. The shared test
+  * session keeps its defaults except AQE, which is pinned OFF for the
+  * sweep (and restored after) because the lint lists are defined on the
+  * pre-adaptive plan shape; `anyWideShuffle` itself is AQE-robust
+  * (descends into AdaptiveSparkPlanExec), which the last test proves.
+  */
+class PlanLintFixturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): List[String] = {
+    val in = getClass.getResourceAsStream(s"/planlint/$name.txt")
+    assert(in != null, s"missing fixture resource planlint/$name.txt")
+    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+  }
+
+  private def assertMatches(kind: String, got: List[String]): Unit = {
+    val want = fixture(kind)
+    val added = got.toSet -- want.toSet
+    val gone = want.toSet -- got.toSet
+    assert(added.isEmpty && gone.isEmpty,
+      s"$kind drift — new (justify at the query AND update the fixture): " +
+        s"${added.toList.sorted.mkString(", ")}; " +
+        s"no longer present (update the fixture): " +
+        s"${gone.toList.sorted.mkString(", ")}")
+  }
+
+  test("bnlj / single-partition / wide-shuffle lists match committed fixtures") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val r = PlanLint.audit(spark, sf, compileCodegen = false)
+      assert(r.errors.isEmpty, s"plan-build errors: ${r.errors}")
+      assert(r.cartesian.isEmpty, s"cartesian products: ${r.cartesian}")
+      assert(r.checked > 350, s"suspiciously small sweep: ${r.checked}")
+      assertMatches("bnlj", r.bnlj)
+      assertMatches("single_partition", r.singlePart)
+      assertMatches("wide_shuffles", r.wideShuffle)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+    }
+  }
+
+  test("a deliberate wide shuffle turns the detector red, with AQE on and off") {
+    // the enforcement path itself: an array column through a
+    // repartition must be flagged by the SAME detector the sweep uses,
+    // under BOTH session modes — the r12 lint used a bare
+    // TreeNode.collect that cannot see inside AdaptiveSparkPlanExec and
+    // was safe only because that session pinned AQE off.
+    val base = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id", "vec")
+    val wide = base.repartition(4, col("id"))
+    val narrow = base.select(col("id"), aggregate(col("vec"),
+        lit(0.0), (a, x) => a + x).as("s"))
+      .repartition(4, col("id"))
+    for (aqe <- Seq("true", "false")) {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try {
+        assert(PlanLint.anyWideShuffle(wide.queryExecution.executedPlan),
+          s"array-through-shuffle missed with aqe=$aqe")
+        assert(!PlanLint.anyWideShuffle(narrow.queryExecution.executedPlan),
+          s"false positive on scalar shuffle with aqe=$aqe")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+}
