@@ -45,12 +45,25 @@ case class SimHash32(child: Expression, seed: Int) extends UnaryExpression {
 
 object SimHash32 {
 
+  // per-row allocations hoisted out of the hot kernel (whose whole
+  // point is replacing interpreted per-token overhead with one
+  // compiled pass): the MD5 instance is per-thread (MessageDigest is
+  // stateful, reset()+update is the reuse idiom), and the seed prefix
+  // bytes are precomputed for the small seeds the composed signatures
+  // use (0..7), falling back to a one-off format for exotic seeds
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(8)(s => s"$s:".getBytes("UTF-8"))
+
   /** Shared kernel (also called from generated code). */
   def eval(arr: ArrayData, seed: Int): Long = {
     val n = arr.numElements()
     val cnt = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val seedBytes = s"$seed:".getBytes("UTF-8")
+    val md = mdLocal.get()
+    val seedBytes =
+      if (seed >= 0 && seed < seedPrefixes.length) seedPrefixes(seed)
+      else s"$seed:".getBytes("UTF-8")
     var i = 0
     var nn = 0
     while (i < n) {

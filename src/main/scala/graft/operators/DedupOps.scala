@@ -410,6 +410,70 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Number of seeded 32-bit signature halves for [[simhashPairsScaled]]:
+    * the smallest width whose 4 byte-per-half band keys (256^halves keys
+    * per band) keep expected bucket occupancy ≤ 4 docs, capped at 4
+    * halves (128-bit signatures, 32-bit bands — near-singleton buckets
+    * past 10^10 docs; beyond that raise the cap, the seeds make width a
+    * parameter). Integer threshold comparisons, exact in both engines.
+    * Steps: ≤1,024 docs → 1 half; ≤262,144 → 2; ≤67,108,864 → 3; else 4.
+    */
+  def simhashHalves(n: Long): Int =
+    if (n <= 4L * 256) 1
+    else if (n <= 4L * 65536) 2
+    else if (n <= 4L * 16777216) 3
+    else 4
+
+  /** SimHash near-dup candidates with the signature width SCALED TO THE
+    * CORPUS — the production form whose fixed-width siblings the
+    * round-12 wave measured saturating: any fixed band width is a fixed
+    * bucket-key cardinality, so bucket membership grows linearly with
+    * the corpus and in-bucket candidate pairs quadratically (the 32-bit
+    * form measured 24× wall-clock at 10× docs; the 64-bit form fixes
+    * exactly one decade and then re-creates the same defect — the rule
+    * its own scaladoc states, band bits ≈ log2(corpus) + margin, was
+    * hard-coded). Here [[simhashHalves]] picks the number of seeded
+    * 32-bit halves from count(*), so band keys stay ahead of the corpus
+    * and candidates stay ~linear.
+    *
+    * Band b's key is byte b OF EACH half (bits partition across the 4
+    * bands whatever the width), so ≤ maxHamming=3 differing bits leave
+    * ≥ 1 band identical — pigeonhole-COMPLETE at every width, like the
+    * fixed forms; at 1 half the buckets are bit-for-bit
+    * [[simhashPairs]]'s (a law test pins this). Width changes the
+    * SEMANTICS deliberately: hamming ≤ 3 over more bits is a stricter
+    * near-identity — precision grows with the corpus, which is the
+    * behavior a dedup gate wants (32-bit signatures over 10^8 docs pair
+    * unrelated texts by birthday collision alone). The oracle replays
+    * the width from count(*) with the same integer thresholds; unused
+    * halves are zero for every doc there, so its constant ':0' key
+    * suffixes and zero hamming terms cancel exactly.
+    */
+  def simhashPairsScaled(d: DataFrame, maxHamming: Int): DataFrame = {
+    graft.functions.SimHash32.register(d.sparkSession)
+    val nh = simhashHalves(d.count())
+    val sigs = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: (0 until nh).map(s =>
+        graft.functions.SimHash32.simhash32s("tk", s).as(s"h$s")): _*)
+    val banded = sigs.withColumn("bk", explode(array((0 until 4).map { b =>
+      concat(lit(s"$b") +: (0 until nh).flatMap { s =>
+        Seq(lit(":"),
+          shiftright(col(s"h$s"), b * 8).bitwiseAND(0xFFL).cast("string"))
+      }: _*)
+    }: _*)))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        (0 until nh).map(s =>
+          col(s"a.h$s").bitwiseXOR(col(s"b.h$s")).as(s"x$s")): _*)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until nh).map(s => expr(s"bit_count(x$s)"))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Prefix-filtered exact Jaccard (AllPairs/SSJoin-style): under a
     * global (frequency, hash) shingle order, any pair with J >= minJ must
     * share an element within each side's first |x| - ceil(minJ*|x|) + 1
@@ -871,6 +935,72 @@ object DedupOps {
              |SELECT doc_a, doc_b,
              |       CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
              |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GQuery(
+      "dedup_simhash_scaled",
+      (s, dir) => {
+        // The ADAPTIVE-WIDTH production form of dedup_simhash /
+        // dedup_simhash_wide: signature width (number of seeded 32-bit
+        // halves) chosen from count(*) so band-key cardinality stays
+        // ahead of the corpus — each fixed-width form re-creates the
+        // measured quadratic exactly one decade later (see
+        // simhashPairsScaled's scaladoc). Pigeonhole-complete for
+        // Hamming <= 3 at every width; the oracle recomputes the width
+        // with the same integer thresholds, computing unused halves as
+        // zero so its key suffixes and hamming terms cancel exactly.
+        simhashPairsScaled(docs(s, dir), maxHamming = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |           FROM documents),
+             |  ns AS (SELECT CASE WHEN count(*) <= 1024 THEN 1
+             |                     WHEN count(*) <= 262144 THEN 2
+             |                     WHEN count(*) <= 67108864 THEN 3 ELSE 4 END AS nh
+             |         FROM documents),
+             |  hm AS (SELECT doc_id,
+             |           [('0x' || substring(md5('0:' || x), 1, 8))::BIGINT for x in tk] AS g0,
+             |           CASE WHEN (SELECT nh FROM ns) >= 2
+             |                THEN [('0x' || substring(md5('1:' || x), 1, 8))::BIGINT for x in tk]
+             |                ELSE []::BIGINT[] END AS g1,
+             |           CASE WHEN (SELECT nh FROM ns) >= 3
+             |                THEN [('0x' || substring(md5('2:' || x), 1, 8))::BIGINT for x in tk]
+             |                ELSE []::BIGINT[] END AS g2,
+             |           CASE WHEN (SELECT nh FROM ns) >= 4
+             |                THEN [('0x' || substring(md5('3:' || x), 1, 8))::BIGINT for x in tk]
+             |                ELSE []::BIGINT[] END AS g3
+             |         FROM t),
+             |  sg AS (SELECT doc_id,
+             |           list_sum([CASE WHEN 2 * len(list_filter(g0, h -> ((h >> bit) & 1) = 1)) > len(g0)
+             |                          THEN (1::BIGINT << bit) ELSE 0 END
+             |                     for bit in range(0, 32)])::BIGINT AS h0,
+             |           list_sum([CASE WHEN 2 * len(list_filter(g1, h -> ((h >> bit) & 1) = 1)) > len(g1)
+             |                          THEN (1::BIGINT << bit) ELSE 0 END
+             |                     for bit in range(0, 32)])::BIGINT AS h1,
+             |           list_sum([CASE WHEN 2 * len(list_filter(g2, h -> ((h >> bit) & 1) = 1)) > len(g2)
+             |                          THEN (1::BIGINT << bit) ELSE 0 END
+             |                     for bit in range(0, 32)])::BIGINT AS h2,
+             |           list_sum([CASE WHEN 2 * len(list_filter(g3, h -> ((h >> bit) & 1) = 1)) > len(g3)
+             |                          THEN (1::BIGINT << bit) ELSE 0 END
+             |                     for bit in range(0, 32)])::BIGINT AS h3
+             |         FROM hm),
+             |  banded AS (SELECT doc_id, h0, h1, h2, h3,
+             |                    unnest([b || ':' || ((h0 >> (b * 8)) & 255)
+             |                              || ':' || ((h1 >> (b * 8)) & 255)
+             |                              || ':' || ((h2 >> (b * 8)) & 255)
+             |                              || ':' || ((h3 >> (b * 8)) & 255)
+             |                            for b in range(0, 4)]) AS bk
+             |             FROM sg),
+             |  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                  a.h0 AS a0, a.h1 AS a1, a.h2 AS a2, a.h3 AS a3,
+             |                  b.h0 AS b0, b.h1 AS b1, b.h2 AS b2, b.h3 AS b3
+             |           FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+             |            bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+             |      bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GQuery(

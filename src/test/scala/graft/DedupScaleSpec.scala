@@ -81,4 +81,46 @@ class DedupScaleSpec extends SparkSpec {
     assert(spurious.isEmpty,
       s"boilerplate-only pairs must die with the hot grams: ${spurious.take(5)}")
   }
+
+  test("adaptive SimHash width: thresholds step, and each width equals its fixed twin") {
+    // the width rule itself — smallest half-count whose 4 byte-per-half
+    // bands keep expected bucket occupancy <= 4, capped at 4 halves
+    assert(DedupOps.simhashHalves(500) == 1)
+    assert(DedupOps.simhashHalves(1024) == 1)
+    assert(DedupOps.simhashHalves(1025) == 2)
+    assert(DedupOps.simhashHalves(5000) == 2)
+    assert(DedupOps.simhashHalves(262145) == 3)
+    assert(DedupOps.simhashHalves(100000000L) == 4)
+
+    // pigeonhole completeness makes banding layout invisible in the
+    // RESULT: at any width the scaled form must return exactly the
+    // fixed form's pairs over the same signature bits — 1 half vs
+    // dedup_simhash's 4×8-bit bands on the sf fixture (500 docs → the
+    // adaptive rule picks 1), and 2 halves vs dedup_simhash_wide's
+    // contiguous 16-bit bands on a 40×-replicated corpus (20k docs →
+    // the rule picks 2, so the adaptivity is LIVE in this test).
+    val base = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val narrow = DedupOps.simhashPairsScaled(base, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val fixedNarrow = DedupOps.simhashPairs(base, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(narrow == fixedNarrow,
+      s"1-half scaled form must equal simhashPairs: ${narrow.size} vs ${fixedNarrow.size}")
+
+    val big = base.as[(Long, String)].collect().toSeq
+    val corpus = big.flatMap { case (id, t) =>
+      (0 until 40).map(j => (j * 1000L + id, s"$t tail${j}_$id"))
+    }.toDF("doc_id", "text")
+    assert(corpus.count() == 20000L)
+    val scaledWide = DedupOps.simhashPairsScaled(corpus, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val fixedWide = DedupOps.simhashPairsWide(corpus, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(scaledWide == fixedWide,
+      s"2-half scaled form must equal simhashPairsWide: ${scaledWide.size} vs ${fixedWide.size}")
+  }
 }
