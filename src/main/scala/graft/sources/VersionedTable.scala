@@ -59,8 +59,10 @@ object VersionedTable {
 
   /** Committed versions, ascending. A manifest name whose file lacks
     * the trailing commit sentinel is an IN-FLIGHT CLAIM (see
-    * [[stageAndSwap]]), not a version — and by construction at most the
-    * highest name can be one (writers only ever claim
+    * [[stageAndSwap]]), not a version — unless it is a complete LEGACY
+    * manifest from the pre-sentinel protocol (non-empty and older than
+    * the grace window; see [[isComplete]]) — and by construction at
+    * most the highest name can be a claim (writers only ever claim
     * latestComplete+1, and crash recovery rewrites a stale claim in
     * place instead of skipping past it), so completeness costs one
     * small read of the tip per listing, not a scan of the chain.
@@ -167,13 +169,46 @@ object VersionedTable {
   /** Commit sentinel: the LAST line of every COMPLETE manifest,
     * carrying the committing writer's unique id. A manifest file
     * without it is an in-flight (or crashed) claim, invisible to
-    * readers via [[versions]].
+    * readers via [[versions]] — unless it qualifies as a LEGACY
+    * manifest (see [[isComplete]]).
     */
   private val CommitPrefix = "commit:"
 
-  private def isComplete(f: FileSystem, dir: String, v: Long): Boolean =
-    try readManifest(f, dir, v).lastOption.exists(_.startsWith(CommitPrefix))
-    catch { case _: java.io.IOException => false }
+  /** Grace window for claim polling, crashed-writer takeover and
+    * legacy-manifest aging. Overridable for tests via the
+    * `graft.versioned.grace.ms` system property.
+    */
+  private def graceNanos: Long =
+    sys.props.get("graft.versioned.grace.ms").map(_.toLong * 1000000L)
+      .getOrElse(10_000_000_000L)
+
+  /** A version is complete iff its manifest carries the trailing
+    * [[CommitPrefix]] sentinel — OR it is a LEGACY manifest: non-empty,
+    * sentinel-less, and not modified within the grace window. Manifests
+    * committed by the pre-sentinel protocol (stage + atomic rename)
+    * were published fully written, so a non-empty sentinel-less file
+    * is a complete legacy version, NOT an in-flight claim — claims are
+    * created EMPTY and filled in one write, and an active writer's file
+    * is by definition younger than the grace window (the mtime fence).
+    * Without this rule a pre-existing table's tip would be hidden and,
+    * worse, the next committer's crash takeover would rewrite it in
+    * place, silently discarding the committed file list. Residual gap:
+    * a new-protocol writer that crashes exactly inside its single
+    * payload write leaves a torn sentinel-less file that ages into
+    * "legacy" — it becomes a readable version naming a prefix of the
+    * intended files rather than being rewritten; the same fencing-gap
+    * class the takeover scaladoc documents.
+    */
+  private def isComplete(f: FileSystem, dir: String, v: Long): Boolean = {
+    val p = new Path(manifestDir(dir), versionName(v))
+    try {
+      val lines = readManifest(f, dir, v)
+      lines.lastOption.exists(_.startsWith(CommitPrefix)) || (
+        lines.nonEmpty &&
+          System.currentTimeMillis() - f.getFileStatus(p).getModificationTime >
+            graceNanos / 1000000L)
+    } catch { case _: java.io.IOException => false }
+  }
 
   /** Commit `lines` as version N — true iff this writer won N.
     *
@@ -188,17 +223,25 @@ object VersionedTable {
     *
     * The claim file is empty until its owner fills it in place, so
     * completeness is a trailing [[CommitPrefix]] sentinel rather than
-    * file existence; readers ([[versions]]) skip a sentinel-less tip. A
-    * loser polls the claim to completeness (a fair loss — the owner is
-    * normally microseconds from its sentinel) and only after a long
-    * grace window assumes a crashed writer and rewrites the claim in
-    * place; the post-write sentinel re-read adjudicates takeover
-    * collisions — whoever's uid survives in the file won, everyone
-    * else rebases. (A writer stalled mid-write for longer than the
-    * grace window AND past its own re-read can still collide — the
-    * standard fencing gap every manifest-file format has on
-    * rename-replacing filesystems; real deployments put the claim on a
-    * store with atomic create, which HDFS's namenode provides.)
+    * file existence (plus the aged-legacy rule — see [[isComplete]]);
+    * readers ([[versions]]) skip a sentinel-less tip. A loser polls the
+    * claim to completeness (a fair loss — the owner is normally
+    * microseconds from its sentinel) and only after a long grace window
+    * assumes a crashed writer. Takeover itself is SERIALIZED through a
+    * second exclusive-create marker (`v<N>.takeover`): only the marker
+    * winner may rewrite the claim, so two losers that both pass the
+    * grace window cannot both rewrite and both re-read their own uid in
+    * write-write-read-read order (the collision the bare uid re-read
+    * cannot adjudicate). The marker winner re-checks completeness after
+    * winning — a marker won late proves nothing about a takeover that
+    * already finished — and marker losers wait the recoverer out,
+    * aging out an abandoned marker so a crashed RECOVERER doesn't wedge
+    * the version forever. (A writer stalled mid-write for longer than
+    * the grace window AND past its own re-read can still collide with
+    * the single marker-holding recoverer — the standard fencing gap
+    * every manifest-file format has on rename-replacing filesystems;
+    * real deployments put the claim on a store with atomic create,
+    * which HDFS's namenode provides.)
     */
   private def stageAndSwap(f: FileSystem, dir: String, v: Long,
       lines: Seq[String]): Boolean = {
@@ -207,21 +250,44 @@ object VersionedTable {
     val uid = java.util.UUID.randomUUID().toString
     val payload = (lines :+ s"$CommitPrefix$uid").mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
-    if (!claim(f, dest)) {
-      val deadline = System.nanoTime() + 10_000_000_000L
-      var live = true
-      while (live && System.nanoTime() < deadline) {
-        if (isComplete(f, dir, v)) return false
-        else { Thread.sleep(5); live = f.exists(dest) }
-      }
-      if (live && isComplete(f, dir, v)) return false
-      if (live) { /* crashed-writer takeover: rewrite the claim below */ }
-      else if (!claim(f, dest)) return false // claim vanished and re-raced
+    def writeAndVerify(): Boolean = {
+      val out = f.create(dest, true) // sole claim owner (or sole recoverer)
+      try out.write(payload) finally out.close()
+      try readManifest(f, dir, v).lastOption.contains(s"$CommitPrefix$uid")
+      catch { case _: java.io.IOException => false }
     }
-    val out = f.create(dest, true) // sole claim owner (or its recoverer)
-    try out.write(payload) finally out.close()
-    try readManifest(f, dir, v).lastOption.contains(s"$CommitPrefix$uid")
-    catch { case _: java.io.IOException => false }
+    if (claim(f, dest)) return writeAndVerify()
+    // lost the claim: poll the owner to completeness
+    val deadline = System.nanoTime() + graceNanos
+    var live = true
+    while (live && System.nanoTime() < deadline) {
+      if (isComplete(f, dir, v)) return false
+      Thread.sleep(5); live = f.exists(dest)
+    }
+    if (!live) return claim(f, dest) && writeAndVerify() // claim vanished; re-race
+    if (isComplete(f, dir, v)) return false
+    // crashed-writer takeover, serialized through a second O_EXCL create
+    val marker = new Path(manifestDir(dir), versionName(v) + ".takeover")
+    if (claim(f, marker)) {
+      if (isComplete(f, dir, v)) { f.delete(marker, false); return false }
+      val won = writeAndVerify()
+      f.delete(marker, false)
+      won
+    } else {
+      // another recoverer holds the marker: wait it out like a loser
+      val d2 = System.nanoTime() + graceNanos
+      while (System.nanoTime() < d2) {
+        if (isComplete(f, dir, v)) return false
+        Thread.sleep(5)
+      }
+      // the recoverer crashed too: age its marker out; publish() retries
+      try {
+        val age = System.currentTimeMillis() -
+          f.getFileStatus(marker).getModificationTime
+        if (age > graceNanos / 1000000L) f.delete(marker, false)
+      } catch { case _: java.io.IOException => }
+      false
+    }
   }
 
   /** Atomic exclusive create of `dest` — true iff this caller created
@@ -924,10 +990,16 @@ object VersionedTable {
       f.listStatus(dataDir(dir)).toSeq.map(_.getPath).foreach { p =>
         if (!kept.contains(s"data/${p.getName}")) { f.delete(p, false); deleted += 1 }
       }
-    // tmp manifests and orphan stage dirs from crashed commits
+    // tmp manifests, abandoned takeover markers (aged — a fresh one may
+    // serialize a live recovery) and orphan stage dirs from crashed commits
     if (f.exists(manifestDir(dir)))
-      f.listStatus(manifestDir(dir)).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".tmp")).foreach { p => f.delete(p, false) }
+      f.listStatus(manifestDir(dir)).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        val agedOut = n.endsWith(".takeover") &&
+          System.currentTimeMillis() - st.getModificationTime >
+            graceNanos / 1000000L
+        if (n.endsWith(".tmp") || agedOut) f.delete(st.getPath, false)
+      }
     f.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(".stage_")).foreach(p => f.delete(p, true))
     (dropped.size, deleted)

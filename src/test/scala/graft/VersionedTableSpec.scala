@@ -81,6 +81,89 @@ class VersionedTableSpec extends SparkSpec {
       (1 to 30).sum.toLong, "a lost update would drop one writer's rows")
   }
 
+  test("legacy sentinel-less manifests are complete versions, never rewritten") {
+    // a table committed by the pre-sentinel protocol: fully-written
+    // manifests with NO trailing 'commit:' line. versions() must treat
+    // the (aged) sentinel-less tip as a complete legacy version — not
+    // an in-flight claim to hide and, after the grace window, REWRITE
+    // in place (which would silently discard the committed file list).
+    val dir = tmp("legacy")
+    VersionedTable.append(nums(1, 10), dir)
+    VersionedTable.append(nums(11, 30), dir)
+    val f = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val mdir = new Path(s"$dir/_manifests")
+    val stripped = f.listStatus(mdir).toSeq.map(_.getPath).map { p =>
+      val in = f.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("commit:")).toList
+      finally in.close()
+      val out = f.create(p, true)
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+      // age past the grace window so the mtime fence reads it as legacy
+      new java.io.File(p.toUri.getPath)
+        .setLastModified(System.currentTimeMillis() - 60000L)
+      (p.getName, lines)
+    }.toMap
+    assert(VersionedTable.versions(dir) == Seq(1L, 2L),
+      "an aged sentinel-less tip is a complete legacy version")
+    assert(VersionedTable.read(spark, dir).count() == 30)
+    assert(VersionedTable.read(spark, dir, Some(1)).count() == 10)
+    val v3 = VersionedTable.append(nums(31, 40), dir)
+    assert(v3 == 3L, "the next commit must build ON the legacy tip, not claim it")
+    assert(VersionedTable.read(spark, dir).agg(sum("n")).as[Long].head() ==
+      (1 to 40).sum.toLong, "legacy rows must survive the migration commit")
+    stripped.foreach { case (name, lines) =>
+      val in = f.open(new Path(mdir, name))
+      val now = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+      assert(now == lines, s"legacy manifest $name must never be rewritten")
+    }
+  }
+
+  test("crashed empty claim: one racer takes over, the rest rebase, none lost") {
+    sys.props("graft.versioned.grace.ms") = "300"
+    try {
+      val dir = tmp("tkover")
+      VersionedTable.append(nums(1, 10), dir)
+      // a writer that crashed right after its exclusive create: an
+      // EMPTY claim on v2 that will never complete on its own
+      val claimed = new java.io.File(
+        new Path(s"$dir/_manifests/v${"%020d".format(2)}").toUri.getPath)
+      assert(claimed.createNewFile())
+      val ranges = Seq((11, 20), (21, 30), (31, 40))
+      val threads = ranges.map { case (a, b) =>
+        new Thread(() => VersionedTable.append(nums(a, b), dir))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(VersionedTable.versions(dir) == Seq(1L, 2L, 3L, 4L),
+        "exactly one appender must recover the crashed claim as v2")
+      assert(VersionedTable.read(spark, dir).agg(sum("n")).as[Long].head() ==
+        (1 to 40).sum.toLong, "no appender's rows may be lost to the takeover")
+      val f = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      assert(!f.exists(new Path(s"$dir/_manifests/v${"%020d".format(2)}.takeover")),
+        "the takeover marker must be cleaned up after a successful recovery")
+    } finally sys.props.remove("graft.versioned.grace.ms")
+  }
+
+  test("an abandoned takeover marker ages out instead of wedging the version") {
+    sys.props("graft.versioned.grace.ms") = "300"
+    try {
+      val dir = tmp("stale")
+      VersionedTable.append(nums(1, 10), dir)
+      val mdir = s"$dir/_manifests"
+      // crashed writer (empty claim) AND crashed recoverer (stale marker)
+      val claim = new java.io.File(new Path(s"$mdir/v${"%020d".format(2)}").toUri.getPath)
+      val marker = new java.io.File(
+        new Path(s"$mdir/v${"%020d".format(2)}.takeover").toUri.getPath)
+      assert(claim.createNewFile() && marker.createNewFile())
+      marker.setLastModified(System.currentTimeMillis() - 60000L)
+      val v2 = VersionedTable.append(nums(11, 20), dir)
+      assert(v2 == 2L, "the aged marker must be reclaimed, not wedge v2 forever")
+      assert(VersionedTable.read(spark, dir).count() == 20)
+    } finally sys.props.remove("graft.versioned.grace.ms")
+  }
+
   test("vacuum drops old versions' exclusive files but never a retained snapshot's") {
     val dir = tmp("vac")
     VersionedTable.append(nums(1, 10), dir)       // v1
