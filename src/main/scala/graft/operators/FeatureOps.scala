@@ -156,9 +156,13 @@ object FeatureOps {
         // HIGH-similarity vectors, exactly what bucket collisions
         // surface, and the oracle replays the buckets so the
         // approximation is hash-pinned, not asserted). The skinny
-        // candidate set re-acquires labels and vectors via broadcast
-        // join-backs (the annTopKPortable pattern); one scored pass
-        // feeds both argmaxes (WindowGroupLimit-pruned).
+        // candidate set re-acquires labels and vectors via SHUFFLE
+        // join-backs on the id keys — NOT full-corpus broadcasts: the
+        // corpus grows with N, so a driver broadcast becomes the
+        // bottleneck exactly at the scale the adaptive key targets
+        // (broadcast join-backs remain correct for bounded probe sets,
+        // per annTopKPortable). One scored pass feeds both argmaxes
+        // (WindowGroupLimit-pruned).
         CosineSimilarity.register(s)
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
@@ -171,10 +175,10 @@ object FeatureOps {
           .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
           .distinct()
         val sc = cands
-          .join(broadcast(e.select(col("vec_id").as("anchor"),
-            col("label").as("la"), col("em").as("ae"))), "anchor")
-          .join(broadcast(e.select(col("vec_id").as("cand"),
-            col("label").as("lb"), col("em").as("ce"))), "cand")
+          .join(e.select(col("vec_id").as("anchor"),
+            col("label").as("la"), col("em").as("ae")), "anchor")
+          .join(e.select(col("vec_id").as("cand"),
+            col("label").as("lb"), col("em").as("ce")), "cand")
           .select(col("anchor"), col("la"), col("cand"), col("lb"),
             CosineSimilarity.cosine_sim("ae", "ce").as("sim"))
         def top1(df: org.apache.spark.sql.DataFrame) =
