@@ -32,12 +32,28 @@ import org.apache.spark.sql.functions._
   * depends on dims STAYING broadcast-size.
   *
   * Usage: `sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"`
+  *
+  * An optional 4th arg restricts which tables get the factor (comma-
+  * separated; everything else is copied at 1×):
+  * `... /tmp/sf6x 60 documents,embeddings` — the second-decade wave
+  * shape, where the LLM-corpus tables grow another decade but the
+  * TPC-H facts stay at the measured 10× so the run fits the sandbox.
+  * Factors above 64 are rejected when embeddings scale: the content
+  * remap rotates by replica index, and a 64-dim vector has only 64
+  * distinct rotations — replicas 64 apart would be exact duplicates,
+  * quietly re-quadratizing every ANN measurement.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dest, factorStr) = args.take(3)
     val factor = factorStr.toInt
     require(factor >= 1, "factor must be >= 1")
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def tableFactor(name: String): Int =
+      if (only.isEmpty || only(name)) factor else 1
+    require(tableFactor("embeddings") <= 64,
+      "embeddings factor must be <= 64: a 64-dim vector has 64 distinct rotations")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,9 +84,11 @@ object ScaleUp {
     val docS = stride(src_("documents"), "doc_id")
     val vecS = stride(src_("embeddings"), "vec_id")
 
-    /** One pass: cross the source with the replica ids, then remap. */
-    def replicate(df: DataFrame)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
-      val r = explode(sequence(lit(0L), lit(factor - 1L))).as("__r")
+    /** One pass: cross the source with the table's replica ids, then
+      * remap (1× for tables outside the restriction list).
+      */
+    def replicateAs(df: DataFrame, name: String)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      val r = explode(sequence(lit(0L), lit(tableFactor(name) - 1L))).as("__r")
       remap(df.select(col("*"), r), col("__r")).drop("__r")
     }
 
@@ -81,33 +99,33 @@ object ScaleUp {
 
     write(src_("region"), "region")
     write(src_("nation"), "nation")
-    write(replicate(src_("customer")) { (d, r) =>
+    write(replicateAs(src_("customer"), "customer") { (d, r) =>
       d.withColumn("c_custkey", col("c_custkey") + r * custS)
     }, "customer")
-    write(replicate(src_("supplier")) { (d, r) =>
+    write(replicateAs(src_("supplier"), "supplier") { (d, r) =>
       d.withColumn("s_suppkey", col("s_suppkey") + r * suppS)
     }, "supplier")
-    write(replicate(src_("part")) { (d, r) =>
+    write(replicateAs(src_("part"), "part") { (d, r) =>
       d.withColumn("p_partkey", col("p_partkey") + r * partS)
     }, "part")
-    write(replicate(src_("orders")) { (d, r) =>
+    write(replicateAs(src_("orders"), "orders") { (d, r) =>
       d.withColumn("o_orderkey", col("o_orderkey") + r * orderS)
         .withColumn("o_custkey", col("o_custkey") + r * custS)
     }, "orders")
-    write(replicate(src_("lineitem")) { (d, r) =>
+    write(replicateAs(src_("lineitem"), "lineitem") { (d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + r * orderS)
         .withColumn("l_partkey", col("l_partkey") + r * partS)
         .withColumn("l_suppkey", col("l_suppkey") + r * suppS)
     }, "lineitem")
     // events keep their time range (densification, the realistic
     // scale-up for a fixed retention window) — only identities shift
-    write(replicate(src_("events").select(
+    write(replicateAs(src_("events").select(
         col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))) { (d, r) =>
+        col("event_type"), col("value"), col("props")), "events") { (d, r) =>
       d.withColumn("event_id", col("event_id") + r * eventS)
         .withColumn("user_id", col("user_id") + r * userS)
     }, "events")
-    write(replicate(src_("documents")) { (d, r) =>
+    write(replicateAs(src_("documents"), "documents") { (d, r) =>
       d.withColumn("doc_id", col("doc_id") + r * docS)
         .withColumn("text",
           when(r === 0, col("text")).otherwise(
@@ -115,7 +133,7 @@ object ScaleUp {
               t => when(t === "", t)
                 .otherwise(concat(t, lit("~"), r.cast("string")))), " ")))
     }, "documents")
-    write(replicate(src_("embeddings")) { (d, r) =>
+    write(replicateAs(src_("embeddings"), "embeddings") { (d, r) =>
       val dims = size(col("embedding"))
       d.withColumn("vec_id", col("vec_id") + r * vecS)
         .withColumn("embedding",

@@ -71,10 +71,15 @@ class TwsRecoverySpec extends SparkSpec {
 
   /** Start the tws upsert from `log` with checkpoint `ckpt`, writing
     * each batch's emissions to `out/gen-<bid>`; `bombAtBatch` injects a
-    * failure at the start of that batch id (before any write).
+    * failure at the start of that batch id (before any write), and
+    * `bombAfterBatch` AFTER the batch's sink write has landed but
+    * before the micro-batch can commit — the crash point that forces an
+    * at-least-once sink REPLAY on restart. Every completed sink write
+    * bumps the per-(out, batch) invocation counter so tests can assert
+    * exactly which batches replayed.
     */
   private def drive(log: String, ckpt: String, out: String,
-      bombAtBatch: Option[Long]): Unit = {
+      bombAtBatch: Option[Long], bombAfterBatch: Option[Long] = None): Unit = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -94,6 +99,9 @@ class TwsRecoverySpec extends SparkSpec {
           if (bombAtBatch.exists(bid >= _))
             throw new RuntimeException("injected crash")
           batch.write.mode("overwrite").parquet(s"$out/gen-$bid")
+          TwsRecoverySpec.bump(out, bid)
+          if (bombAfterBatch.exists(bid >= _))
+            throw new RuntimeException("injected crash after sink write")
         }
         .start()
       try q.processAllAvailable()
@@ -161,4 +169,58 @@ class TwsRecoverySpec extends SparkSpec {
       (5L to 9L).map(k => (k, "b2", 300 + k)),
       s"final snapshot wrong: $fa")
   }
+
+  test("crash after the final batch's sink write but before its commit replays idempotently") {
+    // the OTHER half of exactly-once: the WAL-replay test above crashes
+    // BEFORE the sink write (nothing emitted, the restart recomputes);
+    // here the query dies after batch 3's parquet landed but before the
+    // micro-batch could commit, so the restart MUST re-run an
+    // already-visible batch — the sink's overwrite-per-batch-id
+    // discipline is what makes that replay invisible in the result.
+    val log = tmp("log2"); fixture(log)
+
+    val outA = tmp("outA2")
+    drive(log, tmp("ckA2"), outA, bombAtBatch = None)
+    val a = gens(outA)
+
+    val outC = tmp("outC"); val ckC = tmp("ckC")
+    drive(log, ckC, outC, bombAtBatch = None, bombAfterBatch = Some(3))
+    assert(gens(outC).keySet == Set(0L, 1L, 2L, 3L),
+      "batch 3's sink write must be visible even though its commit never landed")
+    assert(TwsRecoverySpec.count(outC, 3) == 1)
+
+    drive(log, ckC, outC, bombAtBatch = None) // restart from the SAME checkpoint
+    // exactly the uncommitted batch replays: 3 ran twice, 0-2 once
+    assert(TwsRecoverySpec.count(outC, 3) == 2,
+      "the restart must re-run the uncommitted final batch")
+    (0L to 2L).foreach(bid => assert(TwsRecoverySpec.count(outC, bid) == 1,
+      s"committed batch $bid must NOT replay"))
+
+    val c = gens(outC)
+    assert(c.keySet == a.keySet)
+    a.keySet.foreach { bid =>
+      assert(c(bid) == a(bid),
+        s"batch $bid diverged after end-of-stream recovery:\n one-shot=${a(bid)}\n replayed=${c(bid)}")
+    }
+    def fold(out: String) =
+      operators.Ingest.latestWins(spark.read.parquet(s"$out/gen-*"),
+          keys = Seq("id"), version = Seq("version"))
+        .select(col("id"), col("msg"), col("version"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(fold(outC) == fold(outA),
+      "folded snapshots diverge after the post-write crash replay")
+  }
+}
+
+object TwsRecoverySpec {
+  /** (out dir, batch id) → completed sink writes; foreachBatch runs on
+    * the driver, and companion statics don't drag the spec instance
+    * into the closure.
+    */
+  private val invocations =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+  def bump(out: String, bid: Long): Unit =
+    invocations.merge((out, bid), 1, (x, y) => x + y)
+  def count(out: String, bid: Long): Int =
+    Option(invocations.get((out, bid))).fold(0)(_.intValue())
 }
