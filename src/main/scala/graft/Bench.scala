@@ -33,6 +33,34 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
       catch { case _: Throwable => "-1" }
     val loadStart = readLoadAvg
+    // Quiet-box self-label: /proc/stat busy-fraction over a 1.5 s SLEEP
+    // window at process start — before any warmup — so the sample sees
+    // OTHER processes' load, not this benchmark's own. The previous
+    // loadavg(1m)-at-start gate could never pass under the sbt
+    // launcher: sbt's own startup pushes the 1-minute average past the
+    // 0.5 threshold before Bench reads it (measured twice on an idle
+    // box, r13), so committed artifacts always self-labeled contended.
+    // Threshold 0.05 = more than ~1.6 of this box's 32 hardware
+    // threads busy during the window (an idle box samples <0.01; the
+    // driver's concurrent jobs sample 0.1+). loadavg start/end stay
+    // in-band as context; a /proc/stat read failure reports -1 and
+    // (unknowably) contended=false.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val parts =
+          try f.getLines().find(_.startsWith("cpu ")).get
+            .trim.split("\\s+").drop(1).map(_.toLong)
+          finally f.close()
+        val idle = parts(3) + parts.lift(4).getOrElse(0L) // idle + iowait
+        Some((parts.sum - idle, parts.sum))
+      } catch { case _: Throwable => None }
+    val busyFrac: Double = (for {
+      (b0, t0) <- cpuTicks()
+      _ = Thread.sleep(1500)
+      (b1, t1) <- cpuTicks() if t1 > t0
+    } yield (b1 - b0).toDouble / (t1 - t0)).getOrElse(-1.0)
+    val contended = busyFrac > 0.05
     // Warm one-time SESSION costs so the first timed query doesn't pay
     // them (a fresh cluster pays these once at startup, not per query):
     // file listings + parquet footers for every table (Tables.t caches
@@ -115,6 +143,19 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warmMin.map(_._2).sum
+    // The headline set grew 12 → 14 in r14 (the adaptive-width scale
+    // twins sim_pairs_threshold_scaled / sim_ann_lsh_scaled joined so a
+    // regression in the 100 TB production paths shows round-over-round
+    // — the r13 verdict's task 3). "value"/"warm_total" therefore stop
+    // being comparable to the r5-accepted BASELINE total, which timed
+    // exactly these 12 names; the legacy12_* fields keep the
+    // like-for-like number in-band.
+    val legacy12 = Set("ingest_latest_global", "q1_pricing", "q3_shipping",
+      "q5_region_revenue", "join_broadcast", "window_topk_per_group",
+      "sort_topk", "q6_forecast_revenue", "text_bigrams",
+      "dedup_ngram_jaccard", "sim_topk_bruteforce", "asof_join")
+    val legacyCold = cold.filter(p => legacy12(p._1)).map(_._2).sum
+    val legacyWarm = warmMin.filter(p => legacy12(p._1)).map(_._2).sum
     // JSON string escape shared with Verify's rule: backslash, quote, and
     // ALL control chars <0x20 — an exception message carrying a raw tab
     // or CR would otherwise make the artifact unparseable, the exact
@@ -134,14 +175,7 @@ object Bench {
     // 3.5×. The 1-minute load average at start and end lets a reader
     // judge whether an outlier rep was the engine or the machine.
     val loadEnd = readLoadAvg
-    // Self-adjudicating artifact: SCALE.md's measurement protocol puts
-    // the quiet-box threshold at loadavg ~0.5 — artifacts taken above
-    // it (the driver's r10/r11 runs started at 2.41/3.02) read 20-30%
-    // slow for reasons that are the machine, not the engine. The flag
-    // makes every future artifact carry its own verdict.
-    val contended =
-      try loadStart.toDouble > 0.5 catch { case _: Throwable => false }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"contended":$contended,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Deduplicate, GlobalLimit, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.types.ArrayType
 
@@ -31,6 +33,14 @@ import org.apache.spark.sql.types.ArrayType
   *  - array-typed columns crossing a shuffle exchange: each byte of a
   *    carried array moves per row, so at 100 TB these exchanges dominate
   *    unless the array IS the payload (signatures, collected lists).
+  *  - explicit `broadcast()` hints over an un-aggregated corpus-growing
+  *    table (events/documents/embeddings/lineitem/orders): the r13
+  *    `emb_hard_negatives` defect class — a full-corpus broadcast is the
+  *    driver-memory bottleneck at exactly the scale the engine targets.
+  *    Detected on the analyzed LOGICAL plan so the audit SF can neither
+  *    mask nor fake it; legitimate when an Aggregate/GlobalLimit bounds
+  *    the hinted subtree, or deliberate for small-SF witness forms
+  *    (pinned by name like the other lists).
   *
   * Hard failure (exit 4) — codegen_failures: every `WholeStageCodegenExec`
   * stage in every registered plan has its generated Java source compiled
@@ -58,19 +68,64 @@ import org.apache.spark.sql.types.ArrayType
 object PlanLint {
 
   /** True iff any shuffle exchange anywhere in the plan — INCLUDING
-    * inside `AdaptiveSparkPlanExec` subplans, which `TreeNode.collect`
-    * does not descend into — carries an array-typed column. The shared
-    * detector behind the lint's wide-shuffle list and the
-    * `narrow_shuffles` plan assertion baked into the binary-ANN query's
-    * hash-checked output (SimilarityOps.shufflesAreArrayFree): one
-    * traversal, so the audit is robust to the session's AQE setting
-    * instead of silently reporting zero under AQE.
+    * inside `AdaptiveSparkPlanExec` subplans and materialized
+    * `QueryStageExec` leaves, which `TreeNode.collect` does not descend
+    * into — carries an array-typed column. The shared detector behind
+    * the lint's wide-shuffle list and the `narrow_shuffles` plan
+    * assertion baked into the binary-ANN query's hash-checked output
+    * (SimilarityOps.shufflesAreArrayFree): one traversal, so the audit
+    * is robust to the session's AQE setting AND to when it runs — once
+    * a query starts executing under AQE, its shuffles are wrapped in
+    * `ShuffleQueryStageExec` leaf nodes (the r13 advisor finding: the
+    * pre-r14 detector silently returned false on already-materialized
+    * plans).
     */
   def anyWideShuffle(p: SparkPlan): Boolean = p.collect {
     case s: ShuffleExchangeLike =>
       s.output.exists(_.dataType.isInstanceOf[ArrayType])
     case a: AdaptiveSparkPlanExec => anyWideShuffle(a.executedPlan)
+    case q: QueryStageExec => anyWideShuffle(q.plan)
   }.exists(identity)
+
+  /** Corpus-growing tables: broadcasting one of these un-aggregated is
+    * a driver-memory bottleneck at exactly the scale the engine
+    * targets. Dims (region/nation/customer/supplier/part) stay
+    * broadcast-size by design; these grow with the corpus.
+    */
+  private val FactTables =
+    Seq("events", "documents", "embeddings", "lineitem", "orders")
+
+  /** True iff the ANALYZED plan carries an explicit `broadcast()` hint
+    * whose subtree scans a corpus-growing table with no intervening
+    * aggregate or limit — the r13 `emb_hard_negatives` defect class
+    * (full-corpus broadcast join-backs), found by hand that round and
+    * mechanized here. Hint detection runs on the analyzed LOGICAL plan,
+    * not the physical one, so size-based auto-broadcasts (legitimate —
+    * AQE re-decides them per size at run time) never false-positive and
+    * the tiny audit SF can't MASK a hinted broadcast by auto-planning
+    * it anyway (the r13 advisor's `sim_ann_lsh_scaled` finding). An
+    * Aggregate, Deduplicate (`.distinct()` is still Deduplicate at
+    * analysis time — the optimizer rewrite to Aggregate hasn't run),
+    * or GlobalLimit between the hint and the scan bounds the broadcast
+    * payload (grand totals, key dimensions, probe sets) and exempts it.
+    */
+  def broadcastsFactTable(analyzed: LogicalPlan): Boolean =
+    analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        val bounded = h.child.collectFirst {
+          case _: Aggregate => (); case _: Deduplicate => ()
+          case _: GlobalLimit => ()
+        }.isDefined
+        !bounded && h.child.collectFirst {
+          case l: LogicalRelation if scansFact(l) => ()
+        }.isDefined
+    }.exists(identity)
+
+  private def scansFact(l: LogicalRelation): Boolean = l.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.exists(p =>
+      FactTables.exists(t => p.toString.contains(s"$t.parquet")))
+    case _ => false
+  }
 
   /** One registry sweep's findings; name lists are sorted. */
   case class LintReport(
@@ -79,6 +134,7 @@ object PlanLint {
       bnlj: List[String],
       singlePart: List[String],
       wideShuffle: List[String],
+      broadcastFact: List[String],
       errors: List[(String, String)],
       codegenFail: List[(String, String)],
       stagesCompiled: Int)
@@ -95,16 +151,19 @@ object PlanLint {
     var bnlj = List.empty[String]
     var singlePart = List.empty[String]
     var wideShuffle = List.empty[String]
+    var broadcastFact = List.empty[String]
     var errors = List.empty[(String, String)]
     var codegenFail = List.empty[(String, String)]
     var checked = 0
     var stagesCompiled = 0
     SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
       try {
-        val exec = q.run(spark, sfDir).queryExecution.executedPlan
+        val qe = q.run(spark, sfDir).queryExecution
+        val exec = qe.executedPlan
         val plan = exec.toString
         checked += 1
         if (anyWideShuffle(exec)) wideShuffle ::= q.name
+        if (broadcastsFactTable(qe.analyzed)) broadcastFact ::= q.name
         if (compileCodegen) {
           exec.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
             try {
@@ -127,7 +186,8 @@ object PlanLint {
       }
     }
     LintReport(checked, cartesian.sorted, bnlj.sorted, singlePart.sorted,
-      wideShuffle.sorted, errors.reverse, codegenFail.reverse, stagesCompiled)
+      wideShuffle.sorted, broadcastFact.sorted, errors.reverse,
+      codegenFail.reverse, stagesCompiled)
   }
 
   def main(args: Array[String]): Unit = {
@@ -145,7 +205,8 @@ object PlanLint {
     println(s"[planlint] checked=${r.checked} " +
       s"cartesian=${r.cartesian.size} bnlj=${r.bnlj.size} " +
       s"single_partition=${r.singlePart.size} " +
-      s"wide_shuffles=${r.wideShuffle.size} errors=${r.errors.size} " +
+      s"wide_shuffles=${r.wideShuffle.size} " +
+      s"broadcast_fact=${r.broadcastFact.size} errors=${r.errors.size} " +
       s"codegen_stages=${r.stagesCompiled} codegen_failures=${r.codegenFail.size}")
     if (r.bnlj.nonEmpty)
       println(s"[planlint] bnlj (deliberate 1-row/band broadcasts): " +
@@ -156,6 +217,9 @@ object PlanLint {
     if (r.wideShuffle.nonEmpty)
       println(s"[planlint] array-typed columns through a shuffle: " +
         r.wideShuffle.mkString(", "))
+    if (r.broadcastFact.nonEmpty)
+      println(s"[planlint] hinted broadcasts of un-aggregated fact tables: " +
+        r.broadcastFact.mkString(", "))
     r.errors.foreach { case (n, e) => println(s"[planlint] ERROR $n: $e") }
     if (r.cartesian.nonEmpty) {
       println(s"[planlint] FATAL cartesian products: ${r.cartesian.mkString(", ")}")

@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   *    work) is identical, but replicas share no n-grams, so Jaccard /
   *    MinHash pair counts scale ×N instead of ×N² (10 verbatim copies
   *    of each doc would put every copy-pair over every threshold).
-  *  - `embeddings.embedding`: replica r circularly rotates the vector
-  *    by r dimensions — norms and the coordinate distribution are
-  *    preserved, but rotated replicas land in different SRP/IVF/PQ
-  *    buckets, so ANN candidate counts scale like a genuinely bigger
-  *    corpus rather than ×N² same-bucket collisions.
+  *  - `embeddings.embedding`: replica r applies a SEEDED SIGNED
+  *    PERMUTATION of the dimensions (`em'[i] = s_r[i]·em[π_r[i]]`,
+  *    Fisher-Yates π_r and ±1 signs from a per-replica seed) — norms
+  *    and the coordinate distribution are preserved exactly, but
+  *    remapped replicas land in different SRP/IVF/PQ buckets, so ANN
+  *    candidate counts scale like a genuinely bigger corpus rather
+  *    than ×N² same-bucket collisions. The r13 CIRCULAR-ROTATION remap
+  *    had only 64 distinct images for a 64-dim vector, which capped
+  *    embedding factors at 64 (replicas 64 apart were exact
+  *    duplicates, quietly re-quadratizing every ANN measurement);
+  *    signed permutations have 64!·2^64 images, so any factor the
+  *    sandbox can hold is collision-free.
   *
   * Tiny dims (region, nation) are copied as-is: real scale-ups grow
   * facts, not the 25-row nation list, and the star-join broadcast story
@@ -38,22 +45,45 @@ import org.apache.spark.sql.functions._
   * `... /tmp/sf6x 60 documents,embeddings` — the second-decade wave
   * shape, where the LLM-corpus tables grow another decade but the
   * TPC-H facts stay at the measured 10× so the run fits the sandbox.
-  * Factors above 64 are rejected when embeddings scale: the content
-  * remap rotates by replica index, and a 64-dim vector has only 64
-  * distinct rotations — replicas 64 apart would be exact duplicates,
-  * quietly re-quadratizing every ANN measurement.
+  * The restriction set is validated: unknown names are rejected (a
+  * typo would silently write a 1× copy labeled as a scaled dataset),
+  * and it must be FK-CLOSED — scaling `orders` without `customer` (or
+  * `lineitem` without `orders`/`part`/`supplier`) writes dangling
+  * foreign keys that silently shrink every join measured against the
+  * dataset.
   */
 object ScaleUp {
+
+  /** Per-replica signed permutation (1-based indices for `element_at`,
+    * ±1.0 signs), seeded from the replica id alone so re-runs are
+    * byte-identical. Replica 0 is forced to the identity (the sf0.1
+    * results embed in every scaled run).
+    */
+  def signedPerm(r: Long, dims: Int): (Seq[Int], Seq[Double]) =
+    if (r == 0) ((1 to dims), Seq.fill(dims)(1.0))
+    else {
+      val rnd = new scala.util.Random(r * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+      (rnd.shuffle((1 to dims).toVector), Vector.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(src, dest, factorStr) = args.take(3)
     val factor = factorStr.toInt
     require(factor >= 1, "factor must be >= 1")
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    val known = Tables.names.toSet
+    require(only.subsetOf(known),
+      s"unknown table(s) in restriction set: ${(only -- known).toList.sorted.mkString(", ")} " +
+        s"(a typo here silently yields a 1x copy labeled as scaled)")
+    def fkClosed(child: String, parents: String*): Unit =
+      if (only(child)) parents.foreach(p => require(only(p),
+        s"restriction set must be FK-closed: scaling '$child' remaps $p keys — add '$p' " +
+          s"or the scaled $child rows dangle and every join against it silently shrinks"))
+    fkClosed("orders", "customer")
+    fkClosed("lineitem", "orders", "part", "supplier")
     def tableFactor(name: String): Int =
       if (only.isEmpty || only(name)) factor else 1
-    require(tableFactor("embeddings") <= 64,
-      "embeddings factor must be <= 64: a 64-dim vector has 64 distinct rotations")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,14 +163,30 @@ object ScaleUp {
               t => when(t === "", t)
                 .otherwise(concat(t, lit("~"), r.cast("string")))), " ")))
     }, "documents")
-    write(replicateAs(src_("embeddings"), "embeddings") { (d, r) =>
-      val dims = size(col("embedding"))
+    // signed-permutation content remap: one (π_r, s_r) pair per replica,
+    // precomputed on the driver and shipped as ONE nested-array literal
+    // each (constant-folded — never a per-row closure), applied as
+    // em'[i] = s_r[i]·em[π_r[i]] with the element cast back to the
+    // source element type (±1.0 is exact in float, so the cast is
+    // lossless and norms are bit-preserved)
+    val embSrc = src_("embeddings")
+    val embDims = embSrc.select(size(col("embedding"))).head().getInt(0)
+    val embElemT = embSrc.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val embF = tableFactor("embeddings")
+    val perms: Seq[Seq[Int]] = (0 until embF).map(r => signedPerm(r, embDims)._1.toVector)
+    val signs: Seq[Seq[Double]] = (0 until embF).map(r => signedPerm(r, embDims)._2.toVector)
+    val permLit = typedLit(perms)
+    val signLit = typedLit(signs)
+    write(replicateAs(embSrc, "embeddings") { (d, r) =>
       d.withColumn("vec_id", col("vec_id") + r * vecS)
         .withColumn("embedding",
           when(r === 0, col("embedding")).otherwise(
-            transform(sequence(lit(0), dims - 1),
-              i => element_at(col("embedding"),
-                (pmod(i + r.cast("int"), dims) + 1).cast("int")))))
+            transform(sequence(lit(0), lit(embDims - 1)), i =>
+              (element_at(element_at(signLit, (r + 1).cast("int")), (i + 1).cast("int")) *
+                element_at(col("embedding"),
+                  element_at(element_at(permLit, (r + 1).cast("int")), (i + 1).cast("int"))))
+                .cast(embElemT))))
     }, "embeddings")
 
     println(s"[scaleup] wrote ${factor}x of $src to $dest")

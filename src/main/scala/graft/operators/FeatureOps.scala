@@ -155,21 +155,33 @@ object FeatureOps {
         // 125-170× on its siblings; hard negatives/positives are
         // HIGH-similarity vectors, exactly what bucket collisions
         // surface, and the oracle replays the buckets so the
-        // approximation is hash-pinned, not asserted). The skinny
-        // candidate set re-acquires labels and vectors via SHUFFLE
-        // join-backs on the id keys — NOT full-corpus broadcasts: the
-        // corpus grows with N, so a driver broadcast becomes the
-        // bottleneck exactly at the scale the adaptive key targets
-        // (broadcast join-backs remain correct for bounded probe sets,
-        // per annTopKPortable). One scored pass feeds both argmaxes
-        // (WindowGroupLimit-pruned).
+        // approximation is hash-pinned, not asserted), on the GROWN key
+        // layout since r14 (plane cap 36 + table growth — the cap-12
+        // layout re-quadratized at 256k vectors). The skinny candidate
+        // set re-acquires labels and vectors via SHUFFLE join-backs on
+        // the id keys — NOT full-corpus broadcasts: the corpus grows
+        // with N, so a driver broadcast becomes the bottleneck exactly
+        // at the scale the adaptive key targets (broadcast join-backs
+        // remain correct for bounded probe sets, per annTopKPortable).
+        // Both per-anchor argmaxes come from ONE conditional hash
+        // aggregate over the scored candidates — max(when(arm,
+        // struct(sim, -cand, cand))) reproduces the (sim DESC, cand
+        // ASC) tiebreak lexicographically, max ignores the other arm's
+        // nulls, and partial aggregation combines map-side. The r13
+        // form filtered AFTER the scored join into two row_number
+        // windows, so the candidate-rerank subtree was planned twice
+        // (exchange reuse AQE-dependent) and each branch paid a full
+        // window SORT — the two 113M-row windows that OOM-killed the
+        // 8g driver at sf6x (SCALE.md r13).
         CosineSimilarity.register(s)
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), _.cast("double")).as("em"))
-        val keyed = SimilarityOps.srpKeyedScaled(
+        val n = e.count()
+        val keyed = SimilarityOps.srpKeyedGrown(
           e.select(col("vec_id"), col("em")),
-          SimilarityOps.srpScaledPlanes(e.count()), tables = 16, dims = 64)
+          SimilarityOps.srpGrownPlanes(n), SimilarityOps.srpGrownTables(n),
+          dims = 64)
         val cands = keyed.as("a").join(keyed.as("b"),
             col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
@@ -181,21 +193,19 @@ object FeatureOps {
             col("label").as("lb"), col("em").as("ce")), "cand")
           .select(col("anchor"), col("la"), col("cand"), col("lb"),
             CosineSimilarity.cosine_sim("ae", "ce").as("sim"))
-        def top1(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("rn", row_number().over(
-              Window.partitionBy("anchor").orderBy(desc("sim"), asc("cand"))))
-            .where(col("rn") === 1)
-        val hn = top1(sc.where(col("la") =!= col("lb")))
-          .select(col("anchor"), col("cand").as("hard_neg"), col("sim").as("sn"))
-        val hp = top1(sc.where(col("la") === col("lb")))
-          .select(col("anchor").as("anchor2"), col("sim").as("sp"))
-        hn.join(hp, col("anchor") === col("anchor2"))
-          .select(col("anchor"), col("hard_neg"),
-            round(col("sn"), 4).as("sn"), round(col("sp"), 4).as("sp"),
-            round(col("sp") - col("sn"), 4).as("margin"))
+        sc.groupBy("anchor")
+          .agg(
+            max(when(col("la") =!= col("lb"),
+              struct(col("sim").as("sn"), (-col("cand")).as("nc"),
+                col("cand").as("hard_neg")))).as("hn"),
+            max(when(col("la") === col("lb"), col("sim"))).as("sp"))
+          .where(col("hn").isNotNull && col("sp").isNotNull)
+          .select(col("anchor"), col("hn.hard_neg").as("hard_neg"),
+            round(col("hn.sn"), 4).as("sn"), round(col("sp"), 4).as("sp"),
+            round(col("sp") - col("hn.sn"), 4).as("margin"))
           .orderBy("anchor")
       },
-      Some(s"""${SimilarityOps.srpScaledKeysSql(tables = 16, dims = 64)},
+      Some(s"""${SimilarityOps.srpGrownKeysSql(dims = 64)},
              | cand AS (SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS cand
              |          FROM keys a JOIN keys b
              |            ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),

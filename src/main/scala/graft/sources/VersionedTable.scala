@@ -57,11 +57,12 @@ object VersionedTable {
 
   private def versionName(v: Long) = f"v$v%020d"
 
-  /** Committed versions, ascending. A manifest name whose file lacks
-    * the trailing commit sentinel is an IN-FLIGHT CLAIM (see
-    * [[stageAndSwap]]), not a version — unless it is a complete LEGACY
-    * manifest from the pre-sentinel protocol (non-empty and older than
-    * the grace window; see [[isComplete]]) — and by construction at
+  /** Committed versions, ascending. A manifest name whose file is
+    * EMPTY is an IN-FLIGHT CLAIM (see [[stageAndSwap]] — content lands
+    * atomically via rename, so a claim is empty until complete), not a
+    * version; non-empty sentinel-less files are complete LEGACY
+    * manifests from the pre-sentinel protocol (see [[isComplete]]) —
+    * and by construction at
     * most the highest name can be a claim (writers only ever claim
     * latestComplete+1, and crash recovery rewrites a stale claim in
     * place instead of skipping past it), so completeness costs one
@@ -183,31 +184,27 @@ object VersionedTable {
       .getOrElse(10_000_000_000L)
 
   /** A version is complete iff its manifest carries the trailing
-    * [[CommitPrefix]] sentinel — OR it is a LEGACY manifest: non-empty,
-    * sentinel-less, and not modified within the grace window. Manifests
-    * committed by the pre-sentinel protocol (stage + atomic rename)
-    * were published fully written, so a non-empty sentinel-less file
-    * is a complete legacy version, NOT an in-flight claim — claims are
-    * created EMPTY and filled in one write, and an active writer's file
-    * is by definition younger than the grace window (the mtime fence).
-    * Without this rule a pre-existing table's tip would be hidden and,
-    * worse, the next committer's crash takeover would rewrite it in
-    * place, silently discarding the committed file list. Residual gap:
-    * a new-protocol writer that crashes exactly inside its single
-    * payload write leaves a torn sentinel-less file that ages into
-    * "legacy" — it becomes a readable version naming a prefix of the
-    * intended files rather than being rewritten; the same fencing-gap
-    * class the takeover scaladoc documents.
+    * [[CommitPrefix]] sentinel — OR it is a LEGACY manifest: non-empty
+    * and sentinel-less. The legacy rule is EXACT, not time-based: a
+    * claim file is created EMPTY and only ever becomes non-empty via
+    * the all-or-nothing rename in [[stageAndSwap]]'s writeAndVerify (a
+    * torn, partially-written manifest cannot exist on the new
+    * protocol), so any non-empty sentinel-less file can only be a
+    * manifest committed by the pre-sentinel protocol (stage + atomic
+    * rename — also published fully written). Without this rule a
+    * pre-existing table's tip would be hidden and, worse, the next
+    * committer's crash takeover would rewrite it in place, silently
+    * discarding the committed file list. The r13 form of this rule
+    * aged sentinel-less files past the grace window into "complete",
+    * which turned a (then-possible) torn in-place fill into a readable
+    * version naming a prefix of the intended files and was
+    * clock-skew-sensitive — the r13 advisor's durability finding; the
+    * atomic fill removes the torn-file class and with it the need for
+    * the mtime heuristic.
     */
   private def isComplete(f: FileSystem, dir: String, v: Long): Boolean = {
-    val p = new Path(manifestDir(dir), versionName(v))
-    try {
-      val lines = readManifest(f, dir, v)
-      lines.lastOption.exists(_.startsWith(CommitPrefix)) || (
-        lines.nonEmpty &&
-          System.currentTimeMillis() - f.getFileStatus(p).getModificationTime >
-            graceNanos / 1000000L)
-    } catch { case _: java.io.IOException => false }
+    try readManifest(f, dir, v).nonEmpty
+    catch { case _: java.io.IOException => false }
   }
 
   /** Commit `lines` as version N — true iff this writer won N.
@@ -221,10 +218,10 @@ object VersionedTable {
     * could both return true for the same version, discarding one
     * committed manifest. O_EXCL creation cannot be raced.
     *
-    * The claim file is empty until its owner fills it in place, so
-    * completeness is a trailing [[CommitPrefix]] sentinel rather than
-    * file existence (plus the aged-legacy rule — see [[isComplete]]);
-    * readers ([[versions]]) skip a sentinel-less tip. A loser polls the
+    * The claim file is empty until its owner renames the fully-written
+    * payload over it ([[atomicReplace]] — all-or-nothing in content),
+    * so completeness is simply a non-empty manifest (see
+    * [[isComplete]]); readers ([[versions]]) skip an empty tip. A loser polls the
     * claim to completeness (a fair loss — the owner is normally
     * microseconds from its sentinel) and only after a long grace window
     * assumes a crashed writer. Takeover itself is SERIALIZED through a
@@ -250,9 +247,23 @@ object VersionedTable {
     val uid = java.util.UUID.randomUUID().toString
     val payload = (lines :+ s"$CommitPrefix$uid").mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
+    // The fill is ATOMIC IN CONTENT: the O_EXCL claim serializes
+    // ownership, but the payload lands via write-to-tmp + rename-replace
+    // over the (empty) claim, so a writer or recoverer that crashes
+    // mid-payload-write leaves its bytes in a .fill tmp, never a torn
+    // manifest — the r13 advisor's durability finding (an in-place
+    // f.create(dest, true) fill could crash mid-write, and the torn
+    // sentinel-less file aged into a readable "legacy" version whose
+    // line list could be a PREFIX of the intended files, silently
+    // dropping committed parents on appends). Rename-replace is safe
+    // exactly because ownership is already serialized: only the claim
+    // winner (or the single marker-holding recoverer) ever renames onto
+    // this destination.
     def writeAndVerify(): Boolean = {
-      val out = f.create(dest, true) // sole claim owner (or sole recoverer)
+      val tmp = new Path(manifestDir(dir), versionName(v) + s".fill-$uid")
+      val out = f.create(tmp, true)
       try out.write(payload) finally out.close()
+      atomicReplace(f, tmp, dest)
       try readManifest(f, dir, v).lastOption.contains(s"$CommitPrefix$uid")
       catch { case _: java.io.IOException => false }
     }
@@ -269,10 +280,14 @@ object VersionedTable {
     // crashed-writer takeover, serialized through a second O_EXCL create
     val marker = new Path(manifestDir(dir), versionName(v) + ".takeover")
     if (claim(f, marker)) {
-      if (isComplete(f, dir, v)) { f.delete(marker, false); return false }
-      val won = writeAndVerify()
-      f.delete(marker, false)
-      won
+      // try/finally: an exception out of the tmp write or rename must
+      // still remove the marker its creator owns — a leaked marker
+      // wedges version N for every racer until it ages out (the r13
+      // advisor's marker-leak finding)
+      try {
+        if (isComplete(f, dir, v)) false
+        else writeAndVerify()
+      } finally f.delete(marker, false)
     } else {
       // another recoverer holds the marker: wait it out like a loser
       val d2 = System.nanoTime() + graceNanos
@@ -296,6 +311,27 @@ object VersionedTable {
     * there); other filesystems get `create(dest, false)`, which HDFS
     * makes atomic at the namenode.
     */
+  /** Atomic rename-replace of `dest` with `tmp`. The local FS gets
+    * POSIX rename(2) semantics via NIO ATOMIC_MOVE (Hadoop's
+    * `FileSystem.rename` has no overwrite mode); other filesystems go
+    * through `FileContext.rename(…, Options.Rename.OVERWRITE)`, which
+    * HDFS makes atomic at the namenode. Callers must already own the
+    * destination (claim winner or marker-holding recoverer) — the
+    * rename provides torn-write-freedom, not ownership.
+    */
+  private def atomicReplace(f: FileSystem, tmp: Path, dest: Path): Unit = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    case other =>
+      org.apache.hadoop.fs.FileContext.getFileContext(other.getUri, other.getConf)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   private def claim(f: FileSystem, dest: Path): Boolean = f match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>

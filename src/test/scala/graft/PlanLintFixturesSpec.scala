@@ -58,10 +58,37 @@ class PlanLintFixturesSpec extends SparkSpec {
       assertMatches("bnlj", r.bnlj)
       assertMatches("single_partition", r.singlePart)
       assertMatches("wide_shuffles", r.wideShuffle)
+      assertMatches("broadcast_fact", r.broadcastFact)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevPart)
     }
+  }
+
+  test("a deliberate broadcast of an un-aggregated fact table turns the detector red") {
+    // the r13 emb_hard_negatives defect class, mechanized: an explicit
+    // broadcast() hint over the raw embeddings corpus must flag; the
+    // same hint over an AGGREGATE of it (bounded payload), a LIMIT of
+    // it, or a dim table must not. The detector reads the analyzed
+    // LOGICAL plan, so it fires regardless of whether the tiny test SF
+    // would have auto-broadcast anyway (the advisor's masking finding).
+    val emb = Tables.t(spark, sf, "embeddings").select(col("vec_id"))
+    val ids = Seq(1L, 2L).toDF("vec_id")
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      ids.join(broadcast(df), "vec_id").queryExecution.analyzed
+    assert(PlanLint.broadcastsFactTable(hinted(emb)),
+      "hinted broadcast of the raw embeddings corpus must flag")
+    assert(!PlanLint.broadcastsFactTable(
+      hinted(emb.groupBy("vec_id").count().select("vec_id"))),
+      "an aggregated subtree bounds the broadcast payload")
+    assert(!PlanLint.broadcastsFactTable(hinted(emb.limit(10))),
+      "a limited subtree bounds the broadcast payload")
+    val dim = Tables.t(spark, sf, "nation").select(col("n_nationkey").as("vec_id"))
+    assert(!PlanLint.broadcastsFactTable(hinted(dim)),
+      "dims stay broadcast-size by design")
+    assert(!PlanLint.broadcastsFactTable(
+      ids.join(emb, "vec_id").queryExecution.analyzed),
+      "no hint, no finding — size-based broadcasts are AQE's call")
   }
 
   test("a deliberate wide shuffle turns the detector red, with AQE on and off") {
@@ -85,5 +112,22 @@ class PlanLintFixturesSpec extends SparkSpec {
           s"false positive on scalar shuffle with aqe=$aqe")
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
+    // …and on an ALREADY-MATERIALIZED adaptive plan, where executed
+    // shuffles are wrapped in ShuffleQueryStageExec LEAVES that
+    // TreeNode.collect does not descend into — the r13 advisor finding:
+    // the pre-r14 detector returned false here, so any post-execution
+    // caller (shufflesAreArrayFree runs inside the query it audits) was
+    // silently blind.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val executedWide = base.repartition(4, col("id"))
+      val executedNarrow = narrow.select(col("id"), col("s") + 1)
+      executedWide.collect(); executedNarrow.collect()
+      assert(PlanLint.anyWideShuffle(executedWide.queryExecution.executedPlan),
+        "array-through-shuffle missed once the stage materialized")
+      assert(!PlanLint.anyWideShuffle(executedNarrow.queryExecution.executedPlan),
+        "false positive on a materialized scalar shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
