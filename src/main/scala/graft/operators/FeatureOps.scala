@@ -157,12 +157,7 @@ object FeatureOps {
         // surface, and the oracle replays the buckets so the
         // approximation is hash-pinned, not asserted), on the GROWN key
         // layout since r14 (plane cap 36 + table growth — the cap-12
-        // layout re-quadratized at 256k vectors). The skinny candidate
-        // set re-acquires labels and vectors via SHUFFLE join-backs on
-        // the id keys — NOT full-corpus broadcasts: the corpus grows
-        // with N, so a driver broadcast becomes the bottleneck exactly
-        // at the scale the adaptive key targets (broadcast join-backs
-        // remain correct for bounded probe sets, per annTopKPortable).
+        // layout re-quadratized at 256k vectors).
         // Both per-anchor argmaxes come from ONE conditional hash
         // aggregate over the scored candidates — max(when(arm,
         // struct(sim, -cand, cand))) reproduces the (sim DESC, cand
@@ -178,21 +173,24 @@ object FeatureOps {
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), _.cast("double")).as("em"))
         val n = e.count()
-        val keyed = SimilarityOps.srpKeyedGrown(
-          e.select(col("vec_id"), col("em")),
+        // labels ride the keyed frame and the cosine evaluates in the
+        // bucket join, where both vectors are co-located — the r14
+        // restructure shared with annTopKPortableGrown (the r13 shuffle
+        // join-backs carried the anchor vector through the second
+        // id-keyed exchange: ~120 GB at 320k vectors, the
+        // array-through-shuffle class the wide_shuffles lint names).
+        // No candidate distinct either: the per-anchor argmax below is
+        // multiset-invariant (cross-table duplicates are bit-identical
+        // and max collapses them map-side), so the only exchanges after
+        // the bucket key are skinny scalar rows.
+        val keyed = SimilarityOps.srpKeyedGrown(SimilarityOps.parallelized(e),
           SimilarityOps.srpGrownPlanes(n), SimilarityOps.srpGrownTables(n),
           dims = 64)
-        val cands = keyed.as("a").join(keyed.as("b"),
+        val sc = keyed.as("a").join(keyed.as("b"),
             col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"))
-          .distinct()
-        val sc = cands
-          .join(e.select(col("vec_id").as("anchor"),
-            col("label").as("la"), col("em").as("ae")), "anchor")
-          .join(e.select(col("vec_id").as("cand"),
-            col("label").as("lb"), col("em").as("ce")), "cand")
-          .select(col("anchor"), col("la"), col("cand"), col("lb"),
-            CosineSimilarity.cosine_sim("ae", "ce").as("sim"))
+          .select(col("a.vec_id").as("anchor"), col("a.label").as("la"),
+            col("b.vec_id").as("cand"), col("b.label").as("lb"),
+            CosineSimilarity.cosine_sim("a.em", "b.em").as("sim"))
         sc.groupBy("anchor")
           .agg(
             max(when(col("la") =!= col("lb"),

@@ -290,6 +290,21 @@ object SimilarityOps {
     math.min(SrpGrownTableCap,
       SrpBaseTables + 2 * math.max(0, srpPlanesUncapped(n) - 12))
 
+  /** At least the session's default parallelism behind `df`. The
+    * in-bucket cosine stages are COMPUTE-dense but BYTE-light: a
+    * one-file mid-size corpus reads as a single-partition scan
+    * (< maxPartitionBytes), and every downstream cosine then runs on
+    * one thread — measured 2.4× on the r14 sf1 leg (the 20k-vector
+    * table is one 8 MB file). A no-op whenever the scan already has
+    * ≥ default parallelism — any real-scale table — so the extra
+    * round-robin exchange exists only where it is trivially small by
+    * construction (few partitions ⇒ bounded bytes).
+    */
+  private[operators] def parallelized(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** [[srpKeyed]] on the GROWN key layout: plane indices on the fixed
     * [[SrpStride]]-per-table stride, so keys of any adaptive
     * (planes, tables) pair agree with the oracle's substring cut.
@@ -344,7 +359,7 @@ object SimilarityOps {
       thresh: Double): DataFrame = {
     CosineSimilarity.register(e.sparkSession)
     val planes = srpScaledPlanes(e.count())
-    val keyed = srpKeyedScaled(e, planes, tables, dims)
+    val keyed = srpKeyedScaled(parallelized(e), planes, tables, dims)
     keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
           CosineSimilarity.cosine_sim("a.em", "b.em") >= thresh)
@@ -411,13 +426,12 @@ object SimilarityOps {
     * [[SrpMaxPlanes]] and the table count together per the (planes,
     * tables) LSH cost model; at the measured decades the cap is slack.
     *
-    * Unlike [[annTopKPortable]], the rerank join-backs are SHUFFLE
-    * joins on the id keys, not driver broadcasts: the corpus grows with
-    * N, so a full-corpus broadcast becomes the driver-memory bottleneck
-    * exactly at the scale the adaptive key targets. The candidate set
-    * is already skinny (two longs), so the exchange it pays is the
-    * hash-partitioned id join — linear, spillable, and the only place
-    * the 64-dim vectors move.
+    * Unlike [[annTopKPortable]], there are no broadcast join-backs —
+    * and since r14 no join-backs at all: the exact cosine is computed
+    * in the bucket join where both vectors are co-located (the shared
+    * restructure with [[annTopKPortableGrown]] — the r13 shuffle
+    * join-backs carried the query vector through the second id-keyed
+    * exchange, ~120 GB at 320k vectors).
     *
     * Recall trade is the same as [[srpPairsAboveScaled]]: narrower
     * buckets shrink per-table collision polynomially; near-identical
@@ -429,16 +443,16 @@ object SimilarityOps {
     CosineSimilarity.register(d.sparkSession)
     val e = d.select(col("vec_id"), col("em"))
     val planes = srpScaledPlanes(e.count())
-    val keyed = srpKeyedScaled(e, planes, tables, dims)
-    val cands = keyed.as("a").join(keyed.as("b"),
+    val keyed = srpKeyedScaled(parallelized(e), planes, tables, dims)
+    // score in the bucket join (both vectors co-located) — the r14
+    // restructure shared with annTopKPortableGrown; see its scaladoc
+    // for the 120 GB join-back shuffle this removes. Results are
+    // bit-identical, so the witness stays pinned to the same oracle.
+    val scored = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
-      .distinct()
-    val scored = cands
-      .join(e.select(col("vec_id").as("qid"), col("em").as("qe")), "qid")
-      .join(e.select(col("vec_id"), col("em").as("ce")), "vec_id")
-      .select(col("qid"), col("vec_id"),
-        CosineSimilarity.cosine_sim("qe", "ce").as("score"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+      .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
@@ -455,7 +469,7 @@ object SimilarityOps {
   def srpPairsAboveGrown(e: DataFrame, dims: Int, thresh: Double): DataFrame = {
     CosineSimilarity.register(e.sparkSession)
     val n = e.count()
-    val keyed = srpKeyedGrown(e, srpGrownPlanes(n), srpGrownTables(n), dims)
+    val keyed = srpKeyedGrown(parallelized(e), srpGrownPlanes(n), srpGrownTables(n), dims)
     keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
           CosineSimilarity.cosine_sim("a.em", "b.em") >= thresh)
@@ -465,25 +479,37 @@ object SimilarityOps {
   }
 
   /** [[annTopKPortableScaled]] on the GROWN key layout — the production
-    * ANN form; same shuffle-join rerank discipline (the 64-dim vectors
-    * move only through the skinny id-keyed hash exchanges, never a
-    * corpus broadcast), same recall gates, plane cap lifted from 12 to
-    * 36 with 2-per-plane table growth past width 12.
+    * ANN form: plane cap lifted from 12 to 36 with 2-per-plane table
+    * growth past width 12, and the exact cosine computed IN THE BUCKET
+    * JOIN, where both vectors are already co-located — not by
+    * re-acquiring them afterwards. The r13 "shuffle join-back" rerank
+    * (skinny candidate ids re-join the corpus by qid then by vec_id)
+    * sounded scale-safe but the second id-keyed exchange carries the
+    * just-acquired query vector with every candidate row: at 320k
+    * vectors that is ~225M rows × ~512B ≈ 120 GB of shuffle, which
+    * KILLED the r14 sf16x wave on disk (spill exhausted a 67 GB-free
+    * box) — the same array-through-shuffle class the wide_shuffles
+    * lint exists for, reachable only at scale because small SFs
+    * auto-broadcast the corpus side. Scoring in the bucket join moves
+    * the arrays exactly once (the N·tables bucket-key exchange, same
+    * as [[srpPairsAboveGrown]]); everything downstream — duplicate
+    * collapse across tables, the per-qid top-k window — is 3 skinny
+    * scalar columns. Scoring the pre-distinct multiset costs ≤ tables
+    * redundant cosines per true pair, linear work that replaces a
+    * quadratically-sized exchange; duplicates are bit-identical so the
+    * dropDuplicates stays deterministic and the oracle (which scores
+    * the DISTINCT candidate set) hash-matches unchanged.
     */
   def annTopKPortableGrown(d: DataFrame, k: Int, dims: Int): DataFrame = {
     CosineSimilarity.register(d.sparkSession)
     val e = d.select(col("vec_id"), col("em"))
     val n = e.count()
-    val keyed = srpKeyedGrown(e, srpGrownPlanes(n), srpGrownTables(n), dims)
-    val cands = keyed.as("a").join(keyed.as("b"),
+    val keyed = srpKeyedGrown(parallelized(e), srpGrownPlanes(n), srpGrownTables(n), dims)
+    val scored = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
-      .distinct()
-    val scored = cands
-      .join(e.select(col("vec_id").as("qid"), col("em").as("qe")), "qid")
-      .join(e.select(col("vec_id"), col("em").as("ce")), "vec_id")
-      .select(col("qid"), col("vec_id"),
-        CosineSimilarity.cosine_sim("qe", "ce").as("score"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+      .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
   }
