@@ -182,7 +182,10 @@ object FeatureOps {
         // No candidate distinct either: the per-anchor argmax below is
         // multiset-invariant (cross-table duplicates are bit-identical
         // and max collapses them map-side), so the only exchanges after
-        // the bucket key are skinny scalar rows.
+        // the bucket key are skinny scalar rows. wide_shuffles fixture
+        // entry: that single bucket-key exchange (the em column rides
+        // it exactly once) plus the bounded parallelized() round-robin
+        // are the deliberate array shuffles this query carries.
         val keyed = SimilarityOps.srpKeyedGrown(SimilarityOps.parallelized(e),
           SimilarityOps.srpGrownPlanes(n), SimilarityOps.srpGrownTables(n),
           dims = 64)

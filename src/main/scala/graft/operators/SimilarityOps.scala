@@ -1244,7 +1244,12 @@ object SimilarityOps {
         // the oracle from count(*) with the same integer-exact rules,
         // so the query stays hash-verified at every scale factor; the
         // cap-12 form stays registered as sim_pairs_threshold_cap12,
-        // the regression witness.
+        // the regression witness. wide_shuffles fixture entry: the one
+        // deliberate array exchange is the N·tables bucket-key shuffle
+        // the em column rides exactly once (cosine evaluates in the
+        // bucket join; downstream rows are scalar), plus the bounded
+        // parallelized() round-robin (only fires on few-partition
+        // scans ⇒ bounded bytes).
         val e = emb(s, dir).select(col("vec_id"), col("em"))
         srpPairsAboveGrown(e, dims = 64, thresh = 0.4)
           .select(col("va").as("vec_a"), col("vb").as("vec_b"),
@@ -1265,7 +1270,9 @@ object SimilarityOps {
         // has to the cap-12 form. Its cap binds at 256k vectors
         // (srpScaledPlanes), which is WHY production moved to the grown
         // layout; below the cap the two forms' widths agree and only
-        // the sign vectors differ.
+        // the sign vectors differ. wide_shuffles fixture entry: same
+        // single bucket-key array exchange (+ bounded parallelized())
+        // as the grown form above.
         val e = emb(s, dir).select(col("vec_id"), col("em"))
         srpPairsAboveScaled(e, tables = 16, dims = 64, thresh = 0.4)
           .select(col("va").as("vec_a"), col("vb").as("vec_b"),
@@ -1297,16 +1304,22 @@ object SimilarityOps {
         // wave (35-min abort; 128 bucket keys forever → ~400M-row
         // candidate distinct). Since r14 this runs the GROWN key layout
         // (plane cap 36, table growth, versioned stride — see
-        // annTopKPortableGrown); the rerank join-backs stay shuffle
-        // joins, never full-corpus broadcasts. The oracle recomputes
-        // both widths from count(*) with the same integer-exact rules,
-        // so the query stays hash-verified at every scale factor; the
-        // fixed form and the r13 cap-12 form (sim_ann_lsh_cap12) stay
-        // registered as regression witnesses. Known wide_shuffles
-        // fixture exemption: at the audit's sf0.001 the optimizer
-        // auto-broadcasts the tiny embeddings side, so the deliberate
-        // scale-time wide exchange doesn't appear there — it is pinned
-        // instead by the autoBroadcastJoinThreshold=-1 plan test in
+        // annTopKPortableGrown) and the exact cosine evaluates IN the
+        // bucket join, where both vectors are co-located: the r13
+        // id-keyed rerank join-backs re-shuffled the just-acquired
+        // query vector on every candidate row (~120 GB at 320k vectors
+        // — killed the sf16x leg on disk) and are gone. The oracle
+        // recomputes both widths from count(*) with the same
+        // integer-exact rules, so the query stays hash-verified at
+        // every scale factor; the fixed form and the r13 cap-12 form
+        // (sim_ann_lsh_cap12) stay registered as regression witnesses.
+        // wide_shuffles fixture entry: the single deliberate
+        // array-carrying exchange is the N·tables bucket-key shuffle
+        // (the em column rides it exactly once; everything downstream
+        // is three scalar columns), plus the bounded parallelized()
+        // round-robin that only exists when the scan has fewer
+        // partitions than default parallelism (few partitions ⇒ bounded
+        // bytes). The shape is pinned under broadcast-off in
         // SimilarityScaleSpec.
         annTopKPortableGrown(emb(s, dir), k = 5, dims = 64)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
@@ -1322,6 +1335,8 @@ object SimilarityOps {
         // hash-gated next to the grown production form above (same
         // rationale as sim_pairs_threshold_cap12 — the cap binds at
         // 256k vectors, which is why production moved on).
+        // wide_shuffles fixture entry: same single bucket-key array
+        // exchange (+ bounded parallelized()) as the grown form.
         annTopKPortableScaled(emb(s, dir), k = 5, tables = 16, dims = 64)
           .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"), col("rn"))
           .orderBy("qid", "rn")
@@ -1499,7 +1514,9 @@ object SimilarityOps {
         // the same fixed-bucket-count defect and the same fix as
         // sim_pairs_threshold_scaled: since r14 on the GROWN key layout
         // (plane cap 36, table growth past width 12, both widths
-        // replayed by the oracle from count(*)).
+        // replayed by the oracle from count(*)). wide_shuffles fixture
+        // entry: same single bucket-key array exchange (+ bounded
+        // parallelized()) as sim_pairs_threshold_scaled.
         val e = emb(s, dir).select(col("vec_id"), col("em"))
         srpPairsAboveGrown(e, dims = 64, thresh = 0.45)
           .select(col("va").as("keeper"), col("vb").as("dup"),

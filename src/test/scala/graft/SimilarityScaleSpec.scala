@@ -144,16 +144,16 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(SrpGrownPlaneCap <= SrpStride)
   }
 
-  test("grown ANN rerank join-backs are wide SHUFFLE joins once size-based broadcast is off") {
-    // The r13 advisor's masking finding: sim_ann_lsh_scaled is absent
-    // from the wide_shuffles fixture ONLY because at the audit's
-    // sf0.001 the optimizer auto-broadcasts the tiny embeddings side —
-    // the deliberate scale-time plan (the 64-dim vectors moving through
-    // hash-partitioned id-keyed exchanges, NOT a corpus broadcast) was
-    // invisible to the enforcement that claims to pin it. This test
-    // pins that exact shape by disabling size-based broadcasts, the
-    // same plan the optimizer picks once the corpus outgrows the
-    // threshold.
+  test("grown ANN bucket-key exchange is a wide SHUFFLE (never a corpus broadcast) once size-based broadcast is off") {
+    // Pins the r14 single-exchange shape of annTopKPortableGrown: the
+    // exact cosine evaluates IN the bucket join (the r13 id-keyed
+    // rerank join-backs that re-shuffled the query vector per candidate
+    // row — ~120 GB at 320k vectors — are gone), so the ONE deliberate
+    // array-carrying exchange is the N·tables bucket-key shuffle, and
+    // it must be a shuffle, not a corpus broadcast. Size-based
+    // broadcast is disabled so the tiny test corpus can't mask the
+    // at-scale plan — the same plan the optimizer picks once the
+    // corpus outgrows the threshold.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -162,8 +162,8 @@ class SimilarityScaleSpec extends SparkSpec {
       val plan = SimilarityOps.annTopKPortableGrown(e, k = 5, dims = 64)
         .queryExecution.executedPlan
       assert(PlanLint.anyWideShuffle(plan),
-        "the rerank join-backs must move the vectors through shuffle " +
-          "exchanges (not a corpus broadcast) once size-based broadcast is off")
+        "the bucket-key exchange must move the vectors through a shuffle " +
+          "(not a corpus broadcast) once size-based broadcast is off")
       assert(!plan.toString.contains("BroadcastExchange"),
         "no hinted broadcast may survive with the size threshold off")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
