@@ -55,12 +55,12 @@ object Bench {
         val idle = parts(3) + parts.lift(4).getOrElse(0L) // idle + iowait
         Some((parts.sum - idle, parts.sum))
       } catch { case _: Throwable => None }
-    val busyFrac: Double = (for {
+    def busyWindow(): Double = (for {
       (b0, t0) <- cpuTicks()
       _ = Thread.sleep(1500)
       (b1, t1) <- cpuTicks() if t1 > t0
     } yield (b1 - b0).toDouble / (t1 - t0)).getOrElse(-1.0)
-    val contended = busyFrac > 0.05
+    val busyFrac: Double = busyWindow()
     // Warm one-time SESSION costs so the first timed query doesn't pay
     // them (a fresh cluster pays these once at startup, not per query):
     // file listings + parquet footers for every table (Tables.t caches
@@ -144,10 +144,12 @@ object Bench {
     val total = cold.map(_._2).sum
     val totalWarm = warmMin.map(_._2).sum
     // The headline set grew 12 → 14 in r14 (the adaptive-width scale
-    // twins sim_pairs_threshold_scaled / sim_ann_lsh_scaled joined so a
-    // regression in the 100 TB production paths shows round-over-round
-    // — the r13 verdict's task 3). "value"/"warm_total" therefore stop
-    // being comparable to the r5-accepted BASELINE total, which timed
+    // twins sim_pairs_threshold_scaled / sim_ann_lsh_scaled) and → 15
+    // in r15 (emb_hard_negatives — the third restructured production
+    // path, previously the only one with no committed cold/warm row),
+    // so a regression in the 100 TB production paths shows
+    // round-over-round. "value"/"warm_total" therefore stop being
+    // comparable to the r5-accepted BASELINE total, which timed
     // exactly these 12 names; the legacy12_* fields keep the
     // like-for-like number in-band.
     val legacy12 = Set("ingest_latest_global", "q1_pricing", "q3_shipping",
@@ -175,7 +177,15 @@ object Bench {
     // 3.5×. The 1-minute load average at start and end lets a reader
     // judge whether an outlier rep was the engine or the machine.
     val loadEnd = readLoadAvg
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"contended":$contended,"sf":"$sfDir"}""")
+    // Second quiet window AFTER the timed runs (r14 advisor: a single
+    // 1.5 s start window can miss bursty contenders — that round's
+    // artifact sampled busy_frac 0.0004 while loadavg already read
+    // 3.53). The bench's own executors are drained by here, so like
+    // the start window this samples OTHER processes; contended if
+    // EITHER window trips.
+    val busyFracEnd: Double = busyWindow()
+    val contended = busyFrac > 0.05 || busyFracEnd > 0.05
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,20 +106,30 @@ object PlanLint {
     * it anyway (the r13 advisor's `sim_ann_lsh_scaled` finding). An
     * Aggregate, Deduplicate (`.distinct()` is still Deduplicate at
     * analysis time — the optimizer rewrite to Aggregate hasn't run),
-    * or GlobalLimit between the hint and the scan bounds the broadcast
-    * payload (grand totals, key dimensions, probe sets) and exempts it.
+    * or GlobalLimit ON THE PATH between the hint and the scan bounds
+    * the broadcast payload (grand totals, key dimensions, probe sets)
+    * and exempts it. Path-sensitive by the r14 advisor's finding: the
+    * first cut exempted a hint if a bounding operator appeared ANYWHERE
+    * in the hinted subtree, so `broadcast(fact.join(dimAgg))` passed
+    * silently — the dim branch's aggregate bounds nothing about the
+    * un-aggregated fact rows that actually get broadcast.
     */
   def broadcastsFactTable(analyzed: LogicalPlan): Boolean =
     analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
-        val bounded = h.child.collectFirst {
-          case _: Aggregate => (); case _: Deduplicate => ()
-          case _: GlobalLimit => ()
-        }.isDefined
-        !bounded && h.child.collectFirst {
-          case l: LogicalRelation if scansFact(l) => ()
-        }.isDefined
+        unboundedFactReach(h.child)
     }.exists(identity)
+
+  /** A fact-table scan reachable from `p` with no bounding operator on
+    * ITS path — descent stops at Aggregate/Deduplicate/GlobalLimit, so
+    * only the branch feeding unbounded fact rows into the broadcast
+    * payload counts.
+    */
+  private def unboundedFactReach(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: Deduplicate | _: GlobalLimit => false
+    case l: LogicalRelation => scansFact(l)
+    case other => other.children.exists(unboundedFactReach)
+  }
 
   private def scansFact(l: LogicalRelation): Boolean = l.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.exists(p =>

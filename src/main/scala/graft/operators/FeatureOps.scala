@@ -227,7 +227,11 @@ object FeatureOps {
              |SELECT anchor, hard_neg, round(sn, 4) AS sn, round(sp, 4) AS sp,
              |       round(sp - sn, 4) AS margin
              |FROM hn JOIN hp USING (anchor)
-             |ORDER BY anchor""".stripMargin)),
+             |ORDER BY anchor""".stripMargin),
+      // r15: third restructured production path joins the bench
+      // headline set — until now the only one of the three with no
+      // committed cold/warm row, so a regression was invisible.
+      bench = true),
 
     GQuery(
       "feat_hashing_trick",

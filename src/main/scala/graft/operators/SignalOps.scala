@@ -118,13 +118,18 @@ object SignalOps {
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("em"))
-        val sub = e.select(col("vec_id"), posexplode(
-            array((0 until 8).map(j => slice(col("em"), j * 8 + 1, 8)): _*)))
-          .select(col("vec_id"), col("pos").as("ss"), col("col").as("sv"))
-        val seeds = sub.join(
-            e.orderBy("vec_id").limit(4).select(col("vec_id").as("sid")),
-            col("vec_id") === col("sid"))
-          .select(col("sid"), col("ss").as("css"), col("sv").as("cv"))
+        def subvectors(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), posexplode(
+              array((0 until 8).map(j => slice(col("em"), j * 8 + 1, 8)): _*)))
+            .select(col("vec_id"), col("pos").as("ss"), col("col").as("sv"))
+        val sub = subvectors(e)
+        // seed subvectors sliced directly from the LIMITED vectors (not
+        // joined out of the full subvector frame), so the broadcast
+        // payload is bounded by a GlobalLimit ON the fact-scan path —
+        // the shape the path-sensitive broadcast-fact lint certifies —
+        // and the seed build needs no join at all
+        val seeds = subvectors(e.orderBy("vec_id").limit(4))
+          .select(col("vec_id").as("sid"), col("ss").as("css"), col("sv").as("cv"))
         // codegen L2² kernel — bit-identical to the sequential zip_with
         // HOF form and the oracle's list_sum (see SquaredL2)
         graft.functions.SquaredL2.register(s)

@@ -201,6 +201,15 @@ object VersionedTable {
     * clock-skew-sensitive — the r13 advisor's durability finding; the
     * atomic fill removes the torn-file class and with it the need for
     * the mtime heuristic.
+    *
+    * DEPLOYMENT CONSTRAINT (r14 advisor): the exactness argument holds
+    * only when every live writer runs the tmp+rename fill protocol. A
+    * pre-sentinel binary writing the SAME table concurrently fills the
+    * claim IN PLACE, so its torn crash residue is a non-empty
+    * sentinel-less file this rule reads as committed. Old and new
+    * binaries must therefore not write one table concurrently during a
+    * rolling upgrade (readers are unaffected); reintroduce an age fence
+    * here only if that constraint is ever relaxed.
     */
   private def isComplete(f: FileSystem, dir: String, v: Long): Boolean = {
     try readManifest(f, dir, v).nonEmpty
@@ -1027,14 +1036,42 @@ object VersionedTable {
         if (!kept.contains(s"data/${p.getName}")) { f.delete(p, false); deleted += 1 }
       }
     // tmp manifests, abandoned takeover markers (aged — a fresh one may
-    // serialize a live recovery) and orphan stage dirs from crashed commits
-    if (f.exists(manifestDir(dir)))
-      f.listStatus(manifestDir(dir)).toSeq.foreach { st =>
+    // serialize a live recovery) and orphan stage dirs from crashed
+    // commits. The sweep runs on the RAW filesystem: on local FS the
+    // checksummed view HIDES `.crc` sidecars from listStatus, and
+    // ChecksumFileSystem writes one beside every Hadoop-created fill
+    // tmp while the NIO rename in atomicReplace moves only the base —
+    // so EVERY successful local commit orphans a sidecar the
+    // checksummed sweep could never see (r14 advisor's
+    // unbounded-accumulation finding).
+    val raw = f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    if (raw.exists(manifestDir(dir)))
+      raw.listStatus(manifestDir(dir)).toSeq.foreach { st =>
         val n = st.getPath.getName
-        val agedOut = n.endsWith(".takeover") &&
-          System.currentTimeMillis() - st.getModificationTime >
-            graceNanos / 1000000L
-        if (n.endsWith(".tmp") || agedOut) f.delete(st.getPath, false)
+        def aged = System.currentTimeMillis() - st.getModificationTime >
+          graceNanos / 1000000L
+        val agedOut = n.endsWith(".takeover") && aged
+        // fill tmps from a writer that crashed between the tmp write
+        // and its rename (plus their checksum sidecars, which contain
+        // ".fill-" too) — aged like takeover markers so a LIVE fill's
+        // microseconds-long window is never raced
+        val agedFill = n.contains(".fill-") && aged
+        // a checksum sidecar whose base file is gone is dead weight at
+        // any age (deleting a sidecar only disables local checksum
+        // verification of a file that no longer exists)
+        val orphanCrc = n.startsWith(".") && n.endsWith(".crc") &&
+          !raw.exists(new Path(manifestDir(dir),
+            n.stripPrefix(".").stripSuffix(".crc")))
+        if (n.endsWith(".tmp") || agedOut || agedFill || orphanCrc) {
+          raw.delete(st.getPath, false)
+          // take a deleted base's own sidecar with it (raw deletes
+          // don't cascade the way checksummed ones do)
+          if (!n.endsWith(".crc"))
+            raw.delete(new Path(manifestDir(dir), s".$n.crc"), false)
+        }
       }
     f.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(".stage_")).foreach(p => f.delete(p, true))

@@ -86,6 +86,15 @@ class PlanLintFixturesSpec extends SparkSpec {
     val dim = Tables.t(spark, sf, "nation").select(col("n_nationkey").as("vec_id"))
     assert(!PlanLint.broadcastsFactTable(hinted(dim)),
       "dims stay broadcast-size by design")
+    // path-sensitivity (r14 advisor): broadcast(fact ⋈ dimAgg) still
+    // broadcasts every un-aggregated fact row — the aggregate bounds
+    // only the dim branch, so it must NOT exempt the hint
+    val dimAgg = dim.groupBy("vec_id").count().select("vec_id")
+    assert(PlanLint.broadcastsFactTable(hinted(emb.join(dimAgg, "vec_id"))),
+      "an aggregate on a sibling branch must not exempt the fact branch")
+    assert(!PlanLint.broadcastsFactTable(
+      hinted(emb.groupBy("vec_id").count().select("vec_id").join(dimAgg, "vec_id"))),
+      "aggregates bounding EVERY fact path exempt the hint")
     assert(!PlanLint.broadcastsFactTable(
       ids.join(emb, "vec_id").queryExecution.analyzed),
       "no hint, no finding — size-based broadcasts are AQE's call")
