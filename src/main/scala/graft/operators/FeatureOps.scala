@@ -189,7 +189,7 @@ object FeatureOps {
         val keyed = SimilarityOps.srpKeyedGrown(SimilarityOps.parallelized(e),
           SimilarityOps.srpGrownPlanes(n), SimilarityOps.srpGrownTables(n),
           dims = 64)
-        val sc = keyed.as("a").join(keyed.as("b"),
+        val sc = keyed.as("a").hint("merge").join(keyed.as("b"),
             col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
           .select(col("a.vec_id").as("anchor"), col("a.label").as("la"),
             col("b.vec_id").as("cand"), col("b.label").as("lb"),

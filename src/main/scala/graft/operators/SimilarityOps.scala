@@ -360,7 +360,7 @@ object SimilarityOps {
     CosineSimilarity.register(e.sparkSession)
     val planes = srpScaledPlanes(e.count())
     val keyed = srpKeyedScaled(parallelized(e), planes, tables, dims)
-    keyed.as("a").join(keyed.as("b"),
+    keyed.as("a").hint("merge").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
           CosineSimilarity.cosine_sim("a.em", "b.em") >= thresh)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -448,7 +448,7 @@ object SimilarityOps {
     // restructure shared with annTopKPortableGrown; see its scaladoc
     // for the 120 GB join-back shuffle this removes. Results are
     // bit-identical, so the witness stays pinned to the same oracle.
-    val scored = keyed.as("a").join(keyed.as("b"),
+    val scored = keyed.as("a").hint("merge").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
         CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
@@ -470,7 +470,7 @@ object SimilarityOps {
     CosineSimilarity.register(e.sparkSession)
     val n = e.count()
     val keyed = srpKeyedGrown(parallelized(e), srpGrownPlanes(n), srpGrownTables(n), dims)
-    keyed.as("a").join(keyed.as("b"),
+    keyed.as("a").hint("merge").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id") &&
           CosineSimilarity.cosine_sim("a.em", "b.em") >= thresh)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -499,13 +499,25 @@ object SimilarityOps {
     * quadratically-sized exchange; duplicates are bit-identical so the
     * dropDuplicates stays deterministic and the oracle (which scores
     * the DISTINCT candidate set) hash-matches unchanged.
+    *
+    * The bucket self-join carries a `merge` hint (here and in every
+    * production SRP form): Spark's size estimate for the keyed frame
+    * ignores the explode multiplier and the array payload, so at mid
+    * SFs the optimizer auto-broadcasts what actually materializes as a
+    * 200+ MB full-corpus hash relation — the r15 wave measured
+    * `emb_hard_negatives` at sf1 (BHJ plan) running 20× slower PER ROW
+    * than its own sf6x leg (natural SMJ plan), 139 s vs 104 s wall on
+    * 9× less candidate work. A corpus self-join is never broadcast-safe
+    * by this engine's own lint doctrine; the hint pins the plan every
+    * SF to the shape the optimizer picks once estimates exceed the
+    * threshold, which is also the only shape that survives 100 TB.
     */
   def annTopKPortableGrown(d: DataFrame, k: Int, dims: Int): DataFrame = {
     CosineSimilarity.register(d.sparkSession)
     val e = d.select(col("vec_id"), col("em"))
     val n = e.count()
     val keyed = srpKeyedGrown(parallelized(e), srpGrownPlanes(n), srpGrownTables(n), dims)
-    val scored = keyed.as("a").join(keyed.as("b"),
+    val scored = keyed.as("a").hint("merge").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
         CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
