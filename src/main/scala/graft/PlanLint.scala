@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Deduplicate, GlobalLimit, LogicalPlan, ResolvedHint}
-import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 import org.apache.spark.sql.types.ArrayType
 
 /** Mechanical plan-quality audit over the ENTIRE query registry: builds
@@ -41,6 +42,12 @@ import org.apache.spark.sql.types.ArrayType
   *    mask nor fake it; legitimate when an Aggregate/GlobalLimit bounds
   *    the hinted subtree, or deliberate for small-SF witness forms
   *    (pinned by name like the other lists).
+  *  - SIZE-based broadcasts of an exploded, array-carrying fact subtree
+  *    (PHYSICAL plan — the r15 class): the optimizer's estimate ignores
+  *    the Generate multiplier and the array payload, so the 10 MB
+  *    threshold admits sides that materialize 20× larger (the sf1
+  *    `emb_hard_negatives` cliff). Production forms carry a `merge`
+  *    hint; the small-SF witness forms are pinned by name.
   *
   * Hard failure (exit 4) — codegen_failures: every `WholeStageCodegenExec`
   * stage in every registered plan has its generated Java source compiled
@@ -86,6 +93,51 @@ object PlanLint {
     case a: AdaptiveSparkPlanExec => anyWideShuffle(a.executedPlan)
     case q: QueryStageExec => anyWideShuffle(q.plan)
   }.exists(identity)
+
+  /** True iff the PHYSICAL plan broadcasts a subtree that explodes a
+    * corpus-growing table and carries an array column in the broadcast
+    * output — the ESTIMATE-BLIND corpus-broadcast class (r15): Spark's
+    * size estimate ignores both the Generate multiplier and the array
+    * payload, so the 10 MB auto-broadcast threshold admits a side that
+    * materializes at 200+ MB (the sf1 `emb_hard_negatives` cliff: a
+    * 218 MB broadcast of the SRP-keyed corpus, 9× wall inflation vs
+    * the sort-merge plan at the same SF). [[broadcastsFactTable]]
+    * catches HINTED corpus broadcasts on the analyzed plan; this class
+    * is a SIZE-BASED optimizer decision, so it only exists physically.
+    * Production SRP forms avoid it with a `merge` hint; the deliberate
+    * small-SF witness forms are pinned by name in the
+    * `broadcast_exploded` fixture like every other list.
+    */
+  def broadcastsExplodedFact(p: SparkPlan): Boolean = {
+    def scansFact(f: FileSourceScanExec): Boolean =
+      f.relation.location.rootPaths.exists(rp =>
+        FactTables.exists(t => rp.toString.contains(s"$t.parquet")))
+    // Path-bounded like [[broadcastsFactTable]]: a limit or aggregate
+    // BETWEEN the broadcast and the fact scan caps the payload's row
+    // count, so the estimate's blindness to the explode multiplier no
+    // longer matters (e.g. emb_pq_codes' 32-row seed table — a
+    // Generate over a limit(4) of the corpus).
+    def unboundedExplodedFact(sub: SparkPlan, sawGen: Boolean): Boolean =
+      sub match {
+        case _: GlobalLimitExec | _: LocalLimitExec |
+             _: TakeOrderedAndProjectExec => false
+        case _: BaseAggregateExec => false
+        case g: GenerateExec =>
+          g.children.exists(c => unboundedExplodedFact(c, sawGen = true))
+        case f: FileSourceScanExec => sawGen && scansFact(f)
+        case a: AdaptiveSparkPlanExec =>
+          unboundedExplodedFact(a.executedPlan, sawGen)
+        case q: QueryStageExec => unboundedExplodedFact(q.plan, sawGen)
+        case other => other.children.exists(c => unboundedExplodedFact(c, sawGen))
+      }
+    p.collect {
+      case b: BroadcastExchangeLike =>
+        b.output.exists(_.dataType.isInstanceOf[ArrayType]) &&
+          unboundedExplodedFact(b.child, sawGen = false)
+      case a: AdaptiveSparkPlanExec => broadcastsExplodedFact(a.executedPlan)
+      case q: QueryStageExec => broadcastsExplodedFact(q.plan)
+    }.exists(identity)
+  }
 
   /** Corpus-growing tables: broadcasting one of these un-aggregated is
     * a driver-memory bottleneck at exactly the scale the engine
@@ -145,6 +197,7 @@ object PlanLint {
       singlePart: List[String],
       wideShuffle: List[String],
       broadcastFact: List[String],
+      broadcastExploded: List[String],
       errors: List[(String, String)],
       codegenFail: List[(String, String)],
       stagesCompiled: Int)
@@ -162,6 +215,7 @@ object PlanLint {
     var singlePart = List.empty[String]
     var wideShuffle = List.empty[String]
     var broadcastFact = List.empty[String]
+    var broadcastExploded = List.empty[String]
     var errors = List.empty[(String, String)]
     var codegenFail = List.empty[(String, String)]
     var checked = 0
@@ -174,6 +228,7 @@ object PlanLint {
         checked += 1
         if (anyWideShuffle(exec)) wideShuffle ::= q.name
         if (broadcastsFactTable(qe.analyzed)) broadcastFact ::= q.name
+        if (broadcastsExplodedFact(exec)) broadcastExploded ::= q.name
         if (compileCodegen) {
           exec.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
             try {
@@ -196,8 +251,8 @@ object PlanLint {
       }
     }
     LintReport(checked, cartesian.sorted, bnlj.sorted, singlePart.sorted,
-      wideShuffle.sorted, broadcastFact.sorted, errors.reverse,
-      codegenFail.reverse, stagesCompiled)
+      wideShuffle.sorted, broadcastFact.sorted, broadcastExploded.sorted,
+      errors.reverse, codegenFail.reverse, stagesCompiled)
   }
 
   def main(args: Array[String]): Unit = {
@@ -216,7 +271,8 @@ object PlanLint {
       s"cartesian=${r.cartesian.size} bnlj=${r.bnlj.size} " +
       s"single_partition=${r.singlePart.size} " +
       s"wide_shuffles=${r.wideShuffle.size} " +
-      s"broadcast_fact=${r.broadcastFact.size} errors=${r.errors.size} " +
+      s"broadcast_fact=${r.broadcastFact.size} " +
+      s"broadcast_exploded=${r.broadcastExploded.size} errors=${r.errors.size} " +
       s"codegen_stages=${r.stagesCompiled} codegen_failures=${r.codegenFail.size}")
     if (r.bnlj.nonEmpty)
       println(s"[planlint] bnlj (deliberate 1-row/band broadcasts): " +
@@ -230,6 +286,9 @@ object PlanLint {
     if (r.broadcastFact.nonEmpty)
       println(s"[planlint] hinted broadcasts of un-aggregated fact tables: " +
         r.broadcastFact.mkString(", "))
+    if (r.broadcastExploded.nonEmpty)
+      println(s"[planlint] estimate-blind broadcasts of exploded fact arrays: " +
+        r.broadcastExploded.mkString(", "))
     r.errors.foreach { case (n, e) => println(s"[planlint] ERROR $n: $e") }
     if (r.cartesian.nonEmpty) {
       println(s"[planlint] FATAL cartesian products: ${r.cartesian.mkString(", ")}")

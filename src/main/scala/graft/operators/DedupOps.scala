@@ -706,6 +706,13 @@ object DedupOps {
     GQuery(
       "dedup_minhash_fast",
       (s, dir) => {
+        // broadcast_exploded fixture entry: the banded signature frame
+        // auto-broadcasts ONLY at the sf0.001 audit — the documents
+        // relation's size estimate includes the fat text column, so it
+        // exceeds the broadcast threshold from sf0.01 up and the
+        // banded self-join plans its natural shuffle join at every
+        // real corpus (measured healthy through sf1->sf10x, SCALE.md
+        // r13 wave).
         // The PRODUCTION MinHash+LSH path (xxhash64 signatures over the
         // WordGramHashes kernel — no gram strings, no md5): the variant
         // a 100 TB corpus actually runs, ~10× faster than the portable
@@ -755,6 +762,9 @@ object DedupOps {
     GQuery(
       "dedup_minhash_lsh",
       (s, dir) => {
+        // broadcast_exploded fixture entry: same audit-SF-only
+        // auto-broadcast as dedup_minhash_fast (text column keeps the
+        // documents estimate over threshold at real SFs).
         // MinHash(32 hashes) + LSH(8 bands × 4) candidates, exact-Jaccard
         // verified at >= 0.1. FULLY oracle-checked: one md5-derived base
         // hash per gram + 32 inlined affine rehashes (minhashSigs) make
@@ -789,6 +799,8 @@ object DedupOps {
     GQuery(
       "dedup_incremental_lsh",
       (s, dir) => {
+        // broadcast_exploded fixture entry: same audit-SF-only
+        // auto-broadcast as dedup_minhash_fast.
         // INCREMENTAL dedup: documents with doc_id % 8 == 0 are the
         // newly-arrived batch, the rest are the existing corpus whose
         // band index is already stored. The incremental run probes the

@@ -1228,6 +1228,11 @@ object SimilarityOps {
     GQuery(
       "sim_pairs_threshold",
       (s, dir) => {
+        // broadcast_exploded fixture entry: the FIXED 3×16 witness form
+        // stays unhinted, so at small SFs the optimizer may broadcast
+        // the keyed frame — deliberate: this form is small-SF-only by
+        // contract (it DNF'd sf1 in the r12 wave; production is the
+        // hinted _scaled/_grown twin).
         // Vector pairs with cosine >= 0.4, candidates sourced from SRP
         // buckets (equi-join, never the N² row product) and exact-
         // reranked. The oracle replicates the bucketing with the same
@@ -1372,6 +1377,10 @@ object SimilarityOps {
     GQuery(
       "sim_ann_pq_adc",
       (s, dir) => {
+        // broadcast_exploded fixture entry: the corpus-side broadcast
+        // join-backs here are the HINTED, already-adjudicated
+        // broadcast_fact instances (see that fixture) — the exploded
+        // detector sees the same subtrees.
         // PQ-ADC ANN: 8×8 product quantization, 32 centroids/subspace,
         // per-query 256-entry fixed-point distance LUT, exhaustive code
         // scan → 100-candidate shortlist → exact cosine rerank to
@@ -1394,6 +1403,8 @@ object SimilarityOps {
     GQuery(
       "sim_ann_ivfpq",
       (s, dir) => {
+        // broadcast_exploded fixture entry: same adjudication as
+        // sim_ann_pq_adc (hinted broadcast_fact instances).
         // IVF-PQ composed index: 16-cell coarse quantizer (3 Lloyd's
         // rounds) restricts each query to 4 probed cells; the in-cell
         // scan runs on PQ codes vs the query's ADC LUT (never raw
@@ -1506,6 +1517,8 @@ object SimilarityOps {
     GQuery(
       "dedup_embedding_cosine",
       (s, dir) => {
+        // broadcast_exploded fixture entry: same small-SF-only witness
+        // adjudication as sim_pairs_threshold.
         // Embedding-cosine near-dup: pairs above 0.45, keep lower id as
         // canonical. Candidates come from the SRP bucket equi-join with
         // exact rerank — the form that survives 100 TB; the all-pairs

@@ -59,6 +59,7 @@ class PlanLintFixturesSpec extends SparkSpec {
       assertMatches("single_partition", r.singlePart)
       assertMatches("wide_shuffles", r.wideShuffle)
       assertMatches("broadcast_fact", r.broadcastFact)
+      assertMatches("broadcast_exploded", r.broadcastExploded)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.shuffle.partitions", prevPart)
@@ -98,6 +99,40 @@ class PlanLintFixturesSpec extends SparkSpec {
     assert(!PlanLint.broadcastsFactTable(
       ids.join(emb, "vec_id").queryExecution.analyzed),
       "no hint, no finding — size-based broadcasts are AQE's call")
+  }
+
+  test("a broadcast of an exploded array-carrying fact subtree turns the detector red") {
+    // the r15 class: Spark's size estimate ignores the Generate
+    // multiplier and the array payload, so a 10 MB threshold
+    // auto-broadcasts what materializes at 200+ MB. The detector reads
+    // the PHYSICAL plan (it is a size-based decision, not a hint); the
+    // hint here just forces the broadcast so the tiny test SF exhibits
+    // the shape deterministically.
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("em"))
+    val keyed = emb.select(col("vec_id"), col("em"),
+      explode(array(lit("a"), lit("b"))).as("bk"))
+    val ids = Seq(1L, 2L).toDF("vec_id")
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan
+    assert(PlanLint.broadcastsExplodedFact(
+      planOf(ids.join(broadcast(keyed), "vec_id"))),
+      "broadcasting the exploded, array-carrying corpus must flag")
+    // dropping the array column from the broadcast output bounds the
+    // payload growth to the explode multiplier — not this class
+    assert(!PlanLint.broadcastsExplodedFact(
+      planOf(ids.join(broadcast(keyed.select("vec_id", "bk")), "vec_id"))),
+      "an array-free broadcast output is not the estimate-blind class")
+    // no explode → the estimate's file-size anchor is honest
+    assert(!PlanLint.broadcastsExplodedFact(
+      planOf(ids.join(broadcast(emb), "vec_id"))),
+      "an un-exploded broadcast is broadcastsFactTable's class, not this one")
+    // dims stay broadcast-size by design, exploded or not
+    val dim = Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").as("vec_id"),
+        array(col("n_name")).as("em"), explode(array(lit("x"))).as("bk"))
+    assert(!PlanLint.broadcastsExplodedFact(
+      planOf(ids.join(broadcast(dim), "vec_id"))),
+      "exploded dim broadcasts are fine")
   }
 
   test("a deliberate wide shuffle turns the detector red, with AQE on and off") {
