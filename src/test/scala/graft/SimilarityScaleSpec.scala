@@ -144,6 +144,34 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(SrpGrownPlaneCap <= SrpStride)
   }
 
+  test("production SRP self-joins never broadcast the keyed corpus at DEFAULT settings") {
+    // The r15 sf1 cliff, pinned at the settings that produced it: with
+    // the DEFAULT autoBroadcastJoinThreshold, Spark's estimate for the
+    // SRP-keyed frame (blind to the explode multiplier and the array
+    // payload) admits a corpus side that materialized at 218 MB and ran
+    // emb_hard_negatives 9× slower at sf1 than the sort-merge plan.
+    // The merge hint on every production SRP self-join must hold the
+    // broadcast out even where the estimate invites it — this test SF
+    // is exactly such a place (the estimate is tiny), so a regrown
+    // BroadcastExchange here is the cliff coming back.
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("em"))
+    val plans = Seq(
+      "annTopKPortableGrown" ->
+        SimilarityOps.annTopKPortableGrown(e, k = 5, dims = 64),
+      "srpPairsAboveGrown" ->
+        SimilarityOps.srpPairsAboveGrown(e, dims = 64, thresh = 0.4),
+      "srpPairsAboveScaled" ->
+        SimilarityOps.srpPairsAboveScaled(e, tables = 16, dims = 64, thresh = 0.4))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan
+      assert(!p.toString.contains("BroadcastExchange"),
+        s"$name must not broadcast the keyed corpus at default settings")
+      assert(!PlanLint.broadcastsExplodedFact(p),
+        s"$name trips the estimate-blind broadcast lint")
+    }
+  }
+
   test("grown ANN bucket-key exchange is a wide SHUFFLE (never a corpus broadcast) once size-based broadcast is off") {
     // Pins the r14 single-exchange shape of annTopKPortableGrown: the
     // exact cosine evaluates IN the bucket join (the r13 id-keyed
