@@ -27,6 +27,7 @@ object Analyze {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap

@@ -25,6 +25,15 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.broadcast.compress", "false")
+      // HotSpot never JIT-compiles methods over 8000 bytecodes, but
+      // Spark's default hugeMethodLimit (65535) keeps whole-stage
+      // codegen active up to the class-file limit — so a generated
+      // method in (8000, 65535] runs as INTERPRETED BYTECODE forever.
+      // The wide-literal SRP keying stages live exactly there
+      // (47-58 KB at 12-13 planes; measured 5-9x slower than the
+      // split-method fallback — SCALE.md r15). 8000 re-aligns Spark's
+      // gate with the JVM's, as the conf's own doc suggests.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -77,6 +77,7 @@ object IngestJob {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     try {
       val n = run(spark, a)

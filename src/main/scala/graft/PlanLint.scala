@@ -263,6 +263,7 @@ object PlanLint {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -90,6 +90,7 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
