@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+// filter(_.nonEmpty): an empty or whitespace-padded SPARK_GRAFT_JAVA_OPTS
+// would otherwise contribute empty-string fork arguments, which make the
+// forked java fail with "Could not find or load main class"
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -29,47 +29,29 @@ object Bench {
       // Spark's default hugeMethodLimit (65535) keeps whole-stage
       // codegen active up to the class-file limit — so a generated
       // method in (8000, 65535] runs as INTERPRETED BYTECODE forever.
-      // The wide-literal SRP keying stages live exactly there
-      // (47-58 KB at 12-13 planes; measured 5-9x slower than the
-      // split-method fallback — SCALE.md r15). 8000 re-aligns Spark's
-      // gate with the JVM's, as the conf's own doc suggests.
+      // The wide-literal SRP keying stages live exactly there —
+      // measured in SCALE.md "Round-16: the hugeMethodLimit evidence"
+      // (KeyDump table: 47-58 KB bytecode methods at planes 12-13,
+      // kernel 3.8-4.9× the 8000-setting wall on the same input;
+      // whole-query sim_ann_lsh_scaled warm 2.36× at sf1). 8000
+      // re-aligns Spark's gate with the JVM's, as the conf's own doc
+      // suggests; PlanLint.neverJitStages + JitLimitGateSpec keep the
+      // window from silently re-opening.
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.registry.filter(_.bench)
-    def readLoadAvg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      catch { case _: Throwable => "-1" }
-    val loadStart = readLoadAvg
-    // Quiet-box self-label: /proc/stat busy-fraction over a 1.5 s SLEEP
-    // window at process start — before any warmup — so the sample sees
-    // OTHER processes' load, not this benchmark's own. The previous
-    // loadavg(1m)-at-start gate could never pass under the sbt
+    val loadStart = QuietBox.readLoadAvg
+    // Quiet-box self-label (QuietBox): /proc/stat busy-fraction over a
+    // 1.5 s SLEEP window at process start — before any warmup — so the
+    // sample sees OTHER processes' load, not this benchmark's own. The
+    // previous loadavg(1m)-at-start gate could never pass under the sbt
     // launcher: sbt's own startup pushes the 1-minute average past the
     // 0.5 threshold before Bench reads it (measured twice on an idle
     // box, r13), so committed artifacts always self-labeled contended.
-    // Threshold 0.05 = more than ~1.6 of this box's 32 hardware
-    // threads busy during the window (an idle box samples <0.01; the
-    // driver's concurrent jobs sample 0.1+). loadavg start/end stay
-    // in-band as context; a /proc/stat read failure reports -1 and
-    // (unknowably) contended=false.
-    def cpuTicks(): Option[(Long, Long)] =
-      try {
-        val f = scala.io.Source.fromFile("/proc/stat")
-        val parts =
-          try f.getLines().find(_.startsWith("cpu ")).get
-            .trim.split("\\s+").drop(1).map(_.toLong)
-          finally f.close()
-        val idle = parts(3) + parts.lift(4).getOrElse(0L) // idle + iowait
-        Some((parts.sum - idle, parts.sum))
-      } catch { case _: Throwable => None }
-    def busyWindow(): Double = (for {
-      (b0, t0) <- cpuTicks()
-      _ = Thread.sleep(1500)
-      (b1, t1) <- cpuTicks() if t1 > t0
-    } yield (b1 - b0).toDouble / (t1 - t0)).getOrElse(-1.0)
-    val busyFrac: Double = busyWindow()
+    // loadavg start/end stay in-band as context.
+    val busyFrac: Double = QuietBox.busyWindow()
     // Warm one-time SESSION costs so the first timed query doesn't pay
     // them (a fresh cluster pays these once at startup, not per query):
     // file listings + parquet footers for every table (Tables.t caches
@@ -185,16 +167,34 @@ object Bench {
     // jobs, and a loaded machine once inflated a single-rep artifact
     // 3.5×. The 1-minute load average at start and end lets a reader
     // judge whether an outlier rep was the engine or the machine.
-    val loadEnd = readLoadAvg
+    val loadEnd = QuietBox.readLoadAvg
     // Second quiet window AFTER the timed runs (r14 advisor: a single
     // 1.5 s start window can miss bursty contenders — that round's
     // artifact sampled busy_frac 0.0004 while loadavg already read
-    // 3.53). The bench's own executors are drained by here, so like
-    // the start window this samples OTHER processes; contended if
-    // EITHER window trips.
-    val busyFracEnd: Double = busyWindow()
-    val contended = busyFrac > 0.05 || busyFracEnd > 0.05
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)},"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"sf":"$sfDir"}""")
+    // 3.53), and after spark.stop() so this session's own residual
+    // GC/JIT/daemon threads don't count toward busy and spuriously
+    // trip the label (r15 advisor). Contended if EITHER window trips.
     spark.stop()
+    val busyFracEnd: Double = QuietBox.busyWindow()
+    val contended = busyFrac > QuietBox.Threshold || busyFracEnd > QuietBox.Threshold
+    // Two emissions (r15: the single stdout line had grown past the
+    // driver's tail-capture window, truncating the JSON's HEAD — the
+    // committed BENCH_r15.json artifact carried `parsed: null`):
+    //  - stdout gets ONE COMPACT line — the driver-contract fields
+    //    (metric/value/unit/queries/sf) plus the warm mins, legacy12
+    //    sums, errors, and the quiet-box label;
+    //  - the per-rep detail (median + raw reps per query) goes to a
+    //    sidecar file whose path rides in-band as "detail_file".
+    val core = f""""metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"sf":"$sfDir""""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/tmp/graft_bench_detail.json")
+    val wroteDetail =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+          s"""{$core,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)}}\n"""
+            .getBytes("UTF-8"))
+        true
+      } catch { case _: Throwable => false } // detail is best-effort; the line must print
+    println(s"""{$core${if (wroteDetail) s""","detail_file":${jstr(detailPath)}""" else ""}}""")
   }
 }

@@ -14,14 +14,26 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_REPS=0 → cold-only (warm_min omitted): the long
+    // scale-wave legs at sf16x+ run minutes each and the cold number is
+    // the one the wave tables record.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Quiet-box label, same machinery as Bench (QuietBox): SCALE.md's
+    // wave rows adjudicate scale claims, so each run stamps its own
+    // busy_frac instead of relying on "idle box" prose (r15 verdict
+    // task 3). Start window sampled before the session exists.
+    val busyStart = QuietBox.busyWindow()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
+      // default 8000 — see Bench.scala; SPARK_GRAFT_HML exists so the
+      // before/after evidence legs (SCALE.md r16) can measure the
+      // default-Spark 65535 setting without a code edit
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HML", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
@@ -70,7 +82,9 @@ object BenchOne {
       }
       val cold = once()
       val warms = (1 to reps).map(_ => once())
-      println(f"[benchone] $name%-28s cold=$cold%6.3f warm_min=${warms.min}%6.3f warm=${warms.map(w => f"$w%.3f").mkString(",")}")
+      val warmCols = if (warms.isEmpty) "warm=none"
+        else f"warm_min=${warms.min}%6.3f warm=${warms.map(w => f"$w%.3f").mkString(",")}"
+      println(f"[benchone] $name%-28s cold=$cold%6.3f $warmCols")
       if (metrics) {
         // the listener bus is async (and its flush API is private) —
         // a dev tool can afford a settle pause instead
@@ -81,6 +95,11 @@ object BenchOne {
         input.set(0); shRead.set(0); shWrite.set(0); spill.set(0)
       }
     }
+    // End window AFTER spark.stop() so this session's own residual
+    // threads don't count toward busy (r15 advisor, same as Bench).
     spark.stop()
+    val busyEnd = QuietBox.busyWindow()
+    val contended = busyStart > QuietBox.Threshold || busyEnd > QuietBox.Threshold
+    println(f"[benchquiet] busy_frac_start=$busyStart%.4f busy_frac_end=$busyEnd%.4f contended=$contended")
   }
 }

@@ -139,6 +139,49 @@ object PlanLint {
     }.exists(identity)
   }
 
+  /** HotSpot's -XX:HugeMethodLimit: methods over this many BYTECODES
+    * are never JIT-compiled (not tunable in product JVMs).
+    */
+  val JitBytecodeLimit = 8000
+
+  /** Codegen stages of `df` that would execute as whole-stage codegen
+    * whose largest generated method exceeds HotSpot's JIT ceiling —
+    * i.e. bytecode the JVM interprets FOREVER. The window exists
+    * because Spark's own gate (`spark.sql.codegen.hugeMethodLimit`,
+    * default 65535) only deactivates WSCG above the SESSION limit: a
+    * method in (8000, sessionLimit] stays codegen'd and never JITs.
+    * The wide-literal SRP keying stages live exactly there under
+    * Spark's default — 47-58 KB bytecode methods, kernel 3.8-4.9× wall
+    * (SCALE.md "Round-16: the hugeMethodLimit evidence") — which is
+    * why every
+    * graft entry point pins the session limit to 8000, making Spark
+    * fall back to non-WSCG execution (whose per-expression codegen
+    * splits into small, JIT-able methods) for any such stage. This
+    * lint detects the window RE-OPENING: a future entry point that
+    * forgets the pin, or a conf bump, turns a wide generated stage
+    * back into interpreted bytecode with no visible signal — exactly
+    * the cliff class `JitLimitGateSpec` pins red/green. Returns
+    * (stageLabel, maxMethodBytecodes) for each offending stage; empty
+    * under a correctly-pinned session. Compiles with janino (same call
+    * as `WholeStageCodegenExec.doExecute`), so it costs real compile
+    * time — a targeted gate, not part of the per-query registry sweep.
+    */
+  def neverJitStages(df: org.apache.spark.sql.DataFrame): Seq[(String, Int)] = {
+    val hml = df.sparkSession.conf.get("spark.sql.codegen.hugeMethodLimit").toInt
+    def stages(p: SparkPlan): Seq[WholeStageCodegenExec] = p.collect {
+      case w: WholeStageCodegenExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => stages(a.executedPlan)
+      case q: QueryStageExec => stages(q.plan)
+    }.flatten
+    stages(df.queryExecution.executedPlan).flatMap { w =>
+      val (_, stats) = CodeGenerator.compile(w.doCodeGen()._2)
+      val sz = stats.maxMethodCodeSize
+      if (sz > JitBytecodeLimit && sz <= hml)
+        Some((s"codegenStage${w.codegenStageId}:${w.child.nodeName}", sz))
+      else None
+    }
+  }
+
   /** Corpus-growing tables: broadcasting one of these un-aggregated is
     * a driver-memory bottleneck at exactly the scale the engine
     * targets. Dims (region/nation/customer/supplier/part) stay

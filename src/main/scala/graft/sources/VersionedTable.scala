@@ -272,7 +272,19 @@ object VersionedTable {
       val tmp = new Path(manifestDir(dir), versionName(v) + s".fill-$uid")
       val out = f.create(tmp, true)
       try out.write(payload) finally out.close()
-      atomicReplace(f, tmp, dest)
+      // A vanished tmp is a lost race, not a crash: vacuum deletes
+      // .fill-* tmps older than the grace window (they normally live
+      // microseconds), so a writer stalled past grace between the tmp
+      // write above and this rename finds its source gone. Before
+      // vacuum touched fill tmps this was impossible; now it must
+      // resolve like any other loss — return false so publish's retry
+      // loop re-reads the tip and re-stages — rather than throwing
+      // NoSuchFileException out of append/publish (r15 advisor).
+      try atomicReplace(f, tmp, dest)
+      catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException => return false
+      }
       try readManifest(f, dir, v).lastOption.contains(s"$CommitPrefix$uid")
       catch { case _: java.io.IOException => false }
     }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count}
+
+/** Red/green gate for the never-JIT codegen window (r15 verdict task 1).
+  *
+  * HotSpot refuses to JIT methods over [[PlanLint.JitBytecodeLimit]]
+  * (8000) bytecodes, but Spark's default
+  * `spark.sql.codegen.hugeMethodLimit` (65535) keeps whole-stage
+  * codegen active up to the class-file limit, so a generated method in
+  * (8000, 65535] executes as interpreted bytecode forever. The
+  * wide-literal SRP keying stage lives exactly there at production
+  * widths (SCALE.md "Round-16: the hugeMethodLimit evidence" — KeyDump
+  * table: kernel 3.8-4.9×; whole-query warm 2.36×). Every graft entry
+  * point therefore pins the session limit to 8000 so Spark falls back
+  * to non-WSCG execution, whose per-expression codegen splits into
+  * small JIT-able methods.
+  *
+  * The gate: [[PlanLint.neverJitStages]] must fire on the SRP keying
+  * plan under Spark's DEFAULT limit (red — proves both that the cliff
+  * still exists at production widths and that the lint can see it; if
+  * a refactor ever shrinks the keying method under the JIT ceiling,
+  * the red leg fails and the global pin can be retired) and must be
+  * empty under the production 8000 pin (green — the fallback closes
+  * the window). Codegen size depends on widths, not rows, so an 8-row
+  * in-memory frame exercises the exact production-grown stage.
+  */
+class JitLimitGateSpec extends SparkSpec {
+
+  // AQE off: under AQE the WSCG wrappers only appear at query-stage
+  // materialization mid-execution, hiding every stage from a static
+  // sweep (same reason PlanLint's main disables it).
+  private def sessionWith(hugeMethodLimit: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.codegen.hugeMethodLimit", hugeMethodLimit)
+    s
+  }
+
+  // The production-grown SRP keying shape at the first width step past
+  // the old cap (13 planes / 18 tables — the sf16x operating point).
+  private def keyed(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val e = (0 until 8).map(i => (i.toLong, Array.tabulate(64)(d => (i * 64 + d) * 0.01)))
+      .toDF("vec_id", "em")
+    graft.operators.SimilarityOps.srpKeyedGrown(e, planes = 13, tables = 18, dims = 64)
+      .select(count(col("bk")).as("n"))
+  }
+
+  test("RED: under Spark's default hugeMethodLimit the SRP keying stage is never-JIT bytecode") {
+    val offenders = PlanLint.neverJitStages(keyed(sessionWith("65535")))
+    assert(offenders.nonEmpty,
+      "the keying stage no longer exceeds the JIT ceiling — the global " +
+        "hugeMethodLimit=8000 pin (Bench.scala) may be retirable")
+    assert(offenders.exists(_._2 > PlanLint.JitBytecodeLimit))
+  }
+
+  test("GREEN: the production hugeMethodLimit=8000 pin closes the window (fallback, not interpretation)") {
+    assert(PlanLint.neverJitStages(keyed(sessionWith("8000"))).isEmpty)
+  }
+
+  test("the shared test session carries the production pin every entry point sets") {
+    assert(spark.conf.get("spark.sql.codegen.hugeMethodLimit") === "8000")
+  }
+
+  test("the pinned-fallback plan still computes the same keys as the never-JIT plan") {
+    val a = keyed(sessionWith("65535")).collect().map(_.getLong(0)).toSeq
+    val b = keyed(sessionWith("8000")).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a.head === 8L * 18) // one bucket key per (row, table)
+  }
+}
