@@ -25,7 +25,13 @@ object BenchOne {
     val busyStart = QuietBox.busyWindow()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_PARTS decouples shuffle partitions from thread
+      // count: per-partition SORT MEMORY is the binding constraint for
+      // the scale legs (sf32x emb_hard_negatives spilled 25 GB through
+      // 32 partitions on the 8g JVM — SCALE.md r16), and a real
+      // cluster sizes partitions by data, not by one node's cores.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
