@@ -39,12 +39,13 @@ class JitLimitGateSpec extends SparkSpec {
   }
 
   // The production-grown SRP keying shape at the first width step past
-  // the old cap (13 planes / 18 tables — the sf16x operating point).
-  private def keyed(s: SparkSession): DataFrame = {
+  // the old cap (13 planes / 18 tables — the sf16x operating point)
+  // unless overridden.
+  private def keyed(s: SparkSession, planes: Int = 13, tables: Int = 18): DataFrame = {
     import s.implicits._
     val e = (0 until 8).map(i => (i.toLong, Array.tabulate(64)(d => (i * 64 + d) * 0.01)))
       .toDF("vec_id", "em")
-    graft.operators.SimilarityOps.srpKeyedGrown(e, planes = 13, tables = 18, dims = 64)
+    graft.operators.SimilarityOps.srpKeyedGrown(e, planes, tables, dims = 64)
       .select(count(col("bk")).as("n"))
   }
 
@@ -69,5 +70,23 @@ class JitLimitGateSpec extends SparkSpec {
     val b = keyed(sessionWith("8000")).collect().map(_.getLong(0)).toSeq
     assert(a === b)
     assert(a.head === 8L * 18) // one bucket key per (row, table)
+  }
+
+  // Past ~width 14:20 the keying method exceeds janino's 64 KB
+  // PER-METHOD class-file limit: WSCG compilation FAILS (loud
+  // "Code grows beyond 64 KB" WARN storm on the sf32x/sf64x wave legs)
+  // and Spark falls back to non-WSCG execution at either session
+  // setting — measured at identical speed (SCALE.md r16 KeyDump
+  // control row). These widths run at corpora past every oracle SF
+  // (640k+ vectors), so this parity pin is their only correctness
+  // gate; it is also the canary if a future Spark ever turns the
+  // compile failure into an error instead of a fallback.
+  test("widths past janino's method limit (15:22, the sf64x step) execute correctly via fallback") {
+    val a = keyed(sessionWith("65535"), planes = 15, tables = 22)
+      .collect().map(_.getLong(0)).toSeq
+    val b = keyed(sessionWith("8000"), planes = 15, tables = 22)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a.head === 8L * 22)
   }
 }
