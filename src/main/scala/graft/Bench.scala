@@ -110,8 +110,9 @@ object Bench {
     // warm pass under contention once overstated warm times 3.5× (the
     // r8 artifact read 21.4s warm while an idle-machine re-run measured
     // 6.1s). Min filters transient load; median shows the typical rep;
-    // the raw per-rep values are kept in-band so any residual skew is
-    // visible in the artifact itself rather than needing a re-run.
+    // the raw per-rep values ride the detail SIDECAR (r16 split — the
+    // stdout line must fit the driver's 2000-char tail window), keyed
+    // back to this run by the run_id stamped in both emissions.
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val cold = headline.map(q => q.name -> timeOnce(q))
     val warmRuns: Seq[Seq[(String, Double)]] =
@@ -185,9 +186,16 @@ object Bench {
     //    sums, errors, and the quiet-box label;
     //  - the per-rep detail (median + raw reps per query) goes to a
     //    sidecar file whose path rides in-band as "detail_file".
-    val core = f""""metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"sf":"$sfDir""""
+    // Per-run id shared by the stdout line and the sidecar: the fixed
+    // default sidecar path let successive runs overwrite each other, so
+    // a saved artifact's detail_file could silently point at ANOTHER
+    // run's per-rep data (r16 advisor). The id makes the default path
+    // unique per run AND lets a reader verify a sidecar belongs to the
+    // line even when SPARK_GRAFT_BENCH_DETAIL pins a shared path.
+    val runId = f"${ProcessHandle.current().pid()}%d-${System.currentTimeMillis()}%d"
+    val core = f""""metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"run_id":"$runId","sf":"$sfDir""""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/tmp/graft_bench_detail.json")
+      s"/tmp/graft_bench_detail_$runId.json")
     val wroteDetail =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

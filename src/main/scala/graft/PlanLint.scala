@@ -174,11 +174,22 @@ object PlanLint {
       case q: QueryStageExec => stages(q.plan)
     }.flatten
     stages(df.queryExecution.executedPlan).flatMap { w =>
-      val (_, stats) = CodeGenerator.compile(w.doCodeGen()._2)
-      val sz = stats.maxMethodCodeSize
-      if (sz > JitBytecodeLimit && sz <= hml)
-        Some((s"codegenStage${w.codegenStageId}:${w.child.nodeName}", sz))
-      else None
+      // A janino compile FAILURE (a method past janino's 64 KB limit —
+      // the documented normal mode for SRP keying at 14:20+ widths) is
+      // Spark's safe interpreted-expression fallback, not a never-JIT
+      // stage: at runtime WholeStageCodegenExec catches the same
+      // failure and executes the child plan's per-expression codegen
+      // (small, JIT-able methods). Propagating it made the lint throw
+      // on exactly the wide production plans it exists to audit (r16
+      // advisor), contradicting its "empty under a correctly-pinned
+      // session" contract.
+      try {
+        val (_, stats) = CodeGenerator.compile(w.doCodeGen()._2)
+        val sz = stats.maxMethodCodeSize
+        if (sz > JitBytecodeLimit && sz <= hml)
+          Some((s"codegenStage${w.codegenStageId}:${w.child.nodeName}", sz))
+        else None
+      } catch { case _: Exception => None }
     }
   }
 

@@ -74,8 +74,8 @@ object DotProduct {
 
   /** Register `dot_product` in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    FnReg.once(spark, "dot_product")(
+      exprs => DotProduct(exprs(0), exprs(1)))
 
   /** Column API by SQL expression text (call register(spark) first). */
   def dot_product(a: String, b: String): Column = expr(s"dot_product($a, $b)")

@@ -51,10 +51,8 @@ object InterleaveBits {
 
   /** Register `z_interleave(a, b)` (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z_interleave",
-      exprs => InterleaveBits(exprs(0), exprs(1)),
-      "built-in")
+    FnReg.once(spark, "z_interleave")(
+      exprs => InterleaveBits(exprs(0), exprs(1)))
 
   def z_interleave(a: String, b: String): Column = expr(s"z_interleave($a, $b)")
 }

@@ -96,8 +96,8 @@ object JaroWinkler {
 
   /** Register `jaro_winkler` in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    FnReg.once(spark, "jaro_winkler")(
+      exprs => JaroWinkler(exprs(0), exprs(1)))
 
   /** Column API by SQL expression text (call register(spark) first). */
   def jaro_winkler(a: String, b: String): Column = expr(s"jaro_winkler($a, $b)")

@@ -95,11 +95,9 @@ object Md5GramHashes {
 
   /** Register `md5_gram_hashes(text, k)` (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_gram_hashes",
+    FnReg.once(spark, "md5_gram_hashes")(
       exprs => Md5GramHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   def md5_gram_hashes(textCol: String, k: Int): Column =
     expr(s"md5_gram_hashes($textCol, $k)")

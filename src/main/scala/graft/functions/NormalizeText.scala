@@ -73,11 +73,9 @@ object NormalizeText {
 
   /** Register `normalize_text(text, fold)` (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "normalize_text",
+    FnReg.once(spark, "normalize_text")(
       exprs => NormalizeText(exprs(0),
-        exprs(1).eval().asInstanceOf[Boolean]),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Boolean]))
 
   /** Column API by SQL expression text (call register(spark) first). */
   def normalize_text(textCol: String, fold: Boolean): Column =

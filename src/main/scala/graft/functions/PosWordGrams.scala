@@ -56,9 +56,7 @@ case class PosWordGrams(child: Expression, n: Int)
 
 object PosWordGrams {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pos_word_grams",
+    FnReg.once(spark, "pos_word_grams")(
       exprs => PosWordGrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 }

@@ -80,11 +80,9 @@ object RollingHashGrams {
 
   /** Register `rolling_hash_grams(text, k)` (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash_grams",
+    FnReg.once(spark, "rolling_hash_grams")(
       exprs => RollingHashGrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   def rolling_hash_grams(textCol: String, k: Int): Column =
     expr(s"rolling_hash_grams($textCol, $k)")

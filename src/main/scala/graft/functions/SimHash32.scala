@@ -89,11 +89,9 @@ object SimHash32 {
     * `simhash32s(arr, seed)` (idempotent).
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs(0), 0), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32s", exprs => SimHash32(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    FnReg.once(spark, "simhash32")(exprs => SimHash32(exprs(0), 0))
+    FnReg.once(spark, "simhash32s")(exprs => SimHash32(exprs(0),
+      exprs(1).eval().asInstanceOf[Int]))
   }
 
   def simhash32(arrCol: String): Column = expr(s"simhash32($arrCol)")

@@ -77,8 +77,8 @@ object SquaredL2 {
 
   /** Register `squared_l2` in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "squared_l2", exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+    FnReg.once(spark, "squared_l2")(
+      exprs => SquaredL2(exprs(0), exprs(1)))
 
   /** Column API by SQL expression text (call register(spark) first). */
   def squared_l2(a: String, b: String): Column = expr(s"squared_l2($a, $b)")

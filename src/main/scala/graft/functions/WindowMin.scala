@@ -82,11 +82,9 @@ object WindowMin {
 
   /** Register `window_min(arr, w)` (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "window_min",
+    FnReg.once(spark, "window_min")(
       exprs => WindowMin(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   def window_min(arrCol: String, w: Int): Column =
     expr(s"window_min($arrCol, $w)")

@@ -108,11 +108,9 @@ object WordGramHashes {
 
   /** Register `word_gram_hashes(text, n)` (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_gram_hashes",
+    FnReg.once(spark, "word_gram_hashes")(
       exprs => WordGramHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+        exprs(1).eval().asInstanceOf[Number].intValue()))
 
   def word_gram_hashes(textCol: String, n: Int): Column =
     expr(s"word_gram_hashes($textCol, $n)")

@@ -282,8 +282,17 @@ object VersionedTable {
       // NoSuchFileException out of append/publish (r15 advisor).
       try atomicReplace(f, tmp, dest)
       catch {
-        case _: java.nio.file.NoSuchFileException |
-             _: java.io.FileNotFoundException => return false
+        case e @ (_: java.nio.file.NoSuchFileException |
+                  _: java.io.FileNotFoundException) =>
+          // Only a VANISHED TMP is the lost race; on the FileContext
+          // path the same exception types can signal other faults
+          // (e.g. a missing destination parent), and re-labeling one
+          // as contention would loop publish through 50 retries — each
+          // paying a grace-window poll once the orphaned claim exists —
+          // and surface as a misleading "lost the publish race" (r16
+          // advisor). Rethrow when the tmp is still there.
+          if (f.exists(tmp)) throw e
+          return false
       }
       try readManifest(f, dir, v).lastOption.contains(s"$CommitPrefix$uid")
       catch { case _: java.io.IOException => false }
