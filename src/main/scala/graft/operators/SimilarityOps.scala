@@ -305,20 +305,56 @@ object SimilarityOps {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** True when the SRP bucket exchange should carry the em column as
+    * float64 — the measurement CONTROL leg. Default is the float32
+    * transit ([[srpKeyedGrown]] scaladoc); sys-prop first so a spec can
+    * flip it inside one JVM, env for separate-JVM wave legs.
+    */
+  private[graft] def srpTransitF64: Boolean =
+    sys.props.get("graft.srp.transit")
+      .orElse(sys.env.get("SPARK_GRAFT_SRP_TRANSIT"))
+      .contains("f64")
+
   /** [[srpKeyed]] on the GROWN key layout: plane indices on the fixed
     * [[SrpStride]]-per-table stride, so keys of any adaptive
     * (planes, tables) pair agree with the oracle's substring cut.
+    *
+    * Since r17 the output `em` is `array<float>` — the FLOAT32 TRANSIT.
+    * SCALE.md's third-decade decomposition isolated the grown family's
+    * only locally spill-bound cost as the N·tables float64-array
+    * bucket-key exchange sort (16.6 GB shuffle / 29.5 GB spill at 1.28M
+    * vectors); the embeddings table stores `list<float>` on disk and
+    * the scan merely WIDENS it to double, so casting back to float for
+    * the exchange is the identity round-trip on every value the engine
+    * ever ships (double→float→double is exact for float-originated
+    * doubles) and halves the payload of the one spill-bound term. The
+    * SRP sign bits are still computed from the double column BEFORE the
+    * cast (same buckets by construction, not just by data), and
+    * [[graft.functions.CosineSimilarity]] widens float elements back to
+    * double in its kernel — bit-identical scores, so every oracle hash
+    * and the planted-recall gates are unchanged. For a hypothetical
+    * caller whose doubles are NOT float-originated the cast would be a
+    * documented fp32 quantization of the SCORING input (keying is
+    * unquantized either way); no such caller exists in this repo — the
+    * one embeddings source is fp32 parquet, the storage norm for
+    * learned embeddings at 100 TB. `-Dgraft.srp.transit=f64` /
+    * `SPARK_GRAFT_SRP_TRANSIT=f64` restores the float64 transit (the
+    * measured control leg; parity pinned in SimilarityTransitSpec).
     */
   def srpKeyedGrown(e: DataFrame, planes: Int, tables: Int, dims: Int): DataFrame = {
     DotProduct.register(e.sparkSession)
-    e.select(col("*"),
+    val outCols = e.columns.map {
+      case "em" if !srpTransitF64 => col("em").cast("array<float>").as("em")
+      case c => col(c)
+    }
+    e.select(outCols :+
       explode(array((0 until tables).map { t =>
         val bits = (0 until planes).map { pp =>
           val sgn = srpSigns(t * SrpStride + pp, dims).map(x => s"${x}D").mkString(",")
           when(expr(s"dot_product(em, array($sgn))") >= 0, lit("1")).otherwise(lit("0"))
         }
         concat(lit(s"$t#") +: bits: _*)
-      }: _*)).as("bk"))
+      }: _*)).as("bk"): _*)
   }
 
   /** [[srpKeyed]] with plane indices laid out on a fixed
