@@ -129,6 +129,12 @@ object Bench {
     val warmMed = byQuery.map { case (n, xs) => n -> median(xs) }
     def fmt(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    // stdout per-query figures at 2 decimals — the line's r17 growth
+    // (run_id + detail_file) ate the tail-window head margin back below
+    // the 800-char target; totals stay 3dp (the BASELINE-comparable
+    // numbers) and full-precision per-query figures ride the sidecar.
+    def fmt2(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString("{", ",", "}")
     def fmtReps(m: Seq[(String, Seq[Double])]) =
       m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
@@ -192,14 +198,34 @@ object Bench {
     // run's per-rep data (r16 advisor). The id makes the default path
     // unique per run AND lets a reader verify a sidecar belongs to the
     // line even when SPARK_GRAFT_BENCH_DETAIL pins a shared path.
-    val runId = f"${ProcessHandle.current().pid()}%d-${System.currentTimeMillis()}%d"
-    val core = f""""metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt(warmMin)},"warm_reps":$warmReps,"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"run_id":"$runId","sf":"$sfDir""""
+    // base36 timestamp keeps the id (and the default path it names)
+    // short — every char here is tail-window head margin.
+    val runId = s"${ProcessHandle.current().pid()}-" +
+      java.lang.Long.toString(System.currentTimeMillis(), 36)
+    val core = f""""metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt2(cold)},"warm_total":$totalWarm%.3f,"queries_warm":${fmt2(warmMin)},"warm_reps":$warmReps,"legacy12_total":$legacyCold%.3f,"legacy12_warm_total":$legacyWarm%.3f,"warmup_errors":${strArr(warmupErrors)},"query_errors":${strArr(queryErrors)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"busy_frac_start":$busyFrac%.4f,"busy_frac_end":$busyFracEnd%.4f,"contended":$contended,"run_id":"$runId","sf":"$sfDir""""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      s"/tmp/graft_bench_detail_$runId.json")
+      s"/tmp/gbd_$runId.json")
+    // Rotate stale default-stem sidecars before writing this run's
+    // (r17 advisor: unique per-run paths otherwise accumulate in /tmp
+    // forever). Only the default stems are swept — an env-pinned
+    // SPARK_GRAFT_BENCH_DETAIL path is the caller's to manage. A prior
+    // artifact's detail_file dangling after the sweep is the accepted
+    // cost: the run_id stamped in both emissions is what binds a saved
+    // line to a sidecar, and a reader who archives a bench run archives
+    // the sidecar with it.
+    try {
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      try listing.forEach { p =>
+        val n = p.getFileName.toString
+        if ((n.startsWith("gbd_") || n.startsWith("graft_bench_detail_")) &&
+            n.endsWith(".json"))
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
+      } finally listing.close()
+    } catch { case _: Throwable => () } // rotation is best-effort too
     val wroteDetail =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-          s"""{$core,"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)}}\n"""
+          s"""{$core,"queries_cold":${fmt(cold)},"queries_warm_min":${fmt(warmMin)},"queries_warm_median":${fmt(warmMed)},"queries_warm_all":${fmtReps(byQuery)}}\n"""
             .getBytes("UTF-8"))
         true
       } catch { case _: Throwable => false } // detail is best-effort; the line must print

@@ -183,14 +183,46 @@ object PlanLint {
       // on exactly the wide production plans it exists to audit (r16
       // advisor), contradicting its "empty under a correctly-pinned
       // session" contract.
-      try {
-        val (_, stats) = CodeGenerator.compile(w.doCodeGen()._2)
-        val sz = stats.maxMethodCodeSize
+      val size =
+        try {
+          val (_, stats) = CodeGenerator.compile(w.doCodeGen()._2)
+          Some(stats.maxMethodCodeSize)
+        } catch {
+          // ONLY the janino compile-failure types are tolerated (r17
+          // advisor narrowed this from `case _: Exception`): any other
+          // exception — a codegen regression emitting invalid Java
+          // surfaces as a different type — must propagate, not silently
+          // vanish from the audit.
+          case e: Exception if isJaninoCompileFailure(e) => None
+        }
+      size.flatMap { sz =>
         if (sz > JitBytecodeLimit && sz <= hml)
           Some((s"codegenStage${w.codegenStageId}:${w.child.nodeName}", sz))
         else None
-      } catch { case _: Exception => None }
+      }
     }
+  }
+
+  /** True iff `t` (or anything on its causal chain — Spark and Guava's
+    * compile cache both wrap) is one of janino's compile-failure types:
+    * `CompileException` (source-level refusal, e.g. "Code ... grows
+    * beyond 64 KB" — the documented normal mode for SRP keying at
+    * 14:20+ widths) or `InternalCompilerException` (janino's internal
+    * limit/assertion class). Matched by class NAME so the lint has no
+    * compile-time dependency on janino's package layout across Spark's
+    * janino upgrades (relocations keep the simple names).
+    */
+  private[graft] def isJaninoCompileFailure(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      val n = c.getClass.getName
+      if (n.endsWith(".CompileException") || n.endsWith(".InternalCompilerException"))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Corpus-growing tables: broadcasting one of these un-aggregated is

@@ -3,12 +3,16 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: inner product of two array<double>
-  * columns — the MIPS (maximum-inner-product search) scorer, the
+/** Native Catalyst expression: inner product of two array<double> or
+  * array<float> columns (float widened per element, accumulated in
+  * double — exact per IEEE 754, so float-originated values score
+  * bit-identically to the double kernel)
+  * — the MIPS (maximum-inner-product search) scorer, the
   * retrieval metric for embeddings trained with a dot-product objective
   * (cosine's unnormalized sibling; see [[CosineSimilarity]]).
   *
@@ -28,16 +32,38 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // array<float> widened per element, accumulated in double — same
+  // contract as CosineSimilarity. Without this, ArrayData.getDouble on a
+  // float-backed UnsafeArrayData reads 8 bytes off a 4-byte lane and
+  // returns garbage SILENTLY — the exact hazard the r17 float32 SRP
+  // transit created for any future consumer of the grown-keyed frame.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<double>/array<float> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloatArray(left); val yf = isFloatArray(right)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      dot += x.getDouble(i) * y.getDouble(i)
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
       i += 1
     }
     dot
@@ -48,6 +74,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      // element-type getters resolved at PLAN time (same pattern as
+      // CosineSimilarity): the generated loop body is branch-free
+      val getX =
+        if (isFloatArray(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY =
+        if (isFloatArray(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -58,7 +90,7 @@ case class DotProduct(left: Expression, right: Expression)
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      $dot += $x.getDouble($i) * $y.getDouble($i);
+         |      $dot += $getX * $getY;
          |    }
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $dot; }

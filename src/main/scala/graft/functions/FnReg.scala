@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Registry-checked temp-function registration.
@@ -12,17 +11,26 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * re-registers per query and Spark logs "replaced a previously
   * registered function" each time. In the bench run those WARNs ate
   * ~800 of the driver's 2000-char stdout tail window — the JSON
-  * artifact line had 72 chars of headroom left (r16 verdict). Checking
-  * the registry first makes re-registration a true no-op: same builder
-  * every time (all graft functions are stateless case classes), so
-  * skipping the replace can never pin a stale definition.
+  * artifact line had 72 chars of headroom left (r16 verdict). Tracking
+  * the names THIS object registered (per session, weakly held) makes
+  * re-registration a true no-op without ceding the name: if some other
+  * party — a pre-existing user temp function, or a future Spark
+  * built-in — already holds it, graft still createOrReplaces (the old
+  * guarantee that graft's definition wins; r17 advisor), and the one
+  * WARN that logs is the honest signal of that clobber, not a storm.
   */
 private[functions] object FnReg {
 
+  // WeakHashMap so a retired session doesn't pin its name set; guarded
+  // by FnReg's monitor (registration is rare and cheap).
+  private val owned =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+
   def once(spark: SparkSession, name: String)(
-      builder: Seq[Expression] => Expression): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      builder: Seq[Expression] => Expression): Unit = synchronized {
+    val names = owned.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+    if (names.add(name))
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
   }
 }

@@ -3,12 +3,15 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: squared Euclidean distance of two
-  * array<double> columns — the quantization metric of the PQ/IVF
+  * array<double> or array<float> columns (float widened per element,
+  * accumulated in double — exact per IEEE 754)
+  * — the quantization metric of the PQ/IVF
   * family (codebook assignment and ADC lookup tables score by L2²).
   *
   * One fused loop, no intermediate zipped-array allocation, inlined
@@ -28,16 +31,37 @@ case class SquaredL2(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // array<float> widened per element, accumulated in double — same
+  // contract as CosineSimilarity/DotProduct; guards against silently
+  // reading a float-backed UnsafeArrayData with getDouble (r17 float32
+  // SRP transit hazard).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"squared_l2 expects array<double>/array<float> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloatArray(left); val yf = isFloatArray(right)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val d = x.getDouble(i) - y.getDouble(i)
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
       acc += d * d
       i += 1
     }
@@ -50,6 +74,12 @@ case class SquaredL2(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      // element-type getters resolved at PLAN time (same pattern as
+      // CosineSimilarity): the generated loop body is branch-free
+      val getX =
+        if (isFloatArray(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY =
+        if (isFloatArray(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -60,7 +90,7 @@ case class SquaredL2(left: Expression, right: Expression)
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      double $d = $x.getDouble($i) - $y.getDouble($i);
+         |      double $d = $getX - $getY;
          |      $acc += $d * $d;
          |    }
          |  }

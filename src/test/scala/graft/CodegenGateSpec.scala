@@ -67,6 +67,47 @@ class CodegenGateSpec extends AnyFunSuite {
   gate("DotProduct",       DotProduct(ref(0, vecType), ref(1, vecType)), vRows)
   gate("SquaredL2",        SquaredL2(ref(0, vecType), ref(1, vecType)), vRows)
 
+  // array<float> legs (r17 advisor): all three vector kernels must widen
+  // float elements rather than call getDouble on a 4-byte lane — which
+  // returns garbage SILENTLY on UnsafeArrayData. Same values as vRows'
+  // first row, float-originated, plus the mixed float/double signature.
+  private def fltArr(xs: Float*) = new GenericArrayData(xs.toArray[Any])
+  private val vecFType = ArrayType(FloatType)
+  private val vfRows = Seq(
+    InternalRow(fltArr(1.0f, 2.0f, 3.0f), fltArr(-1.0f, 0.5f, 2.0f)),
+    InternalRow(fltArr(0.0f, 0.0f), fltArr(0.0f, 0.0f)),
+    InternalRow(null, fltArr(1.0f)))
+  gate("CosineSimilarity f32", CosineSimilarity(ref(0, vecFType), ref(1, vecFType)), vfRows)
+  gate("DotProduct f32",       DotProduct(ref(0, vecFType), ref(1, vecFType)), vfRows)
+  gate("SquaredL2 f32",        SquaredL2(ref(0, vecFType), ref(1, vecFType)), vfRows)
+  private val vMixRows = Seq(InternalRow(fltArr(1.0f, 2.0f, 3.0f), dblArr(-1.0, 0.5, 2.0)))
+  gate("DotProduct f32/f64 mixed", DotProduct(ref(0, vecFType), ref(1, vecType)), vMixRows)
+  gate("SquaredL2 f32/f64 mixed",  SquaredL2(ref(0, vecFType), ref(1, vecType)), vMixRows)
+
+  test("vector kernels: float-originated inputs score bit-identically to the double kernel") {
+    // float→double widening is exact (IEEE 754), so on values that
+    // round-trip through float the f32 kernel must equal the f64 one —
+    // the property the r17 SRP transit rests on.
+    val fRow = InternalRow(fltArr(1.5f, -2.25f, 0.125f), fltArr(4.0f, 0.5f, -8.0f))
+    val dRow = InternalRow(dblArr(1.5, -2.25, 0.125), dblArr(4.0, 0.5, -8.0))
+    Seq[(Expression, Expression)](
+      (DotProduct(ref(0, vecFType), ref(1, vecFType)), DotProduct(ref(0, vecType), ref(1, vecType))),
+      (SquaredL2(ref(0, vecFType), ref(1, vecFType)), SquaredL2(ref(0, vecType), ref(1, vecType))),
+      (CosineSimilarity(ref(0, vecFType), ref(1, vecFType)), CosineSimilarity(ref(0, vecType), ref(1, vecType)))
+    ).foreach { case (f, d) =>
+      assert(java.lang.Double.doubleToLongBits(f.eval(fRow).asInstanceOf[Double]) ===
+        java.lang.Double.doubleToLongBits(d.eval(dRow).asInstanceOf[Double]), f.getClass.getName)
+    }
+  }
+
+  test("vector kernels: non-numeric array inputs fail analysis, not silently") {
+    Seq[Expression](
+      DotProduct(ref(0, ArrayType(StringType)), ref(1, vecType)),
+      SquaredL2(ref(0, ArrayType(LongType)), ref(1, vecType)),
+      CosineSimilarity(ref(0, StringType), ref(1, vecType))
+    ).foreach(e => assert(!e.checkInputDataTypes().isSuccess, e.getClass.getName))
+  }
+
   private val sRows = Seq(
     InternalRow(utf8("MARTHA"), utf8("MARHTA")),
     InternalRow(utf8(""), utf8("x")),

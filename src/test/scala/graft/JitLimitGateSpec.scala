@@ -89,4 +89,36 @@ class JitLimitGateSpec extends SparkSpec {
     assert(a === b)
     assert(a.head === 8L * 22)
   }
+
+  // r17 verdict task 3: the lint's compile-failure tolerance was
+  // `case _: Exception` — a codegen regression emitting invalid Java
+  // would silently VANISH from the audit instead of surfacing. The
+  // narrowed catch tolerates only janino's compile-failure types;
+  // everything else falls through the `if` guard and propagates.
+  test("GREEN: a real janino 64KB compile failure (15:22 keying) is tolerated, not thrown") {
+    // doCodeGen+compile on the over-limit stage throws inside the lint;
+    // the narrowed catch must classify it and keep auditing.
+    val offenders = PlanLint.neverJitStages(
+      keyed(sessionWith("65535"), planes = 15, tables = 22))
+    // the over-limit stage is excluded (compile failed → runtime falls
+    // back to non-WSCG, so it is not a never-JIT stage); what matters
+    // here is that the call RETURNED instead of propagating
+    assert(offenders.forall(_._2 <= 65535))
+  }
+
+  test("RED: a non-compile exception is classified for propagation, compile failures are not") {
+    val janino = new org.codehaus.commons.compiler.CompileException(
+      "Code of method grows beyond 64 KB", null)
+    assert(PlanLint.isJaninoCompileFailure(janino))
+    // Spark and Guava's compile cache both wrap — the causal chain is
+    // what's walked
+    assert(PlanLint.isJaninoCompileFailure(new RuntimeException("wrapped", janino)))
+    assert(PlanLint.isJaninoCompileFailure(
+      new java.util.concurrent.ExecutionException(new RuntimeException(janino))))
+    // a genuine codegen defect surfaces as some OTHER type — these must
+    // fall through the catch guard and propagate out of the lint
+    assert(!PlanLint.isJaninoCompileFailure(new RuntimeException("boom")))
+    assert(!PlanLint.isJaninoCompileFailure(
+      new IllegalStateException(new NullPointerException())))
+  }
 }

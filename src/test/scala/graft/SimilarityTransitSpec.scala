@@ -3,7 +3,7 @@ package graft
 import graft.functions.CosineSimilarity
 import graft.operators.SimilarityOps
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, round, transform}
+import org.apache.spark.sql.functions.{col, transform}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 /** Pins the r17 float32 SRP transit (see [[SimilarityOps.srpKeyedGrown]]
@@ -67,12 +67,19 @@ class SimilarityTransitSpec extends SparkSpec {
     }
   }
 
+  // Scores compare UNROUNDED, via doubleToLongBits — rounding to 4
+  // decimals would tolerate exactly the sub-1e-4 drift this spec exists
+  // to rule out (r17 advisor). The oracle-side rounding contract lives
+  // in the registry queries, not here.
   test("srpPairsAboveGrown: float32 transit is bit-identical to the f64 control leg") {
     val e = emb(sf).select(col("vec_id"), col("em"))
     def run(): Seq[String] =
       SimilarityOps.srpPairsAboveGrown(e, dims = 64, thresh = 0.4)
-        .select(col("va"), col("vb"), round(col("score"), 4).as("s"))
-        .collect().map(_.toString).sorted.toSeq
+        .select(col("va"), col("vb"), col("score"))
+        .collect()
+        .map(r => s"${r.get(0)}|${r.get(1)}|" +
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))
+        .sorted.toSeq
     val f32 = run()
     val f64 = withTransit("f64")(run())
     assert(f32.nonEmpty, "parity over an empty result set proves nothing")
@@ -83,8 +90,11 @@ class SimilarityTransitSpec extends SparkSpec {
     val d = emb(sf)
     def run(): Seq[String] =
       SimilarityOps.annTopKPortableGrown(d, k = 5, dims = 64)
-        .select(col("qid"), col("vec_id"), round(col("score"), 4).as("s"), col("rn"))
-        .collect().map(_.toString).sorted.toSeq
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .collect()
+        .map(r => s"${r.get(0)}|${r.get(1)}|" +
+          s"${java.lang.Double.doubleToLongBits(r.getDouble(2))}|${r.get(3)}")
+        .sorted.toSeq
     val f32 = run()
     val f64 = withTransit("f64")(run())
     assert(f32.nonEmpty)
