@@ -347,13 +347,29 @@ object SimilarityOps {
       case "em" if !srpTransitF64 => col("em").cast("array<float>").as("em")
       case c => col(c)
     }
+    // r18: the bucket key is PACKED INTO ONE BIGINT — table id in the
+    // high bits (<<40; planes cap 36 < 40, tables cap 56 < 2^23), sign
+    // bits summed into the low 40 — instead of the r14-r17
+    // `concat("t#", '0'/'1' × planes)` string. Same bijection
+    // (table, sign bits) → key, so bucket equality — and therefore the
+    // candidate set, every score, and every oracle hash — is unchanged
+    // by construction; what changes is the physics of the ONE
+    // spill-bound term (SCALE.md third-decade decomposition): the
+    // N·tables bucket exchange and its SMJ sort. A long key is 8 bytes
+    // fixed in the UnsafeRow vs 8 + padded(2+planes) for the string
+    // (−24 B/row at width 15), its sort is a pure 8-byte-prefix RADIX
+    // sort (a string key radix-sorts only its first 7 bytes — "t#" + 5
+    // bits — then falls back to full memcmp ties across the whole
+    // bucket population), and the keying projection drops planes+1
+    // UTF8String allocations per (row, table). Measured same-batch in
+    // OPTIMIZATION_r18.md; plan shape unchanged (plans/r18).
     e.select(outCols :+
       explode(array((0 until tables).map { t =>
         val bits = (0 until planes).map { pp =>
           val sgn = srpSigns(t * SrpStride + pp, dims).map(x => s"${x}D").mkString(",")
-          when(expr(s"dot_product(em, array($sgn))") >= 0, lit("1")).otherwise(lit("0"))
+          when(expr(s"dot_product(em, array($sgn))") >= 0, lit(1L << pp)).otherwise(lit(0L))
         }
-        concat(lit(s"$t#") +: bits: _*)
+        bits.foldLeft(lit(t.toLong << 40).cast("long"))(_ + _)
       }: _*)).as("bk"): _*)
   }
 
@@ -553,10 +569,25 @@ object SimilarityOps {
     val e = d.select(col("vec_id"), col("em"))
     val n = e.count()
     val keyed = srpKeyedGrown(parallelized(e), srpGrownPlanes(n), srpGrownTables(n), dims)
+    // r18: ONE exchange on the scalar candidate tail instead of two.
+    // The bare dropDuplicates planned hash(qid, vec_id) for the dedup
+    // aggregate and then hash(qid) again for the top-k window — and the
+    // dedup's map-side partial aggregation collapses NOTHING here: a
+    // pair's cross-table duplicates live in DIFFERENT bk partitions by
+    // construction (different tables ⇒ different keys), so the first
+    // exchange moved the full candidate multiset anyway. Repartitioning
+    // by qid up front moves the same multiset ONCE: hash(qid) satisfies
+    // the dedup aggregate's clustered-distribution requirement (subset
+    // rule) AND the window's, so both run exchange-free on top of it
+    // (plan diff in plans/r18: 3 exchanges → 2 downstream of the bucket
+    // join, the duplicated partial Sort+WindowGroupLimit pass over the
+    // full deduped set collapses into the single final one). Results
+    // identical — only the partitioning moved; the oracle hash pins it.
     val scored = keyed.as("a").hint("merge").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
         CosineSimilarity.cosine_sim("a.em", "b.em").as("score"))
+      .repartition(col("qid"))
       .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)

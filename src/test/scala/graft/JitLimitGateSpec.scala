@@ -38,10 +38,18 @@ class JitLimitGateSpec extends SparkSpec {
     s
   }
 
-  // The production-grown SRP keying shape at the first width step past
-  // the old cap (13 planes / 18 tables — the sf16x operating point)
-  // unless overridden.
-  private def keyed(s: SparkSession, planes: Int = 13, tables: Int = 18): DataFrame = {
+  // The production-grown SRP keying shape at the widest step that
+  // still COMPILES under janino (12 planes / 16 tables — the cap-12
+  // operating band, 59,476 bytecodes measured r18) unless overridden.
+  // Under the r14-r17 string bucket key the janino 64 KB refusal
+  // boundary sat past 13:18; the r18 LONG-packed key's generated
+  // method is slightly larger per bit, so 13:18 now takes the loud
+  // janino fallback (measured-equal speed, same class as 14:20+) and
+  // the never-JIT window — which this gate exists to pin — spans the
+  // widths that still compile: 6:16 = 28,660 / 9:16 = 44,068 / 12:16 =
+  // 59,476 bytecodes (r18 probe), i.e. every width the oracle SFs and
+  // the sf1 wave actually run.
+  private def keyed(s: SparkSession, planes: Int = 12, tables: Int = 16): DataFrame = {
     import s.implicits._
     val e = (0 until 8).map(i => (i.toLong, Array.tabulate(64)(d => (i * 64 + d) * 0.01)))
       .toDF("vec_id", "em")
@@ -69,10 +77,12 @@ class JitLimitGateSpec extends SparkSpec {
     val a = keyed(sessionWith("65535")).collect().map(_.getLong(0)).toSeq
     val b = keyed(sessionWith("8000")).collect().map(_.getLong(0)).toSeq
     assert(a === b)
-    assert(a.head === 8L * 18) // one bucket key per (row, table)
+    assert(a.head === 8L * 16) // one bucket key per (row, table)
   }
 
-  // Past ~width 14:20 the keying method exceeds janino's 64 KB
+  // Past width 12:16 (13:18+ since the r18 long-packed key; 14:20+
+  // under the r14-r17 string key) the keying method exceeds janino's
+  // 64 KB
   // PER-METHOD class-file limit: WSCG compilation FAILS (loud
   // "Code grows beyond 64 KB" WARN storm on the sf32x/sf64x wave legs)
   // and Spark falls back to non-WSCG execution at either session
