@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt "runMain graft.Bench"` and parses the ONE JSON
+// line Bench prints; sbt's default fork-output strategy relogs the
+// forked stdout through its logger as "[info] {...}", which has
+// defeated the driver's extractor in EVERY round since r12
+// (BENCH_r*.json `parsed: null`, PERF per_query empty — r18 verdict).
+// StdoutOutput passes the forked process's stdout/stderr straight
+// through, so the JSON line reaches the driver at column 0, bare.
+// (Bench additionally mirrors the exact line to a fixed sidecar path —
+// see Bench.scala — as the belt-and-braces copy.)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,7 +19,10 @@ object ExplainTo {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // honor the same env override Bench does (r18 ADVICE): a plan
+      // captured for an AQE-off bench leg must show that leg's shape
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .config("spark.ui.enabled", "false").getOrCreate()

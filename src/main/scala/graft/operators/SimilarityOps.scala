@@ -5,6 +5,7 @@ import graft.functions.{CosineSimilarity, DotProduct}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftinternal.GraftDataset
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2B):
   * brute-force cosine top-k as the exact baseline, plus a random-
@@ -315,6 +316,18 @@ object SimilarityOps {
       .orElse(sys.env.get("SPARK_GRAFT_SRP_TRANSIT"))
       .contains("f64")
 
+  /** True when the SRP keying should use the r14-r18 unfused
+    * CASE-WHEN-per-plane expression tree — the measurement CONTROL leg
+    * for the r19 fused [[graft.functions.SrpSignBits]] kernel (same
+    * keys by construction AND by SrpSignBitsSpec's bit-parity pin).
+    * Sys-prop first so a spec can flip it inside one JVM, env for
+    * separate-JVM wave legs.
+    */
+  private[graft] def srpKernelCaseWhen: Boolean =
+    sys.props.get("graft.srp.kernel")
+      .orElse(sys.env.get("SPARK_GRAFT_SRP_KERNEL"))
+      .contains("casewhen")
+
   /** [[srpKeyed]] on the GROWN key layout: plane indices on the fixed
     * [[SrpStride]]-per-table stride, so keys of any adaptive
     * (planes, tables) pair agree with the oracle's substring cut.
@@ -342,6 +355,14 @@ object SimilarityOps {
     * measured control leg; parity pinned in SimilarityTransitSpec).
     */
   def srpKeyedGrown(e: DataFrame, planes: Int, tables: Int, dims: Int): DataFrame = {
+    // r18 ADVICE guard: past these caps the packed key's table and sign
+    // bits would silently collide/overflow (1L<<pp wraps at pp >= 64),
+    // merging buckets across tables — a future cap raise must fail
+    // loudly here instead. Production caps are 36/56, well inside.
+    require(planes >= 1 && planes <= 40,
+      s"srpKeyedGrown: planes=$planes out of [1, 40] — the packed bigint key reserves the low 40 bits for sign bits")
+    require(tables >= 1 && tables < (1 << 23),
+      s"srpKeyedGrown: tables=$tables out of [1, 2^23) — the packed bigint key stores the table id at <<40")
     DotProduct.register(e.sparkSession)
     val outCols = e.columns.map {
       case "em" if !srpTransitF64 => col("em").cast("array<float>").as("em")
@@ -363,14 +384,33 @@ object SimilarityOps {
     // bucket population), and the keying projection drops planes+1
     // UTF8String allocations per (row, table). Measured same-batch in
     // OPTIMIZATION_r18.md; plan shape unchanged (plans/r18).
-    e.select(outCols :+
-      explode(array((0 until tables).map { t =>
+    //
+    // r19: the key is computed by the FUSED codegen kernel
+    // [[graft.functions.SrpSignBits]] — one small per-table loop over a
+    // reference-object sign matrix instead of `planes` CASE WHENs over
+    // inlined 64-literal arrays. Same key bit-for-bit (kernel scaladoc
+    // + SrpSignBitsSpec parity pin + oracle hashes at 3 SFs); what
+    // changes is the generated CODE: the keying method drops from
+    // 28.6-59.5 KB of never-JIT bytecode (r18 KeyDump probe) to a
+    // JIT-able loop, erasing the r18 long-key keying regression (sf1
+    // pairs warm +20%) and closing the janino 64 KB failure mode at
+    // 13:18+ widths. The r14-r18 unfused tree remains available as the
+    // measurement CONTROL leg (-Dgraft.srp.kernel=casewhen /
+    // SPARK_GRAFT_SRP_KERNEL=casewhen), like the f64 transit leg above.
+    val keyCols: Seq[Column] = (0 until tables).map { t =>
+      if (srpKernelCaseWhen) {
         val bits = (0 until planes).map { pp =>
           val sgn = srpSigns(t * SrpStride + pp, dims).map(x => s"${x}D").mkString(",")
           when(expr(s"dot_product(em, array($sgn))") >= 0, lit(1L << pp)).otherwise(lit(0L))
         }
         bits.foldLeft(lit(t.toLong << 40).cast("long"))(_ + _)
-      }: _*)).as("bk"): _*)
+      } else {
+        val flat = (0 until planes).flatMap(pp => srpSigns(t * SrpStride + pp, dims))
+        GraftDataset.column(graft.functions.SrpSignBits(
+          GraftDataset.expr(col("em")), t.toLong << 40, planes, dims, flat))
+      }
+    }
+    e.select(outCols :+ explode(array(keyCols: _*)).as("bk"): _*)
   }
 
   /** [[srpKeyed]] with plane indices laid out on a fixed
