@@ -84,6 +84,40 @@ class CodegenGateSpec extends AnyFunSuite {
   gate("DotProduct f32/f64 mixed", DotProduct(ref(0, vecFType), ref(1, vecType)), vMixRows)
   gate("SquaredL2 f32/f64 mixed",  SquaredL2(ref(0, vecFType), ref(1, vecType)), vMixRows)
 
+  // r19 fused SRP keying kernel: 2 planes × 3 dims, prefix = table 1.
+  // Rows exercise the whole ladder the unfused tree defined: normal,
+  // all-negative dots, null array, WRONG-LENGTH array, null element,
+  // and NaN (Spark's NaN-aware >= must SET the bit).
+  private val srpSigns23 = Seq(1.0, -1.0, 1.0, -1.0, -1.0, 1.0)
+  gate("SrpSignBits",
+    SrpSignBits(ref(0, vecType), 1L << 40, planes = 2, dims = 3, signs = srpSigns23),
+    Seq(
+      InternalRow(dblArr(1.0, 2.0, 3.0), dblArr(0.0)),
+      InternalRow(dblArr(-5.0, 0.0, -1.0), dblArr(0.0)),
+      InternalRow(null, dblArr(0.0)),
+      InternalRow(dblArr(1.0, 2.0), dblArr(0.0)),
+      InternalRow(new GenericArrayData(Array[Any](1.0, null, 3.0)), dblArr(0.0)),
+      InternalRow(dblArr(Double.NaN, 2.0, 3.0), dblArr(0.0))))
+  gate("SrpSignBits f32",
+    SrpSignBits(ref(0, vecFType), 1L << 40, planes = 2, dims = 3, signs = srpSigns23),
+    Seq(
+      InternalRow(fltArr(1.0f, 2.0f, 3.0f), dblArr(0.0)),
+      InternalRow(null, dblArr(0.0))))
+
+  test("SrpSignBits: the ladder lands where the unfused tree landed it") {
+    val e = SrpSignBits(ref(0, vecType), 1L << 40, planes = 2, dims = 3, signs = srpSigns23)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    def k(row: InternalRow): Long = proj(row).getLong(0)
+    // normal: p0 = 1-2+3 = 2 >= 0 → bit0; p1 = -1-2+3 = 0 >= 0 → bit1
+    assert(k(InternalRow(dblArr(1.0, 2.0, 3.0))) === ((1L << 40) | 3L))
+    // null / wrong-length / null-element → bare prefix
+    assert(k(InternalRow(null)) === (1L << 40))
+    assert(k(InternalRow(dblArr(1.0, 2.0))) === (1L << 40))
+    assert(k(InternalRow(new GenericArrayData(Array[Any](1.0, null, 3.0)))) === (1L << 40))
+    // NaN dot → bit SET (NaN-aware >=, matches Spark SQL and DuckDB)
+    assert(k(InternalRow(dblArr(Double.NaN, 2.0, 3.0))) === ((1L << 40) | 3L))
+  }
+
   test("vector kernels: float-originated inputs score bit-identically to the double kernel") {
     // float→double widening is exact (IEEE 754), so on values that
     // round-trip through float the f32 kernel must equal the f64 one —
